@@ -1,0 +1,223 @@
+"""Single-fidelity exact GP regression (TPU-native).
+
+Capability parity with ``GPy.models.GPRegression`` as used by the reference
+(reference/GPTrainers.py:80-98: RBF-ARD kernel, ``optimize()``, ``predict``
+with optional ``full_cov``; Matern32 variant used by the physical drivers,
+reference/PhysicalExperimentCode/GraceExplorationExperiments_SFGP.py:610-615).
+
+Architecture: one pure functional core —
+
+    nlml(params)             exact negative log marginal likelihood,
+                             differentiable end to end with jax.grad
+    condition(params, X, y)  -> GPState (Cholesky factor + alpha), cached
+    predict(state, Xs)       posterior mean / var / full covariance
+
+The stateful :class:`GP` wrapper only stores arrays + params; every compute
+path is jitted and dtype-generic (f64 on CPU for parity tests, f32 with
+HIGHEST-precision matmuls on TPU).
+
+Parameter vector layout matches the GPy ``param_array`` the reference saves
+to ``*_sfGP.txt`` hyp files: ``[variance, lengthscale_1..D, noise]``
+(reference/GPTrainers.py:85-88), so recorded reference hyperparameters load
+directly for fixed-hyperparameter parity checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfgp_tpu.ops import kernels as _k
+from mfgp_tpu.ops import linalg as _la
+from mfgp_tpu.ops.optimize import scipy_lbfgsb
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+class GPParams(NamedTuple):
+    """Log-space hyperparameters (positivity by construction)."""
+
+    log_variance: jax.Array  # ()
+    log_lengthscales: jax.Array  # (D,)
+    log_noise: jax.Array  # ()
+
+    @property
+    def variance(self):
+        return jnp.exp(self.log_variance)
+
+    @property
+    def lengthscales(self):
+        return jnp.exp(self.log_lengthscales)
+
+    @property
+    def noise(self):
+        return jnp.exp(self.log_noise)
+
+    def to_vector(self) -> jax.Array:
+        """GPy ``param_array`` layout: [variance, lengthscales..., noise]."""
+        return jnp.concatenate([
+            self.variance[None], self.lengthscales, self.noise[None]
+        ])
+
+    @staticmethod
+    def from_vector(v, D: int) -> "GPParams":
+        v = jnp.asarray(v)
+        return GPParams(jnp.log(v[0]), jnp.log(v[1 : 1 + D]), jnp.log(v[1 + D]))
+
+    @staticmethod
+    def default(D: int, dtype=jnp.float64) -> "GPParams":
+        """GPy defaults: variance=1, lengthscale=1, noise=1."""
+        z = jnp.zeros((), dtype)
+        return GPParams(z, jnp.zeros((D,), dtype), z)
+
+
+class GPState(NamedTuple):
+    """Cached conditioning state: data + Cholesky factor + weights."""
+
+    X: jax.Array  # (N, D)
+    y: jax.Array  # (N,)
+    L: jax.Array  # (N, N) lower chol of K + noise*I (+ extra diag)
+    alpha: jax.Array  # (N,)
+
+
+def _cov(params: GPParams, X1, X2, kernel: str):
+    return _k.KERNELS[kernel](X1, X2, params.variance, params.lengthscales)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nlml(params: GPParams, X, y, extra_noise_diag=0.0, kernel: str = "rbf",
+         jitter: float = 0.0):
+    """Exact negative log marginal likelihood.
+
+    ``0.5 y^T K_n^-1 y + 0.5 log|K_n| + 0.5 N log 2pi`` with
+    ``K_n = K + (noise + extra_noise_diag) I`` — the quantity GPy's
+    ``optimize()`` minimises and the reference's NIGP builds by hand
+    (reference/NIGP.py:130-165). ``extra_noise_diag`` carries the NIGP
+    per-point input-noise inflation.
+    """
+    N = X.shape[0]
+    K = _cov(params, X, X, kernel)
+    obs = params.noise + extra_noise_diag + jitter
+    Kn = K + jnp.diag(jnp.broadcast_to(obs, (N,)))
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    return (0.5 * jnp.dot(y, alpha)
+            + 0.5 * _la.logdet_from_chol(L)
+            + 0.5 * N * _LOG2PI)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def condition(params: GPParams, X, y, extra_noise_diag=0.0,
+              kernel: str = "rbf", jitter: float = 0.0) -> GPState:
+    N = X.shape[0]
+    K = _cov(params, X, X, kernel)
+    obs = params.noise + extra_noise_diag + jitter
+    L = _la.chol(K + jnp.diag(jnp.broadcast_to(obs, (N,))))
+    alpha = _la.solve_posterior(L, y)
+    return GPState(X, y, L, alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel", "full_cov", "include_noise"))
+def predict(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
+            full_cov: bool = False, include_noise: bool = True):
+    """Posterior mean and (co)variance at test points.
+
+    ``include_noise=True`` matches GPy ``predict``'s default
+    ``include_likelihood=True`` — the reference relies on that default in
+    its info-gain scorers and WMSE metric (reference/GraceRIGV3.py:455,
+    reference/GPTrainers.py:116-117).
+    """
+    Kxs = _cov(params, Xs, state.X, kernel)
+    mean = _la.posterior_mean(Kxs, state.alpha)
+    noise = params.noise if include_noise else 0.0
+    if full_cov:
+        Kss = _cov(params, Xs, Xs, kernel)
+        cov = _la.posterior_cov(Kss, Kxs, state.L)
+        cov = cov + noise * jnp.eye(Xs.shape[0], dtype=cov.dtype)
+        return mean, cov
+    kss = jnp.broadcast_to(params.variance, (Xs.shape[0],))
+    var = _la.posterior_var(kss, Kxs, state.L) + noise
+    return mean, var
+
+
+@dataclass
+class GP:
+    """Stateful convenience wrapper (mirrors the GPy call sites).
+
+    >>> gp = GP(X, y, kernel="rbf")
+    >>> gp.optimize()
+    >>> mu, var = gp.predict(Xs)
+    """
+
+    X: jax.Array
+    y: jax.Array
+    kernel: str = "rbf"
+    params: GPParams | None = None
+    jitter: float = 0.0
+
+    def __post_init__(self):
+        self.X = jnp.atleast_2d(jnp.asarray(self.X))
+        self.y = jnp.asarray(self.y).reshape(-1)
+        if self.params is None:
+            self.params = GPParams.default(self.X.shape[1], self.X.dtype)
+        self._state = None
+
+    # -- data ---------------------------------------------------------------
+    def set_XY(self, X, y):
+        """Replace the training set (reference ``gp.set_XY``, GPTrainers.py:83)."""
+        self.X = jnp.atleast_2d(jnp.asarray(X))
+        self.y = jnp.asarray(y).reshape(-1)
+        self._state = None
+
+    @property
+    def state(self) -> GPState:
+        if self._state is None:
+            self._state = condition(self.params, self.X, self.y,
+                                    kernel=self.kernel, jitter=self.jitter)
+        return self._state
+
+    # -- training -----------------------------------------------------------
+    def log_likelihood(self) -> float:
+        return -float(nlml(self.params, self.X, self.y, kernel=self.kernel,
+                           jitter=self.jitter))
+
+    def optimize(self, maxiter: int = 1000, bounds=None):
+        """Single L-BFGS run from current params (GPy ``optimize()``)."""
+        D = self.X.shape[1]
+        x0 = np.concatenate([
+            np.atleast_1d(np.asarray(self.params.log_variance)),
+            np.asarray(self.params.log_lengthscales),
+            np.atleast_1d(np.asarray(self.params.log_noise)),
+        ])
+
+        def obj(vec):
+            p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
+            return nlml(p, self.X, self.y, kernel=self.kernel, jitter=self.jitter)
+
+        xopt, fopt, _ = scipy_lbfgsb(obj, x0, bounds=bounds, maxiter=maxiter)
+        xopt = jnp.asarray(xopt, self.X.dtype)
+        self.params = GPParams(xopt[0], xopt[1 : 1 + D], xopt[1 + D])
+        self._state = None
+        return fopt
+
+    # -- prediction ---------------------------------------------------------
+    def predict(self, Xs, full_cov: bool = False, include_noise: bool = True):
+        Xs = jnp.atleast_2d(jnp.asarray(Xs, self.X.dtype))
+        return predict(self.params, self.state, Xs, kernel=self.kernel,
+                       full_cov=full_cov, include_noise=include_noise)
+
+    # -- reference interop ----------------------------------------------------
+    @property
+    def param_array(self) -> np.ndarray:
+        """GPy-layout hyp vector, as saved in ``*_sfGP.txt`` files."""
+        return np.asarray(self.params.to_vector())
+
+    def set_param_array(self, v):
+        self.params = GPParams.from_vector(jnp.asarray(v, self.X.dtype),
+                                           self.X.shape[1])
+        self._state = None

@@ -1,0 +1,306 @@
+"""Linear multi-fidelity GP (Kennedy-O'Hagan / AR1), TPU-native.
+
+Capability parity with emukit's ``GPyLinearMultiFidelityModel`` +
+``GPyMultiOutputWrapper`` as used by the reference
+(reference/GPTrainers.py:60-74; model setup in the robot driver at
+reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:643-666).
+
+Model: ``f_0 = g_0``, ``f_i = rho_i f_{i-1} + g_i`` with independent GPs
+``g_i ~ GP(0, k_i)`` so
+
+    cov(f_i(x), f_j(x')) = sum_{m<=min(i,j)} W[m,i] W[m,j] k_m(x, x'),
+    W[m,f] = prod_{l=m+1..f} rho_l
+
+Instead of emukit's augmented-input kernel object, the covariance is one
+masked dense sum over base kernels (``ops.kernels.ar1_cov``): every entry is
+computed in the same MXU matmuls regardless of fidelity, with per-point AR1
+weights — no ragged fidelity blocks, fully jittable.
+
+Data convention (kept for artifact compatibility): inputs carry a trailing
+fidelity-index column, 0 = lowest fidelity; the reference maps its fidLev 3
+(worst localization) to fidelity 0 and predicts at the highest fidelity by
+appending ``2`` (reference/GPTrainers.py:119).
+
+Parameter vector layout matches the 17-element GPy ``param_array`` the
+reference logs (header at
+reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:659):
+``[var_1, l1x, l1y, l1z, var_2, l2x, l2y, l2z, var_3, l3x, l3y, l3z,
+rho_1, rho_2, noise_1, noise_2, noise_3]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfgp_tpu.ops import kernels as _k
+from mfgp_tpu.ops import linalg as _la
+from mfgp_tpu.ops.optimize import scipy_lbfgsb
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+class MFGPParams(NamedTuple):
+    log_variances: jax.Array  # (F,)
+    log_lengthscales: jax.Array  # (F, D)
+    rhos: jax.Array  # (F-1,) — unconstrained (emukit's ``scale``)
+    log_noises: jax.Array  # (F,)
+
+    @property
+    def variances(self):
+        return jnp.exp(self.log_variances)
+
+    @property
+    def lengthscales(self):
+        return jnp.exp(self.log_lengthscales)
+
+    @property
+    def noises(self):
+        return jnp.exp(self.log_noises)
+
+    def to_vector(self) -> jax.Array:
+        """17-element GPy param_array layout (F=3, D=3)."""
+        per_kern = jnp.concatenate(
+            [jnp.concatenate([v[None], l])
+             for v, l in zip(self.variances, self.lengthscales)]
+        )
+        return jnp.concatenate([per_kern, self.rhos, self.noises])
+
+    @staticmethod
+    def from_vector(v, n_fidelities: int, D: int) -> "MFGPParams":
+        v = jnp.asarray(v)
+        F = n_fidelities
+        per = v[: F * (D + 1)].reshape(F, D + 1)
+        rhos = v[F * (D + 1) : F * (D + 1) + F - 1]
+        noises = v[F * (D + 1) + F - 1 :]
+        return MFGPParams(jnp.log(per[:, 0]), jnp.log(per[:, 1:]),
+                          rhos, jnp.log(noises))
+
+    @staticmethod
+    def default(n_fidelities: int, D: int, dtype=jnp.float64) -> "MFGPParams":
+        """GPy/emukit defaults: variances=1, lengthscales=1, rho=1, noise=1."""
+        return MFGPParams(
+            jnp.zeros((n_fidelities,), dtype),
+            jnp.zeros((n_fidelities, D), dtype),
+            jnp.ones((n_fidelities - 1,), dtype),
+            jnp.zeros((n_fidelities,), dtype),
+        )
+
+
+class MFGPState(NamedTuple):
+    X: jax.Array  # (N, D)
+    fid: jax.Array  # (N,) int32
+    y: jax.Array  # (N,)
+    L: jax.Array
+    alpha: jax.Array
+
+
+def split_augmented(X_aug: jax.Array):
+    """Split ``[X | fid]`` augmented inputs (emukit convention)."""
+    return X_aug[:, :-1], X_aug[:, -1].astype(jnp.int32)
+
+
+def augment(X: jax.Array, fid) -> jax.Array:
+    f = jnp.broadcast_to(jnp.asarray(fid, X.dtype), (X.shape[0],))
+    return jnp.concatenate([X, f[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nlml(params: MFGPParams, X, fid, y, kernel: str = "rbf",
+         jitter: float = 0.0):
+    """Exact NLML of the multi-fidelity model with per-fidelity noise."""
+    N = X.shape[0]
+    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
+                   params.rhos, kernel)
+    Kn = K + jnp.diag(_k.mf_noise_diag(fid, params.noises) + jitter)
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    return (0.5 * jnp.dot(y, alpha)
+            + 0.5 * _la.logdet_from_chol(L)
+            + 0.5 * N * _LOG2PI)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def condition(params: MFGPParams, X, fid, y, kernel: str = "rbf",
+              jitter: float = 0.0) -> MFGPState:
+    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
+                   params.rhos, kernel)
+    L = _la.chol(K + jnp.diag(_k.mf_noise_diag(fid, params.noises) + jitter))
+    alpha = _la.solve_posterior(L, y)
+    return MFGPState(X, fid, y, L, alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel", "full_cov", "include_noise"))
+def predict(params: MFGPParams, state: MFGPState, Xs, fid_s,
+            kernel: str = "rbf", full_cov: bool = False,
+            include_noise: bool = True):
+    """Posterior at test points with fidelity labels ``fid_s``.
+
+    ``include_noise=True`` adds the per-fidelity likelihood noise, matching
+    emukit's wrapper ``predict``/``predict_covariance``
+    (reference/GPTrainers.py:119-120).
+    """
+    Kxs = _k.ar1_cov(Xs, fid_s, state.X, state.fid, params.variances,
+                     params.lengthscales, params.rhos, kernel)
+    mean = _la.posterior_mean(Kxs, state.alpha)
+    noise = _k.mf_noise_diag(fid_s, params.noises) if include_noise else 0.0
+    if full_cov:
+        Kss = _k.ar1_cov(Xs, fid_s, Xs, fid_s, params.variances,
+                         params.lengthscales, params.rhos, kernel)
+        cov = _la.posterior_cov(Kss, Kxs, state.L)
+        cov = cov + jnp.diag(jnp.broadcast_to(noise, (Xs.shape[0],)).astype(cov.dtype))
+        return mean, cov
+    W = _k.ar1_fidelity_weights(params.rhos, params.variances.shape[0])
+    kss = jnp.sum((W[:, fid_s] ** 2) * params.variances[:, None], axis=0)
+    var = _la.posterior_var(kss, Kxs, state.L) + noise
+    return mean, var
+
+
+def stack_fidelity_lists(X_list: Sequence, y_list: Sequence | None = None):
+    """emukit ``convert_xy_lists_to_arrays`` equivalent.
+
+    X_list ordered lowest->highest fidelity (the reference passes
+    ``[Xf3, Xf2, Xf1]``, reference/GPTrainers.py:60-61). Returns
+    (X, fid, y) dense arrays.
+    """
+    X = jnp.concatenate([jnp.asarray(x) for x in X_list], axis=0)
+    fid = jnp.concatenate([
+        jnp.full((np.shape(x)[0],), i, jnp.int32) for i, x in enumerate(X_list)
+    ])
+    if y_list is None:
+        return X, fid
+    y = jnp.concatenate([jnp.asarray(yy).reshape(-1) for yy in y_list])
+    return X, fid, y
+
+
+@dataclass
+class MFGP:
+    """Stateful wrapper mirroring the emukit call sites.
+
+    >>> m = MFGP.from_fidelity_lists([Xlo, Xmid, Xhi], [ylo, ymid, yhi])
+    >>> m.optimize(fix_rhos=True)          # reference fixes scale to [1,1]
+    >>> mu, var = m.predict(Xs)            # at highest fidelity
+    """
+
+    X: jax.Array
+    fid: jax.Array
+    y: jax.Array
+    n_fidelities: int = 3
+    kernel: str = "rbf"
+    params: MFGPParams | None = None
+    jitter: float = 0.0
+
+    def __post_init__(self):
+        self.X = jnp.atleast_2d(jnp.asarray(self.X))
+        self.fid = jnp.asarray(self.fid, jnp.int32).reshape(-1)
+        self.y = jnp.asarray(self.y).reshape(-1)
+        if self.params is None:
+            self.params = MFGPParams.default(self.n_fidelities,
+                                             self.X.shape[1], self.X.dtype)
+        self._state = None
+
+    @classmethod
+    def from_fidelity_lists(cls, X_list, y_list, **kw):
+        X, fid, y = stack_fidelity_lists(X_list, y_list)
+        return cls(X, fid, y, n_fidelities=len(X_list), **kw)
+
+    def set_data(self, X, fid, y):
+        """Replace data (emukit ``set_data``, reference/GPTrainers.py:66)."""
+        self.X = jnp.atleast_2d(jnp.asarray(X))
+        self.fid = jnp.asarray(fid, jnp.int32).reshape(-1)
+        self.y = jnp.asarray(y).reshape(-1)
+        self._state = None
+
+    @property
+    def state(self) -> MFGPState:
+        if self._state is None:
+            self._state = condition(self.params, self.X, self.fid, self.y,
+                                    kernel=self.kernel, jitter=self.jitter)
+        return self._state
+
+    def log_likelihood(self) -> float:
+        return -float(nlml(self.params, self.X, self.fid, self.y,
+                           kernel=self.kernel, jitter=self.jitter))
+
+    def optimize(self, maxiter: int = 1000, fix_rhos: bool = True,
+                 lengthscale_bounds=None):
+        """L-BFGS on the exact NLML.
+
+        ``fix_rhos=True`` replicates ``kern.scale.fix([1,1])``
+        (reference/GPTrainers.py:67). ``lengthscale_bounds`` optionally
+        replicates ``constrain_bounded(0.0001, 100)``
+        (reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:652-657).
+        """
+        F, D = self.n_fidelities, self.X.shape[1]
+        p = self.params
+        x0 = np.concatenate([
+            np.asarray(p.log_variances),
+            np.asarray(p.log_lengthscales).reshape(-1),
+            [] if fix_rhos else np.asarray(p.rhos),
+            np.asarray(p.log_noises),
+        ])
+        bounds = None
+        if lengthscale_bounds is not None:
+            lo, hi = np.log(lengthscale_bounds[0]), np.log(lengthscale_bounds[1])
+            bounds = ([(None, None)] * F
+                      + [(lo, hi)] * (F * D)
+                      + ([] if fix_rhos else [(None, None)] * (F - 1))
+                      + [(None, None)] * F)
+        fixed_rhos = p.rhos
+
+        def unpack(vec):
+            i = 0
+            lv = vec[i : i + F]; i += F
+            ll = vec[i : i + F * D].reshape(F, D); i += F * D
+            if fix_rhos:
+                rh = fixed_rhos
+            else:
+                rh = vec[i : i + F - 1]; i += F - 1
+            ln = vec[i : i + F]
+            return MFGPParams(lv, ll, rh, ln)
+
+        def obj(vec):
+            return nlml(unpack(vec), self.X, self.fid, self.y,
+                        kernel=self.kernel, jitter=self.jitter)
+
+        xopt, fopt, _ = scipy_lbfgsb(obj, x0, bounds=bounds, maxiter=maxiter)
+        self.params = unpack(jnp.asarray(xopt, self.X.dtype))
+        self._state = None
+        return fopt
+
+    def predict(self, Xs, fid=None, full_cov: bool = False,
+                include_noise: bool = True):
+        """Predict at fidelity ``fid`` (default: highest).
+
+        Accepts plain (M, D) inputs, or emukit-style augmented (M, D+1)
+        inputs with a trailing fidelity column when ``fid`` is None.
+        """
+        Xs = jnp.atleast_2d(jnp.asarray(Xs, self.X.dtype))
+        if fid is None:
+            if Xs.shape[1] == self.X.shape[1] + 1:
+                Xs, fid_s = split_augmented(Xs)
+            else:
+                fid_s = jnp.full((Xs.shape[0],), self.n_fidelities - 1, jnp.int32)
+        else:
+            fid_s = jnp.broadcast_to(jnp.asarray(fid, jnp.int32), (Xs.shape[0],))
+        return predict(self.params, self.state, Xs, fid_s, kernel=self.kernel,
+                       full_cov=full_cov, include_noise=include_noise)
+
+    def predict_covariance(self, Xs, fid=None):
+        """emukit ``predict_covariance`` (reference/GPTrainers.py:120)."""
+        _, cov = self.predict(Xs, fid=fid, full_cov=True, include_noise=True)
+        return cov
+
+    @property
+    def param_array(self) -> np.ndarray:
+        return np.asarray(self.params.to_vector())
+
+    def set_param_array(self, v):
+        self.params = MFGPParams.from_vector(jnp.asarray(v, self.X.dtype),
+                                             self.n_fidelities, self.X.shape[1])
+        self._state = None

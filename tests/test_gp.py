@@ -1,0 +1,108 @@
+"""Single-fidelity GP: NLML/posterior oracles + fit behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mfgp_tpu.models import gp as gpm
+
+
+def np_rbf(X1, X2, var, ls):
+    d = X1[:, None, :] - X2[None, :, :]
+    return var * np.exp(-0.5 * np.sum(d**2 / np.asarray(ls) ** 2, axis=-1))
+
+
+def make_data(rng, n=60, d=3, noise=0.05):
+    X = rng.uniform(0, 10, (n, d))
+    y = np.sin(X[:, 0]) + 0.5 * np.cos(X[:, 1] * 0.7) + noise * rng.standard_normal(n)
+    return X, y
+
+
+def oracle_nlml(X, y, var, ls, noise):
+    n = X.shape[0]
+    K = np_rbf(X, X, var, ls) + noise * np.eye(n)
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(K, y)
+    return (0.5 * y @ alpha + np.sum(np.log(np.diag(L)))
+            + 0.5 * n * np.log(2 * np.pi))
+
+
+def test_nlml_matches_oracle(rng):
+    X, y = make_data(rng)
+    p = gpm.GPParams(jnp.log(1.3), jnp.log(jnp.array([1.0, 2.0, 0.5])),
+                     jnp.log(0.1))
+    got = float(gpm.nlml(p, jnp.asarray(X), jnp.asarray(y)))
+    want = oracle_nlml(X, y, 1.3, [1.0, 2.0, 0.5], 0.1)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_nlml_grad_matches_fd(rng):
+    X, y = make_data(rng, n=30)
+    p = gpm.GPParams(jnp.log(1.0), jnp.zeros(3), jnp.log(0.1))
+
+    def f(vec):
+        pp = gpm.GPParams(vec[0], vec[1:4], vec[4])
+        return gpm.nlml(pp, jnp.asarray(X), jnp.asarray(y))
+
+    vec = jnp.concatenate([p.log_variance[None], p.log_lengthscales,
+                           p.log_noise[None]])
+    g = np.asarray(jax.grad(f)(vec))
+    eps = 1e-6
+    for i in range(5):
+        vp = np.asarray(vec).copy(); vp[i] += eps
+        vm = np.asarray(vec).copy(); vm[i] -= eps
+        fd = (float(f(jnp.asarray(vp))) - float(f(jnp.asarray(vm)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=1e-5, atol=1e-7)
+
+
+def test_predict_matches_oracle(rng):
+    X, y = make_data(rng, n=50)
+    Xs = rng.uniform(0, 10, (20, 3))
+    var, ls, noise = 2.0, np.array([1.5, 1.0, 3.0]), 0.2
+    model = gpm.GP(X, y)
+    model.set_param_array(np.concatenate([[var], ls, [noise]]))
+
+    mu, v = model.predict(Xs)
+    mu_fc, cov = model.predict(Xs, full_cov=True)
+
+    K = np_rbf(X, X, var, ls) + noise * np.eye(50)
+    Kxs = np_rbf(Xs, X, var, ls)
+    mu_o = Kxs @ np.linalg.solve(K, y)
+    cov_o = (np_rbf(Xs, Xs, var, ls) - Kxs @ np.linalg.solve(K, Kxs.T)
+             + noise * np.eye(20))
+    np.testing.assert_allclose(np.asarray(mu), mu_o, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(mu_fc), mu_o, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(cov), cov_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(v), np.diag(cov_o), rtol=1e-7,
+                               atol=1e-9)
+    # latent (noise-free) variance
+    _, v_lat = model.predict(Xs, include_noise=False)
+    np.testing.assert_allclose(np.asarray(v_lat), np.diag(cov_o) - noise,
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_optimize_improves_and_recovers(rng):
+    X, y = make_data(rng, n=80, noise=0.1)
+    model = gpm.GP(X, y, jitter=1e-8)
+    ll0 = model.log_likelihood()
+    model.optimize()
+    assert model.log_likelihood() > ll0
+    # fitted noise should be near the true observation noise variance (0.01)
+    assert 1e-4 < float(model.params.noise) < 0.1
+
+
+def test_matern32_model_runs(rng):
+    X, y = make_data(rng, n=40)
+    model = gpm.GP(X, y, kernel="matern32", jitter=1e-8)
+    model.optimize(maxiter=50)
+    mu, v = model.predict(X[:5])
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.asarray(v) > 0)
+
+
+def test_param_array_roundtrip(rng):
+    X, y = make_data(rng, n=10)
+    model = gpm.GP(X, y)
+    vec = np.array([2.0, 1.1, 2.2, 3.3, 0.5])
+    model.set_param_array(vec)
+    np.testing.assert_allclose(model.param_array, vec, rtol=1e-12)

@@ -1,0 +1,124 @@
+"""Multi-fidelity AR1 GP tests: oracle parity + MF behavior properties."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mfgp_tpu.models import mfgp as mf
+
+
+def np_rbf(X1, X2, var, ls):
+    d = X1[:, None, :] - X2[None, :, :]
+    return var * np.exp(-0.5 * np.sum(d**2 / np.asarray(ls) ** 2, axis=-1))
+
+
+def oracle_mf_cov(X1, f1, X2, f2, variances, ls, rhos):
+    W = np.zeros((3, 3))
+    rho_ext = np.concatenate([[1.0], rhos])
+    C = np.cumprod(rho_ext)
+    for m in range(3):
+        for f in range(3):
+            if f >= m:
+                W[m, f] = C[f] / C[m]
+    K = np.zeros((X1.shape[0], X2.shape[0]))
+    for m in range(3):
+        K += np.outer(W[m][f1], W[m][f2]) * np_rbf(X1, X2, variances[m], ls[m])
+    return K
+
+
+def make_mf_data(rng, ns=(40, 25, 15)):
+    """Three-fidelity synthetic data: low fid = biased coarse field."""
+    f_hi = lambda X: np.sin(X[:, 0]) + 0.4 * np.cos(X[:, 1])
+    Xs, ys = [], []
+    for i, n in enumerate(ns):
+        X = rng.uniform(0, 10, (n, 3))
+        bias = (2 - i) * 0.3
+        noise = (2 - i) * 0.1 + 0.02
+        ys.append(f_hi(X) + bias + noise * rng.standard_normal(n))
+        Xs.append(X)
+    return Xs, ys  # ordered lowest -> highest fidelity
+
+
+def test_stack_fidelity_lists(rng):
+    Xs, ys = make_mf_data(rng)
+    X, fid, y = mf.stack_fidelity_lists(Xs, ys)
+    assert X.shape == (80, 3)
+    np.testing.assert_array_equal(
+        np.asarray(fid), np.concatenate([[0] * 40, [1] * 25, [2] * 15]))
+
+
+def test_mf_predict_matches_oracle(rng):
+    Xs_l, ys_l = make_mf_data(rng)
+    model = mf.MFGP.from_fidelity_lists(Xs_l, ys_l)
+    variances = np.array([1.0, 0.5, 0.3])
+    ls = np.array([[2.0, 2.0, 2.0], [1.5, 1.0, 2.5], [1.0, 1.0, 1.0]])
+    rhos = np.array([0.9, 1.1])
+    noises = np.array([0.1, 0.05, 0.01])
+    vec = np.concatenate([np.concatenate([[v], l]) for v, l in zip(variances, ls)]
+                         + [rhos, noises])
+    model.set_param_array(vec)
+    np.testing.assert_allclose(model.param_array, vec, rtol=1e-12)
+
+    Xt = rng.uniform(0, 10, (12, 3))
+    X = np.asarray(model.X); fid = np.asarray(model.fid); y = np.asarray(model.y)
+    ft = np.full(12, 2)
+    Ktr = oracle_mf_cov(X, fid, X, fid, variances, ls, rhos) + np.diag(noises[fid])
+    Kxs = oracle_mf_cov(Xt, ft, X, fid, variances, ls, rhos)
+    Kss = oracle_mf_cov(Xt, ft, Xt, ft, variances, ls, rhos)
+    mu_o = Kxs @ np.linalg.solve(Ktr, y)
+    cov_o = Kss - Kxs @ np.linalg.solve(Ktr, Kxs.T) + noises[2] * np.eye(12)
+
+    mu, var = model.predict(Xt)
+    np.testing.assert_allclose(np.asarray(mu), mu_o, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(var), np.diag(cov_o), rtol=1e-7,
+                               atol=1e-9)
+    cov = model.predict_covariance(Xt)
+    np.testing.assert_allclose(np.asarray(cov), cov_o, rtol=1e-7, atol=1e-9)
+
+
+def test_mf_augmented_input_convention(rng):
+    """emukit-style [X | fid] inputs (reference/GPTrainers.py:119)."""
+    Xs_l, ys_l = make_mf_data(rng)
+    model = mf.MFGP.from_fidelity_lists(Xs_l, ys_l)
+    Xt = rng.uniform(0, 10, (8, 3))
+    mu1, v1 = model.predict(Xt)  # defaults to highest fidelity
+    mu2, v2 = model.predict(np.hstack([Xt, 2 * np.ones((8, 1))]))
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+
+def test_mf_optimize_improves(rng):
+    Xs_l, ys_l = make_mf_data(rng)
+    model = mf.MFGP.from_fidelity_lists(Xs_l, ys_l, jitter=1e-8)
+    ll0 = model.log_likelihood()
+    model.optimize(maxiter=200, fix_rhos=True, lengthscale_bounds=(1e-4, 100))
+    assert model.log_likelihood() > ll0
+    np.testing.assert_allclose(np.asarray(model.params.rhos), [1.0, 1.0])
+
+
+def test_mf_uses_low_fidelity_information(rng):
+    """With rho=1 the high-fidelity posterior must benefit from low-fid data
+    in regions only covered by low fidelity — the core MF capability."""
+    f_true = lambda X: np.sin(X[:, 0])
+    X_lo = np.column_stack([np.linspace(0, 10, 60),
+                            np.full(60, 5.0), np.full(60, 5.0)])
+    y_lo = f_true(X_lo) + 0.05 * rng.standard_normal(60)
+    X_hi = X_lo[:6]  # high fidelity only at one end
+    y_hi = f_true(X_hi)
+    model = mf.MFGP.from_fidelity_lists([X_lo, X_hi], [y_lo, y_hi])
+    model.params = mf.MFGPParams(
+        jnp.log(jnp.array([1.0, 0.05])),
+        jnp.log(jnp.full((2, 3), 2.0)),
+        jnp.ones(1),
+        jnp.log(jnp.array([0.01, 0.001])),
+    )
+    Xt = np.column_stack([np.linspace(7, 9, 10), np.full(10, 5.0),
+                          np.full(10, 5.0)])
+    mu, _ = model.predict(Xt)
+    err_mf = np.sqrt(np.mean((np.asarray(mu) - f_true(Xt)) ** 2))
+    # a high-fid-only GP with the same hyps has no data near x in [7, 9]
+    from mfgp_tpu.models import gp as gpm
+    sf = gpm.GP(X_hi, y_hi)
+    sf.set_param_array(np.array([1.0, 2.0, 2.0, 2.0, 0.001]))
+    mu_sf, _ = sf.predict(Xt)
+    err_sf = np.sqrt(np.mean((np.asarray(mu_sf) - f_true(Xt)) ** 2))
+    assert err_mf < 0.5 * err_sf
