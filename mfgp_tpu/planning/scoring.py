@@ -1,0 +1,313 @@
+"""Batched device scoring of candidate paths.
+
+SURVEY C13/C14: the planner's path-cost family. Each cost exposes
+
+* ``__call__(points)`` — score one path (points = (T, 5) rows of
+  x, y, depth, t, variance from ``primitives.path_to_traj_points``);
+* ``batch(list_of_points)`` — score many candidate paths in one jitted
+  vmap launch, padding each to a shape bucket (powers of two) so XLA
+  compiles a handful of shapes once per planning *session*, not per replan.
+
+This is the planner's hot loop: the reference re-fits a GPy model per
+trajectory point per candidate (reference/GraceRIGV3.py:443-503), while
+here every candidate costs one posterior-covariance block + one Cholesky,
+batched across candidates. All jitted entry points are module-level and
+take arrays as arguments, so successive replans (same shape buckets) reuse
+the compiled executables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfgp_tpu.metrics.ergodic import kl_divergence, trajectory_distribution
+from mfgp_tpu.metrics.info_gain import (sequential_gain_from_cov,
+                                        sequential_gain_cross)
+from mfgp_tpu.models import gp as gpm
+from mfgp_tpu.models import mfgp as mfm
+from mfgp_tpu.ops import kernels as _k
+from mfgp_tpu.ops import linalg as _la
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pad_paths(paths: Sequence[np.ndarray], width: int):
+    """Pad (T_i, width) arrays to a common bucketed T; returns
+    (B, T, width) array + (B, T) bool mask. The final row is repeated into
+    the padding (keeps interpolants finite); masks remove its weight."""
+    T = _bucket(max(p.shape[0] for p in paths))
+    B = len(paths)
+    out = np.zeros((B, T, width))
+    mask = np.zeros((B, T), bool)
+    for i, p in enumerate(paths):
+        t = p.shape[0]
+        out[i, :t] = p[:, :width]
+        out[i, t:] = p[-1, :width]
+        mask[i, :t] = True
+    return jnp.asarray(out), jnp.asarray(mask)
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (module level: compile once per shape bucket)
+# ---------------------------------------------------------------------------
+@jax.jit
+def _ergodic_one(t, xyz, mask, grid, sigma_diag, p_floored):
+    q = trajectory_distribution(t, xyz, grid, sigma_diag, mask=mask)
+    floor = jnp.minimum(jnp.min(jnp.where(q > 0, q, jnp.inf)), 1e-15)
+    q = jnp.where(jnp.any(q == 0), q + floor, q)
+    return -kl_divergence(q, p_floored)
+
+
+@jax.jit
+def _ergodic_batch(pts, mask, grid, sigma_diag, p_floored):
+    return jax.vmap(
+        lambda p, m: _ergodic_one(p[:, 3], p[:, :3], m, grid, sigma_diag,
+                                  p_floored))(pts, mask)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _sf_gain_one(xyz, mask, X, L, variance, lengthscales, sig_n,
+                 kernel="rbf"):
+    kern = _k.KERNELS[kernel]
+    Kxs = kern(xyz, X, variance, lengthscales)
+    Kss = kern(xyz, xyz, variance, lengthscales)
+    Sigma = _la.posterior_cov(Kss, Kxs, L)
+    return sequential_gain_from_cov(Sigma, sig_n, mask=mask)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _sf_gain_batch(pts, mask, X, L, variance, lengthscales, sig_n,
+                   kernel="rbf"):
+    return jax.vmap(
+        lambda p, m: _sf_gain_one(p, m, X, L, variance, lengthscales, sig_n,
+                                  kernel))(pts, mask)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _mf_gain_one(xyz, fid_c, mask, X, fidX, L, variances, lengthscales,
+                 rhos, noises, kernel="rbf"):
+    F = variances.shape[0]
+    fid_p = jnp.zeros(xyz.shape[0], jnp.int32)
+    Kc_x = _k.ar1_cov(xyz, fid_c, X, fidX, variances, lengthscales, rhos,
+                      kernel)
+    Kp_x = _k.ar1_cov(xyz, fid_p, X, fidX, variances, lengthscales, rhos,
+                      kernel)
+    Kcc = _k.ar1_cov(xyz, fid_c, xyz, fid_c, variances, lengthscales, rhos,
+                     kernel)
+    Kpc = _k.ar1_cov(xyz, fid_p, xyz, fid_c, variances, lengthscales, rhos,
+                     kernel)
+    W = _k.ar1_fidelity_weights(rhos, F)
+    kpp_diag = jnp.sum((W[:, fid_p] ** 2) * variances[:, None], axis=0)
+
+    Vc = _la.tri_solve(L, Kc_x.T)
+    Vp = _la.tri_solve(L, Kp_x.T)
+    Sig_cc = Kcc - Vc.T @ Vc
+    Sig_pc = Kpc - Vp.T @ Vc
+    sig_pp = kpp_diag - jnp.sum(Vp * Vp, axis=0)
+    C = Sig_cc + jnp.diag(_k.mf_noise_diag(fid_c, noises))
+    if mask is not None:
+        P = C.shape[0]
+        mm = mask[:, None] & mask[None, :]
+        C = jnp.where(mm, C, jnp.eye(P, dtype=C.dtype))
+        Sig_pc = jnp.where(mm, Sig_pc, 0.0)
+    return sequential_gain_cross(sig_pp, Sig_pc, C, noises[0], noises[0],
+                                 mask=mask)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _mf_gain_batch(pts, fids, mask, X, fidX, L, variances, lengthscales,
+                   rhos, noises, kernel="rbf"):
+    return jax.vmap(
+        lambda p, f, m: _mf_gain_one(p, f, m, X, fidX, L, variances,
+                                     lengthscales, rhos, noises, kernel)
+    )(pts, fids, mask)
+
+
+@partial(jax.jit, static_argnames=("kernel", "clamp"))
+def _logdet_gain_one(xyz, mask, X, L, grid, variance, lengthscales, noise,
+                     logdet_prior, kernel="rbf", clamp=True):
+    kern = _k.KERNELS[kernel]
+    P = xyz.shape[0]
+    B = kern(X, xyz, variance, lengthscales)  # (N, P)
+    C = kern(xyz, xyz, variance, lengthscales) + noise * jnp.eye(
+        P, dtype=xyz.dtype)
+    Kg_path = kern(grid, xyz, variance, lengthscales)  # (G, P)
+    if mask is not None:
+        mm = mask[:, None] & mask[None, :]
+        B = jnp.where(mask[None, :], B, 0.0)
+        C = jnp.where(mm, C, jnp.eye(P, dtype=C.dtype) * noise)
+        Kg_path = jnp.where(mask[None, :], Kg_path, 0.0)
+    L_ext = _la.chol_append_block(L, B, C)
+    Kg_train = kern(grid, X, variance, lengthscales)
+    Kxs = jnp.concatenate([Kg_train, Kg_path], axis=1)
+    Kss = kern(grid, grid, variance, lengthscales)
+    cov = _la.posterior_cov(Kss, Kxs, L_ext) + noise * jnp.eye(
+        grid.shape[0], dtype=xyz.dtype)
+    I = 0.5 * (logdet_prior - _la.logdet_from_chol(_la.chol(cov)))
+    if clamp:
+        I = jnp.maximum(I, 0.0)
+    return I
+
+
+@partial(jax.jit, static_argnames=("kernel", "clamp"))
+def _logdet_gain_batch(pts, mask, X, L, grid, variance, lengthscales, noise,
+                       logdet_prior, kernel="rbf", clamp=True):
+    return jax.vmap(
+        lambda p, m: _logdet_gain_one(p, m, X, L, grid, variance,
+                                      lengthscales, noise, logdet_prior,
+                                      kernel, clamp))(pts, mask)
+
+
+# ---------------------------------------------------------------------------
+# cost objects
+# ---------------------------------------------------------------------------
+@dataclass(eq=False)
+class ErgodicCost:
+    """Negative forward-KL between trajectory statistics and the EID
+    (SURVEY C14, reference/GraceRIGV3.py:581-596): cost = -KL(q || EID).
+
+    Zero-probability handling matches the reference: both q and the EID are
+    floored by their smallest positive entry (capped at 1e-15) before the
+    KL (reference/GraceRIGV3.py:588-592).
+    """
+
+    eid: np.ndarray  # (G,)
+    grid: np.ndarray  # (G, d)
+    sigma_diag: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.grid = jnp.asarray(self.grid)
+        if self.sigma_diag is None:
+            self.sigma_diag = 0.25 * jnp.ones(self.grid.shape[1])
+        self.sigma_diag = jnp.asarray(self.sigma_diag)
+        p = jnp.asarray(self.eid).reshape(-1)
+        floor = jnp.minimum(jnp.min(jnp.where(p > 0, p, jnp.inf)), 1e-15)
+        self._p = jnp.where(jnp.any(p == 0), p + floor, p)
+
+    def __call__(self, points: np.ndarray) -> float:
+        return float(_ergodic_one(jnp.asarray(points[:, 3]),
+                                  jnp.asarray(points[:, :3]), None,
+                                  self.grid, self.sigma_diag, self._p))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, 4)
+        return np.asarray(_ergodic_batch(pts, mask, self.grid,
+                                         self.sigma_diag, self._p))
+
+
+@dataclass(eq=False)
+class SFInfoGainCost:
+    """Sequential entropy gain against a single-fidelity GP
+    (reference ``calcPathInfoSF2``, reference/GraceRIGV3.py:443-466),
+    closed form, one Cholesky per candidate."""
+
+    model: gpm.GP
+
+    def __post_init__(self):
+        m = self.model
+        self._args = (m.state.X, m.state.L, m.params.variance,
+                      m.params.lengthscales, m.params.noise)
+        self._kernel = m.kernel
+
+    def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
+        return float(_sf_gain_one(jnp.asarray(points[:, :3]), None,
+                                  *self._args, kernel=self._kernel))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, 3)
+        return np.asarray(_sf_gain_batch(pts, mask, *self._args,
+                                         kernel=self._kernel))
+
+
+@dataclass(eq=False)
+class MFInfoGainCost:
+    """Sequential gain against the multi-fidelity model
+    (reference ``calculatePathInfoEmu``, reference/GraceRIGV3.py:525-562):
+    each path point conditions at the fidelity implied by its accrued
+    localization variance; prediction happens at fidelity 0 with the
+    fidelity-0 likelihood noise as reference scale."""
+
+    model: mfm.MFGP
+    fid_levels: Sequence[float]  # ascending variance thresholds
+
+    def __post_init__(self):
+        m = self.model
+        p = m.params
+        self._args = (m.state.X, m.state.fid, m.state.L, p.variances,
+                      p.lengthscales, p.rhos, p.noises)
+        self._kernel = m.kernel
+        self._F = int(p.variances.shape[0])
+
+    def _fids_from_var(self, var):
+        """Accrued variance -> conditioning fidelity
+        (reference/GraceRIGV3.py:528-533): < fl[0] -> highest (F-1),
+        < fl[1] -> 1, else -> 0 (lowest)."""
+        fl = self.fid_levels
+        return np.where(var < fl[0], self._F - 1,
+                        np.where(var < fl[1], 1, 0)).astype(np.int32)
+
+    def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
+        fids = self._fids_from_var(points[:, 4])
+        return float(_mf_gain_one(jnp.asarray(points[:, :3]),
+                                  jnp.asarray(fids), None, *self._args,
+                                  kernel=self._kernel))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, 5)
+        fids = jnp.asarray(self._fids_from_var(np.asarray(pts[..., 4])))
+        return np.asarray(_mf_gain_batch(pts[..., :3], fids, mask,
+                                         *self._args, kernel=self._kernel))
+
+
+@dataclass(eq=False)
+class BatchLogDetCost:
+    """Batch mutual-information score over a fixed evaluation grid
+    (reference ``calcPathInfoSFBatch``, reference/PhysicalExperimentCode/
+    GraceRIGV3.py:571-598): 0.5 (log|Sigma_prior(grid)| -
+    log|Sigma_post(grid | train + path)|); the prior log-determinant is
+    cached per session like the reference's ``logDetPrior``. Conditioning
+    on the path extends the training Cholesky by one block (O(N^2 P))
+    instead of refitting.
+    """
+
+    model: gpm.GP
+    grid: np.ndarray
+    clamp_nonnegative: bool = True  # the reference's SF variant clamps >= 0
+
+    def __post_init__(self):
+        m = self.model
+        self.grid = jnp.asarray(self.grid)
+        _, cov_prior = m.predict(self.grid, full_cov=True, include_noise=True)
+        self._logdet_prior = _la.logdet_from_chol(_la.chol(cov_prior))
+        self._args = (m.state.X, m.state.L, self.grid, m.params.variance,
+                      m.params.lengthscales, m.params.noise,
+                      self._logdet_prior)
+        self._kernel = m.kernel
+
+    def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
+        return float(_logdet_gain_one(jnp.asarray(points[:, :3]), None,
+                                      *self._args, kernel=self._kernel,
+                                      clamp=self.clamp_nonnegative))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, 3)
+        return np.asarray(_logdet_gain_batch(pts, mask, *self._args,
+                                             kernel=self._kernel,
+                                             clamp=self.clamp_nonnegative))
