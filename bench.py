@@ -1,0 +1,252 @@
+"""Headline benchmark: MFGP train-step + posterior grid at N=20k.
+
+Measures the wall-clock of the benchmark unit defined by BASELINE.json's
+north star ("train + posterior-grid at N=20k"):
+
+    1 exact NLML + full hyperparameter gradient        (the per-iteration
+      cost of the reference's GPy L-BFGS fit, reference/GPTrainers.py:68)
+  + 1 conditioning (Cholesky of the N=20k AR1 covariance + weight solve)
+  + posterior mean/variance on the 10571-point robot grid
+      (reference/PhysicalExperimentCode/exploreExpSettings.py:170-173)
+
+on the flagship 3-fidelity AR1 MFGP with D=3 inputs, synthetic
+fidelity-binned WRBF data. TPU path: f32 with HIGHEST-precision matmuls,
+jitted end to end. Baseline: the same mathematics in NumPy/scipy f64
+(vectorised kernel assembly, cho_factor/cho_solve, analytic trace-identity
+gradients — GPy-class CPU code) on this host.
+
+Baseline methodology: the committed constant is ONE full measured run of
+the exact NumPy unit at N=20000, M=10571 on this (single-core) host —
+2764.3 s. `python bench.py --calibrate` additionally measures small-N
+scaling points for sanity.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <unit seconds on TPU>, "unit": "s",
+   "vs_baseline": <baseline_seconds / value>}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Measured single-core NumPy f64 wall-clock of the exact unit at N=20000,
+# M=10571 on this host (run_numpy_unit, one full run on 2026-08-16:
+# 2764.3 s, nlml=6969.5). Re-measure with:
+#   python -c "from bench import *; print(run_numpy_unit(N_TRAIN, M_GRID))"
+# Overridden by --baseline-seconds.
+BASELINE_CPU_SECONDS = 2764.3
+
+N_TRAIN = 20_000
+M_GRID = 10_571
+D_IN = 3
+N_FID = 3
+
+
+# ---------------------------------------------------------------------------
+# Problem construction (synthetic WRBF field, fidelity-binned)
+# ---------------------------------------------------------------------------
+def build_problem(N=N_TRAIN, M=M_GRID, D=D_IN, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    lo = np.zeros(D)
+    hi = np.array([60.0, 110.0, 4.5][:D])
+    X = (lo + (hi - lo) * rng.random((N, D))).astype(dtype)
+    centers = lo + (hi - lo) * rng.random((4, D))
+    y = np.zeros(N)
+    for c in centers:
+        y += 30.0 * np.exp(-0.004 * np.sum((X - c) ** 2, axis=1))
+    y = (y + 0.1 * rng.standard_normal(N)).astype(dtype)
+    fid = rng.integers(0, N_FID, N).astype(np.int32)
+    grid = (lo + (hi - lo) * rng.random((M, D))).astype(dtype)
+    grid_fid = np.full((M,), N_FID - 1, np.int32)
+    return X, fid, y, grid, grid_fid
+
+
+def _theta(D=D_IN, dtype=np.float64):
+    """Plausible mid-optimization hyperparameters (fixed for the bench)."""
+    variances = np.array([25.0, 10.0, 5.0], dtype)
+    lengthscales = np.tile(np.array([[12.0, 20.0, 1.5]], dtype), (N_FID, 1))
+    rhos = np.ones(N_FID - 1, dtype)
+    noises = np.array([0.5, 0.2, 0.1], dtype)
+    return variances, lengthscales, rhos, noises
+
+
+# ---------------------------------------------------------------------------
+# TPU unit
+# ---------------------------------------------------------------------------
+def run_tpu(N, M, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from mfgp_tpu.models import mfgp as mf
+
+    X, fid, y, grid, grid_fid = build_problem(N, M)
+    v, l, r, nz = _theta()
+    params = mf.MFGPParams(
+        jnp.log(jnp.asarray(v, jnp.float32)),
+        jnp.log(jnp.asarray(l, jnp.float32)),
+        jnp.asarray(r, jnp.float32),
+        jnp.log(jnp.asarray(nz, jnp.float32)),
+    )
+    Xj = jnp.asarray(X)
+    fj = jnp.asarray(fid)
+    yj = jnp.asarray(y)
+    gj = jnp.asarray(grid)
+    gfj = jnp.asarray(grid_fid)
+
+    nlml_grad = jax.jit(jax.value_and_grad(
+        lambda p: mf.nlml(p, Xj, fj, yj, jitter=1e-6)))
+
+    @jax.jit
+    def posterior(p):
+        state = mf.condition(p, Xj, fj, yj, jitter=1e-6)
+        return mf.predict_blocked(p, state, gj, gfj)
+
+    def unit():
+        val, g = nlml_grad(params)
+        mu, var = posterior(params)
+        jax.block_until_ready((val, g, mu, var))
+        return float(val)
+
+    unit()  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        unit()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+# ---------------------------------------------------------------------------
+# NumPy/scipy f64 baseline (the reference's compute stack)
+# ---------------------------------------------------------------------------
+def _np_ar1_weights(rhos, F):
+    C = np.concatenate([[1.0], np.cumprod(rhos)])
+    W = np.zeros((F, F))
+    for m in range(F):
+        for f in range(m, F):
+            W[m, f] = C[f] / C[m]
+    return W
+
+
+def _np_base_kernels(X1, X2, lengthscales):
+    """Per-fidelity unit-variance RBF matrices + scaled sq-dists."""
+    Ks, R2s = [], []
+    for m in range(lengthscales.shape[0]):
+        inv_l = 1.0 / lengthscales[m]
+        a = X1 * inv_l
+        b = X2 * inv_l
+        r2 = (np.sum(a * a, 1)[:, None] + np.sum(b * b, 1)[None, :]
+              - 2.0 * a @ b.T)
+        np.maximum(r2, 0.0, out=r2)
+        Ks.append(np.exp(-0.5 * r2))
+        R2s.append(r2)
+    return Ks, R2s
+
+
+def run_numpy_unit(N, M, seed=0):
+    """One NLML+grad + condition + grid posterior, NumPy/scipy f64."""
+    from scipy.linalg import cho_factor, cho_solve, solve_triangular
+
+    X, fid, y, grid, grid_fid = build_problem(N, M)
+    X = X.astype(np.float64)
+    y = y.astype(np.float64)
+    grid = grid.astype(np.float64)
+    variances, lengthscales, rhos, noises = _theta()
+    F = N_FID
+
+    t0 = time.perf_counter()
+    W = _np_ar1_weights(rhos, F)
+    Ks, R2s = _np_base_kernels(X, X, lengthscales)
+    K = np.zeros((N, N))
+    for m in range(F):
+        w = W[m][fid]
+        K += variances[m] * (w[:, None] * w[None, :]) * Ks[m]
+    Kn = K + np.diag(noises[fid] + 1e-6)
+
+    # NLML
+    cf = cho_factor(Kn, lower=True)
+    alpha = cho_solve(cf, y)
+    L = np.tril(cf[0])
+    nlml = (0.5 * y @ alpha + np.sum(np.log(np.diag(L)))
+            + 0.5 * N * np.log(2 * np.pi))
+
+    # gradient via trace identities: dL/dth = 0.5 tr((Kinv - aa^T) dK/dth)
+    Kinv = cho_solve(cf, np.eye(N))
+    Wmat = Kinv - np.outer(alpha, alpha)
+    grads = []
+    for m in range(F):
+        w = W[m][fid]
+        ww = w[:, None] * w[None, :]
+        dK_dvar = ww * Ks[m]
+        grads.append(0.5 * np.sum(Wmat * dK_dvar))
+        base = variances[m] * ww * Ks[m]
+        for d in range(D_IN):
+            diff = (X[:, d][:, None] - X[:, d][None, :]) ** 2
+            dK_dl = base * diff / lengthscales[m, d] ** 3
+            grads.append(0.5 * np.sum(Wmat * dK_dl))
+    for f in range(F):
+        mask = (fid == f).astype(np.float64)
+        grads.append(0.5 * np.sum(np.diag(Wmat) * mask))
+
+    # condition + posterior grid (mean + marginal variance)
+    Kxs_parts, _ = _np_base_kernels(grid, X, lengthscales)
+    Kxs = np.zeros((M, N))
+    for m in range(F):
+        w1 = W[m][grid_fid]
+        w2 = W[m][fid]
+        Kxs += variances[m] * (w1[:, None] * w2[None, :]) * Kxs_parts[m]
+    mu = Kxs @ alpha
+    V = solve_triangular(L, Kxs.T, lower=True)
+    kss = np.sum((W[:, N_FID - 1] ** 2) * variances)
+    var = kss - np.sum(V * V, axis=0) + noises[-1]
+    elapsed = time.perf_counter() - t0
+    return elapsed, float(nlml), float(np.sum(mu)), float(np.sum(var))
+
+
+def calibrate(ns=(2000, 3000, 4000, 6000), m=M_GRID):
+    """Fit t = a N^3 + b N^2 on small-N runs, extrapolate to N_TRAIN."""
+    rows = []
+    for n in ns:
+        t, nl, _, _ = run_numpy_unit(n, m)
+        rows.append((n, t))
+        print(f"  N={n}: {t:.2f}s (nlml={nl:.1f})", flush=True)
+    A = np.array([[n**3, n**2] for n, _ in rows], np.float64)
+    b = np.array([t for _, t in rows])
+    coef, *_ = np.linalg.lstsq(A, b, rcond=None)
+    t20k = float(coef[0] * N_TRAIN**3 + coef[1] * N_TRAIN**2)
+    print(f"fit a={coef[0]:.3e} b={coef[1]:.3e} -> "
+          f"extrapolated t(N={N_TRAIN}) = {t20k:.1f}s")
+    return t20k
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure the NumPy baseline on this host")
+    ap.add_argument("--baseline-seconds", type=float, default=None)
+    ap.add_argument("--n", type=int, default=N_TRAIN)
+    ap.add_argument("--m", type=int, default=M_GRID)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.calibrate:
+        calibrate()
+        return
+
+    baseline = (args.baseline_seconds if args.baseline_seconds is not None
+                else BASELINE_CPU_SECONDS)
+    value = run_tpu(args.n, args.m, args.repeats)
+    print(json.dumps({
+        "metric": "mfgp_n20k_train_step_plus_grid_wallclock",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,239 @@
+"""Command-line entry points for the five BASELINE.json configurations.
+
+The reference has no CLI — variant selection is "which script you run" plus
+in-file literals (SURVEY §5 config). Here each BASELINE config is a
+subcommand over the same library surface:
+
+  python -m mfgp_tpu.cli sfgp     <GPData.csv> [--field-settings F] [--out D]
+  python -m mfgp_tpu.cli nigp     <GPData.csv> [--out D]
+  python -m mfgp_tpu.cli mfgp     <GPData.csv> [--field-settings F] [--out D]
+  python -m mfgp_tpu.cli pipeline <traj.csv> --out D [--seed S] [--vmn V]
+  python -m mfgp_tpu.cli trainers --data-dir D --field-dir F --out O
+  python -m mfgp_tpu.cli explore  [--variant MFEGP|MFGP|SFEGP|SFGP] --out D
+  python -m mfgp_tpu.cli aggregate 'GPResults/MSE_*.txt' --out results.csv
+  python -m mfgp_tpu.cli infogain-test      # info-gain identity check
+  python -m mfgp_tpu.cli bench …            # forwards to bench harness
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cpu(args):
+    """Tests/offline runs default to CPU f64; --tpu leaves the platform as
+    configured (the axon TPU plugin in this image)."""
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+
+def cmd_sfgp(args):
+    """BASELINE config 1: SFGP fit + posterior grid on one dataset."""
+    _cpu(args)
+    from mfgp_tpu.data.io import load_gp_dataset
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.utils.configs import SimConfig
+
+    ds = load_gp_dataset(args.dataset)
+    gp = GP(ds.X_est, ds.y, kernel=args.kernel, jitter=1e-6)
+    gp.optimize()
+    tp = SimConfig().test_points()
+    mu, var = gp.predict(tp)
+    out = {"model": "sfgp", "n": ds.n,
+           "nlml": -float(gp.log_likelihood()),
+           "param_array": gp.param_array.tolist()}
+    if args.field_settings:
+        import jax.numpy as jnp
+
+        from mfgp_tpu.fields.wrbf import parse_field_settings
+
+        f = parse_field_settings(args.field_settings)
+        err = np.asarray(mu) - np.asarray(f(jnp.asarray(tp)))
+        out["rmse"] = float(np.sqrt(np.mean(err**2)))
+    print(json.dumps(out))
+
+
+def cmd_nigp(args):
+    """BASELINE config 2: NIGP with KF localization input noise."""
+    _cpu(args)
+    from mfgp_tpu.data.io import load_gp_dataset
+    from mfgp_tpu.models.nigp import NIGP
+
+    ds = load_gp_dataset(args.dataset)
+    m = NIGP(n_restarts=2, iters=args.iters)
+    m.fit(ds.X_est, ds.y)
+    mu, var = m.predict(ds.X_est[:10])
+    print(json.dumps({"model": "nigp", "n": ds.n,
+                      "params": m.get_params().tolist(),
+                      "mu_head": np.asarray(mu)[:3].tolist()}))
+
+
+def cmd_mfgp(args):
+    """BASELINE config 3: AR1 MFGP on fidelity-binned data."""
+    _cpu(args)
+    from mfgp_tpu.data.io import load_gp_dataset
+    from mfgp_tpu.models.mfgp import MFGP
+    from mfgp_tpu.utils.configs import SimConfig
+
+    ds = load_gp_dataset(args.dataset)
+    Xs, ys = ds.fidelity_lists()
+    m = MFGP.from_fidelity_lists(Xs, ys, kernel=args.kernel, jitter=1e-6)
+    m.optimize(fix_rhos=True)
+    tp = SimConfig().test_points()
+    mu, var = m.predict(tp)
+    out = {"model": "mfgp", "n": ds.n,
+           "nlml": -float(m.log_likelihood()),
+           "param_array": m.param_array.tolist()}
+    if args.field_settings:
+        import jax.numpy as jnp
+
+        from mfgp_tpu.fields.wrbf import parse_field_settings
+
+        f = parse_field_settings(args.field_settings)
+        err = np.asarray(mu) - np.asarray(f(jnp.asarray(tp)))
+        out["rmse"] = float(np.sqrt(np.mean(err**2)))
+    print(json.dumps(out))
+
+
+def cmd_pipeline(args):
+    """Stages 1-3: trajectory -> estimates -> measurements -> GP dataset."""
+    _cpu(args)
+    from mfgp_tpu.data import load_table, run_pipeline
+    from mfgp_tpu.utils.configs import SimConfig
+
+    cfg = SimConfig(seed=args.seed, vmn=args.vmn)
+    traj = load_table(args.trajectory)
+    est, meas, gpd, _ = run_pipeline(traj, cfg, out_dir=args.out)
+    print(json.dumps({"estimates": est.data.shape[0],
+                      "gp_rows": gpd.data.shape[0], "out": args.out}))
+
+
+def cmd_trainers(args):
+    """GPTrainers sweep over a GPDataSets directory."""
+    _cpu(args)
+    from mfgp_tpu.data import process_directory
+
+    res = process_directory(args.data_dir, args.field_dir, args.out,
+                            kernel=args.kernel, resume=not args.no_resume)
+    print(json.dumps({k: v for k, v in res.items()}, indent=1))
+
+
+def cmd_explore(args):
+    """BASELINE config 5: full closed-loop adaptive exploration."""
+    _cpu(args)
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    variant = args.variant.upper()
+    exp = ExperimentConfig(multi_fidelity=variant.startswith("MF"),
+                           ergodic=variant in ("MFEGP", "SFEGP"),
+                           B=args.budget, BD=args.bd)
+    sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
+                         plan_iters=args.plan_iters)
+    res = sim.run()
+    print(json.dumps({
+        "variant": exp.variant, "replans": len(res.replans),
+        "n_data": int(res.gp_data.data.shape[0]),
+        "budget_used": res.budget_used, "rmse": res.rmse,
+    }))
+
+
+def cmd_aggregate(args):
+    _cpu(args)
+    from mfgp_tpu.data import collect_results, summary
+
+    rows = collect_results(args.pattern, args.out)
+    print(json.dumps(summary(rows), indent=1))
+
+
+def cmd_infogain_test(args):
+    """BASELINE config 4 sanity: the mutual-information identity
+    (reference/informationGainTest.py) as a quick numerical check."""
+    _cpu(args)
+    import jax.numpy as jnp
+
+    from mfgp_tpu.metrics import info_gain as ig
+    from mfgp_tpu.ops import kernels as k
+
+    rng = np.random.default_rng(args.seed)
+    X = rng.uniform(0, 5, (30, 1))
+    K = np.asarray(k.rbf(jnp.asarray(X), jnp.asarray(X), 2.0,
+                         jnp.asarray([0.8])))
+    sig_n = 0.1
+    exact = float(ig.exact_mutual_information(jnp.asarray(K), sig_n))
+    # sequential factorization: |K + s I| = prod_k v_k with v_k the noisy
+    # conditional variances -> MI = 0.5 sum log(v_k / s)
+    L = np.linalg.cholesky(K + sig_n * np.eye(K.shape[0]))
+    seq = float(0.5 * np.sum(np.log(np.diag(L) ** 2 / sig_n)))
+    # the reference's scorer accumulates log(1 + v_k/s) instead (documented
+    # overshoot, metrics/info_gain.py) — reported for comparison
+    ref_style = float(ig.sequential_gain_from_cov(
+        jnp.asarray(K), sig_n, first_self_conditioned=False, factor=0.5))
+    print(json.dumps({"exact": exact, "sequential": seq,
+                      "rel_err": abs(exact - seq) / abs(exact),
+                      "reference_style_score": ref_style}))
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="mfgp_tpu",
+                                 description="TPU-native MFGP exploration")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the configured TPU backend (default: CPU f64)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("sfgp");  p.set_defaults(fn=cmd_sfgp)
+    p.add_argument("dataset"); p.add_argument("--field-settings")
+    p.add_argument("--kernel", default="rbf")
+
+    p = sub.add_parser("nigp"); p.set_defaults(fn=cmd_nigp)
+    p.add_argument("dataset"); p.add_argument("--iters", type=int, default=10)
+
+    p = sub.add_parser("mfgp"); p.set_defaults(fn=cmd_mfgp)
+    p.add_argument("dataset"); p.add_argument("--field-settings")
+    p.add_argument("--kernel", default="rbf")
+
+    p = sub.add_parser("pipeline"); p.set_defaults(fn=cmd_pipeline)
+    p.add_argument("trajectory"); p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--vmn", type=float, default=0.2)
+
+    p = sub.add_parser("trainers"); p.set_defaults(fn=cmd_trainers)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--field-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--kernel", default="rbf")
+    p.add_argument("--no-resume", action="store_true")
+
+    p = sub.add_parser("explore"); p.set_defaults(fn=cmd_explore)
+    p.add_argument("--variant", default="MFEGP",
+                   choices=["MFEGP", "MFGP", "SFEGP", "SFGP",
+                            "mfegp", "mfgp", "sfegp", "sfgp"])
+    p.add_argument("--out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=float, default=150.0)
+    p.add_argument("--bd", type=int, default=10)
+    p.add_argument("--plan-iters", type=int, default=40)
+
+    p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
+    p.add_argument("pattern"); p.add_argument("--out")
+
+    p = sub.add_parser("infogain-test"); p.set_defaults(fn=cmd_infogain_test)
+    p.add_argument("--seed", type=int, default=0)
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

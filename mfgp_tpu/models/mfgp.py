@@ -110,14 +110,28 @@ def augment(X: jax.Array, fid) -> jax.Array:
     return jnp.concatenate([X, f[:, None]], axis=1)
 
 
+@partial(jax.checkpoint, static_argnums=(4,))
+def _assemble_noisy_cov(params: MFGPParams, X, fid, jitter, kernel: str):
+    """Training covariance + noise diag, rematerialised under autodiff.
+
+    Without remat the NLML backward pass keeps every F=3 base-kernel matrix
+    and its clamp/select masks alive simultaneously — ~10 x N^2 f32
+    temporaries, an HBM OOM at N=20k on one v5e chip. Rematerialisation
+    recomputes the assembly in the backward sweep (extra MXU matmuls, far
+    cheaper than the O(N^3) Cholesky either way) so the live set is just
+    K, L, and the incoming cotangent.
+    """
+    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
+                   params.rhos, kernel)
+    return _la.diag_add(K, _k.mf_noise_diag(fid, params.noises) + jitter)
+
+
 @partial(jax.jit, static_argnames=("kernel",))
 def nlml(params: MFGPParams, X, fid, y, kernel: str = "rbf",
          jitter: float = 0.0):
     """Exact NLML of the multi-fidelity model with per-fidelity noise."""
     N = X.shape[0]
-    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
-                   params.rhos, kernel)
-    Kn = K + jnp.diag(_k.mf_noise_diag(fid, params.noises) + jitter)
+    Kn = _assemble_noisy_cov(params, X, fid, jitter, kernel)
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     return (0.5 * jnp.dot(y, alpha)
@@ -128,9 +142,8 @@ def nlml(params: MFGPParams, X, fid, y, kernel: str = "rbf",
 @partial(jax.jit, static_argnames=("kernel",))
 def condition(params: MFGPParams, X, fid, y, kernel: str = "rbf",
               jitter: float = 0.0) -> MFGPState:
-    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
-                   params.rhos, kernel)
-    L = _la.chol(K + jnp.diag(_k.mf_noise_diag(fid, params.noises) + jitter))
+    Kn = _assemble_noisy_cov(params, X, fid, jitter, kernel)
+    L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     return MFGPState(X, fid, y, L, alpha)
 
@@ -159,6 +172,40 @@ def predict(params: MFGPParams, state: MFGPState, Xs, fid_s,
     kss = jnp.sum((W[:, fid_s] ** 2) * params.variances[:, None], axis=0)
     var = _la.posterior_var(kss, Kxs, state.L) + noise
     return mean, var
+
+
+@partial(jax.jit, static_argnames=("kernel", "include_noise", "block_size"))
+def predict_blocked(params: MFGPParams, state: MFGPState, Xs, fid_s,
+                    kernel: str = "rbf", include_noise: bool = True,
+                    block_size: int = 2048):
+    """MFGP posterior mean/variance streamed over grid-row blocks.
+
+    Same rationale as gp.predict_blocked: a single full-grid triangular
+    solve at N=20k, M=10571 OOMs on one chip from XLA's update-slice chain;
+    ``lax.map`` over fixed row blocks bounds peak memory at
+    block_size x N while keeping every matmul MXU-shaped.
+    """
+    M = Xs.shape[0]
+    nb = -(-M // block_size)
+    pad = nb * block_size - M
+    Xs_pad = jnp.pad(Xs, ((0, pad), (0, 0))).reshape(
+        nb, block_size, Xs.shape[1])
+    fid_pad = jnp.pad(fid_s, (0, pad)).reshape(nb, block_size)
+    W = _k.ar1_fidelity_weights(params.rhos, params.variances.shape[0])
+
+    def one(args):
+        xb, fb = args
+        Kxs = _k.ar1_cov(xb, fb, state.X, state.fid, params.variances,
+                         params.lengthscales, params.rhos, kernel)
+        mean = _la.posterior_mean(Kxs, state.alpha)
+        kss = jnp.sum((W[:, fb] ** 2) * params.variances[:, None], axis=0)
+        var = _la.posterior_var(kss, Kxs, state.L)
+        if include_noise:
+            var = var + _k.mf_noise_diag(fb, params.noises)
+        return mean, var
+
+    means, variances = jax.lax.map(one, (Xs_pad, fid_pad))
+    return means.reshape(-1)[:M], variances.reshape(-1)[:M]
 
 
 def stack_fidelity_lists(X_list: Sequence, y_list: Sequence | None = None):
@@ -274,11 +321,13 @@ class MFGP:
         return fopt
 
     def predict(self, Xs, fid=None, full_cov: bool = False,
-                include_noise: bool = True):
+                include_noise: bool = True, block_size: int | None = None):
         """Predict at fidelity ``fid`` (default: highest).
 
         Accepts plain (M, D) inputs, or emukit-style augmented (M, D+1)
         inputs with a trailing fidelity column when ``fid`` is None.
+        Marginal-variance predictions over large grids stream in row blocks
+        (see predict_blocked).
         """
         Xs = jnp.atleast_2d(jnp.asarray(Xs, self.X.dtype))
         if fid is None:
@@ -288,6 +337,13 @@ class MFGP:
                 fid_s = jnp.full((Xs.shape[0],), self.n_fidelities - 1, jnp.int32)
         else:
             fid_s = jnp.broadcast_to(jnp.asarray(fid, jnp.int32), (Xs.shape[0],))
+        if not full_cov:
+            auto_block = (Xs.shape[0] * self.X.shape[0] > 1 << 25)
+            if block_size is not None or auto_block:
+                return predict_blocked(
+                    self.params, self.state, Xs, fid_s, kernel=self.kernel,
+                    include_noise=include_noise,
+                    block_size=block_size or 2048)
         return predict(self.params, self.state, Xs, fid_s, kernel=self.kernel,
                        full_cov=full_cov, include_noise=include_noise)
 

@@ -23,6 +23,19 @@ def add_jitter(K: jax.Array, jitter: float) -> jax.Array:
     return K + jitter * jnp.eye(K.shape[-1], dtype=K.dtype)
 
 
+def diag_add(K: jax.Array, d) -> jax.Array:
+    """``K + diag(d)`` without materialising a dense (N, N) diagonal.
+
+    ``jnp.diag(v)`` keeps an N x N temporary plus an iota-compare mask alive
+    through the autodiff backward pass — at N=20k that is 1.5 GB + 380 MB of
+    pure overhead per use (measured: it tipped the N=20k NLML gradient over
+    the v5e's 16 GB HBM). A diagonal scatter-add has an O(N) residual.
+    """
+    n = K.shape[-1]
+    idx = jnp.arange(n)
+    return K.at[..., idx, idx].add(d)
+
+
 def chol(K: jax.Array) -> jax.Array:
     """Lower-triangular Cholesky factor (XLA's blocked TPU kernel)."""
     return jnp.linalg.cholesky(K)

@@ -1,0 +1,10 @@
+"""Device-mesh parallelism: ICI-sharded posteriors and restart-batched fits."""
+
+from mfgp_tpu.parallel.mesh import (DP_AXIS, MP_AXIS, dp_sharding, make_mesh,
+                                    mp_sharding, replicated)
+from mfgp_tpu.parallel.sharded import (make_sharded_ar1_cross_cov,
+                                       make_sharded_gp_predict,
+                                       make_sharded_mfgp_predict,
+                                       make_sharded_weighted_mse)
+from mfgp_tpu.parallel.train import (TrainState, fit_sharded, init_restarts,
+                                     make_mfgp_train_step)

@@ -1,0 +1,162 @@
+"""Multi-chip training step: dp-sharded restarts + mp-sharded grid posterior.
+
+One jitted SPMD program covering the full "replan" unit of work from the
+reference's exploration loop (retrain GP → evaluate posterior grid → EID,
+reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:358-483),
+laid out over a 2D device mesh:
+
+* R hyperparameter restarts run as a vmapped batch, **sharded over "dp"** —
+  the reference runs restarts serially on one core
+  (reference/NIGP.py:231-239); here each chip advances its restarts with one
+  fused NLML value+grad kernel per step.
+* the posterior evaluation grid is **sharded over "mp"** by rows.
+* best-restart selection is a global argmin over the dp axis; XLA/GSPMD
+  inserts the all-gather + the broadcast of the winning parameter vector
+  over ICI (the scaling-book recipe: annotate shardings, let XLA place
+  collectives).
+
+The same program runs unmodified on one chip with a (1, 1) mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mfgp_tpu.models import mfgp as _mf
+from mfgp_tpu.parallel.mesh import DP_AXIS, MP_AXIS, pad_to_multiple
+
+
+class TrainState(NamedTuple):
+    params: _mf.MFGPParams  # leading restart axis R on every leaf
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def init_restarts(key: jax.Array, n_restarts: int, n_fidelities: int, D: int,
+                  dtype=jnp.float32, spread: float = 1.0) -> _mf.MFGPParams:
+    """Random log-space perturbations around the GPy-default init."""
+    base = _mf.MFGPParams.default(n_fidelities, D, dtype)
+    ks = jax.random.split(key, 4)
+
+    def jig(k, x):
+        noise = spread * jax.random.normal(k, (n_restarts,) + x.shape, dtype)
+        return x[None] + noise
+
+    return _mf.MFGPParams(
+        jig(ks[0], base.log_variances),
+        jig(ks[1], base.log_lengthscales),
+        jnp.broadcast_to(base.rhos, (n_restarts,) + base.rhos.shape),
+        jig(ks[3], base.log_noises),
+    )
+
+
+def make_mfgp_train_step(mesh: Mesh, kernel: str = "rbf",
+                         learning_rate: float = 0.05, jitter: float = 1e-6,
+                         fix_rhos: bool = True):
+    """Build (init_fn, step_fn) for the sharded restart-batched MFGP fit.
+
+    ``step_fn(state, X, fid, y, grid, grid_fid)`` advances every restart one
+    Adam step on the exact NLML and returns the posterior mean/variance of
+    the *current best* restart on the mp-sharded grid:
+
+        state', losses (R,), mu (M,), var (M,)
+    """
+    opt = optax.adam(learning_rate)
+
+    dp_shard = NamedSharding(mesh, P(DP_AXIS))
+    mp_shard = NamedSharding(mesh, P(MP_AXIS))
+    repl = NamedSharding(mesh, P())
+    n_dp = mesh.shape[DP_AXIS]
+    n_mp = mesh.shape[MP_AXIS]
+
+    def init_fn(key, n_restarts, n_fidelities, D, dtype=jnp.float32):
+        if n_restarts % n_dp:
+            raise ValueError(
+                f"n_restarts={n_restarts} must be divisible by dp={n_dp}")
+        params = init_restarts(key, n_restarts, n_fidelities, D, dtype)
+        # commit the restart axis to the dp mesh axis; optax's mu/nu moments
+        # are zeros_like(params) and inherit the same layout under jit
+        params = jax.device_put(params, dp_shard)
+        opt_state = jax.jit(opt.init)(params)
+        return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+    def loss_fn(p: _mf.MFGPParams, X, fid, y):
+        return _mf.nlml(p, X, fid, y, kernel=kernel, jitter=jitter)
+
+    # shardings flow from the committed inputs (params: dp, grid: mp,
+    # data: replicated); GSPMD propagates the layouts and places the ICI
+    # collectives for the cross-shard argmin/broadcast below.
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, X, fid, y, grid, grid_fid):
+        losses, grads = jax.vmap(
+            jax.value_and_grad(loss_fn), in_axes=(0, None, None, None)
+        )(state.params, X, fid, y)
+        if fix_rhos:
+            grads = grads._replace(rhos=jnp.zeros_like(grads.rhos))
+        grads = jax.tree.map(jnp.nan_to_num, grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # global best restart: argmin over the dp-sharded loss vector —
+        # GSPMD inserts the gather + broadcast of the winner over ICI
+        safe = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
+        best = jnp.argmin(safe)
+        best_params = jax.tree.map(lambda a: a[best], params)
+
+        gstate = _mf.condition(best_params, X, fid, y, kernel=kernel,
+                               jitter=jitter)
+        mu, var = _mf.predict(best_params, gstate, grid, grid_fid,
+                              kernel=kernel)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, losses, mu, var
+
+    def prepare_grid(grid: np.ndarray, grid_fid=None, dtype=jnp.float32):
+        """Pad grid rows to the mp shard count and device_put sharded."""
+        M = grid.shape[0]
+        Mp = pad_to_multiple(M, n_mp)
+        g = np.zeros((Mp, grid.shape[1]), dtype=np.asarray(grid).dtype)
+        g[:M] = grid
+        gf = np.zeros((Mp,), np.int32)
+        if grid_fid is not None:
+            gf[:M] = grid_fid
+        else:
+            gf[:] = 0
+        return (jax.device_put(jnp.asarray(g, dtype), mp_shard),
+                jax.device_put(jnp.asarray(gf), mp_shard), M)
+
+    return init_fn, step_fn, prepare_grid
+
+
+def fit_sharded(mesh: Mesh, X, fid, y, grid, grid_fid=None, *,
+                n_restarts: int | None = None, steps: int = 200,
+                kernel: str = "rbf", learning_rate: float = 0.05,
+                jitter: float = 1e-6, seed: int = 0, dtype=jnp.float32):
+    """Convenience driver: restart-batched Adam fit + final grid posterior.
+
+    Returns (best_params, losses_history_last, mu, var).
+    """
+    n_dp = mesh.shape[DP_AXIS]
+    if n_restarts is None:
+        n_restarts = pad_to_multiple(max(8, n_dp), n_dp)
+    init_fn, step_fn, prepare_grid = make_mfgp_train_step(
+        mesh, kernel=kernel, learning_rate=learning_rate, jitter=jitter)
+    X = jnp.asarray(X, dtype)
+    fid = jnp.asarray(fid, jnp.int32)
+    y = jnp.asarray(y, dtype)
+    n_fidelities = int(fid.max()) + 1 if fid.size else 1
+    gpad, gfpad, M = prepare_grid(np.asarray(grid), grid_fid, dtype)
+    state = init_fn(jax.random.key(seed), n_restarts, n_fidelities,
+                    X.shape[1], dtype)
+    losses = mu = var = None
+    for _ in range(steps):
+        state, losses, mu, var = step_fn(state, X, fid, y, gpad, gfpad)
+    best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
+    best_params = jax.tree.map(lambda a: a[best], state.params)
+    return best_params, losses, mu[:M], var[:M]

@@ -1,0 +1,153 @@
+"""Data pipeline + trainer harness tests (SURVEY C16-C20).
+
+Fixture-based parity: reads the reference's recorded GPDataSets /
+FieldSettings / MSE artifacts where available.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from mfgp_tpu.data import (Table, bin_fidelity, collect_results,
+                           generate_estimates, generate_field_measurements,
+                           load_gp_dataset, mean_metrics, run_pipeline,
+                           summary)
+from mfgp_tpu.data.io import parse_mse, parse_mse_filename, save_mse
+from mfgp_tpu.data.trainers import evaluate_models, train_models
+from mfgp_tpu.fields.wrbf import parse_field_settings
+from mfgp_tpu.utils.configs import SimConfig
+
+REF_GPDATA = ("/root/reference/Data/TrajectoriesAndEstimates/GPDataSets/"
+              "GPData_0.2_fieldMeas_0_T0_0.csv")
+REF_FIELD = ("/root/reference/Data/TrajectoriesAndEstimates/FieldData/"
+             "FieldSettings0.txt")
+REF_MSE_DIR = "/root/reference/Data/TrajectoriesAndEstimates/GPResults"
+
+
+@pytest.fixture
+def synth_traj():
+    t = np.arange(0, 600, 0.1)
+    x = 5 + 4 * np.sin(2 * np.pi * t / 200)
+    y = 10 + 8 * np.sin(2 * np.pi * t / 300)
+    z = np.clip(5 * np.sin(2 * np.pi * t / 120) ** 2 - 0.4, 0, None)
+    return Table(["t", "x", "y", "z"], np.column_stack([t, x, y, z]))
+
+
+def test_config_fidlevels_match_reference():
+    # (min(diff(WS)) * [.05,.15,.25])**2 with WS=[[0,10],[0,20]] -> min span 10
+    cfg = SimConfig()
+    np.testing.assert_allclose(cfg.fidlevels, [0.25, 2.25, 6.25])
+
+
+def test_config_test_points_matches_reference_ordering():
+    tp = SimConfig().test_points()
+    assert tp.shape == (2000, 3)
+    # Fortran-ravel of meshgrid: x varies fastest along axis 1 blocks
+    assert tp[0].tolist() == [0.0, 0.0, 0.0]
+    assert tp[-1].tolist() == [10.0, 20.0, 10.0]
+
+
+def test_estimates_schema_and_gating(synth_traj):
+    cfg = SimConfig(seed=0, vmn=0.1)
+    est = generate_estimates(synth_traj, cfg)
+    assert est.headers == ("t,x,y,z,xh,yh,zh,sigx,sigy,sigz,xe,ye,ze"
+                           .split(","))
+    # depth is directly measured -> much tighter than x/y underwater
+    assert est.col("sigz").mean() < est.col("sigx").mean()
+    # estimates track truth
+    assert np.abs(est.col("xe")).mean() < 1.0
+
+
+def test_full_pipeline_roundtrip(tmp_path, synth_traj):
+    cfg = SimConfig(seed=3, vmn=0.2)
+    est, meas, gpd, field = run_pipeline(synth_traj, cfg,
+                                         out_dir=str(tmp_path))
+    assert (tmp_path / "T3_0.2.csv").exists()
+    f = tmp_path / "GPDataSets" / "GPData_0.2_fieldMeas_3_T3_0.2.csv"
+    assert f.exists()
+    ds = load_gp_dataset(str(f))
+    assert ds.n == gpd.data.shape[0]
+    assert set(np.unique(ds.fid_lev)) <= {1, 2, 3}
+    # downsample rate: ~1 sample per 5s (measRate=0.2Hz)
+    dt = np.diff(gpd.col("t"))
+    assert dt.min() > 1.0 / cfg.meas_rate - 0.2
+    # field settings roundtrip
+    f2 = parse_field_settings(str(tmp_path / "FieldData" /
+                                  "FieldSettings3.txt"))
+    np.testing.assert_allclose(np.asarray(f2.p), np.asarray(field.p),
+                               rtol=1e-4)
+
+
+def test_measurements_clamped_nonnegative(synth_traj, rng):
+    cfg = SimConfig()
+    est = generate_estimates(synth_traj, cfg)
+    from mfgp_tpu.fields.wrbf import random_field
+
+    field = random_field(rng, [[0, 10], [0, 20]], 10.0)
+    meas = generate_field_measurements(est, field, cfg, rng)
+    assert (meas.col("fieldVal") >= 0).all()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GPDATA),
+                    reason="reference artifacts unavailable")
+def test_reference_dataset_loads():
+    ds = load_gp_dataset(REF_GPDATA)
+    assert ds.n == 709  # BASELINE.md scale fact
+    Xs, ys = ds.fidelity_lists()
+    assert sum(x.shape[0] for x in Xs) == 709
+    # emukit order: index 0 = fidLev 3
+    assert Xs[0].shape[0] == (ds.fid_lev == 3).sum()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GPDATA),
+                    reason="reference artifacts unavailable")
+def test_trainer_harness_parity_fixed_budget():
+    """Train (short budget) on the real dataset; RMSE must land in the
+    recorded ballpark (reference MSE_0.2_fieldMeas_0_T0_0.txt ~5.24)."""
+    ds = load_gp_dataset(REF_GPDATA)
+    field = parse_field_settings(REF_FIELD)
+    models = train_models(ds, optimize=False)
+    # GPy-default hyps (all ones) are poor; just check the full plumbing
+    metrics, grids = evaluate_models(models, SimConfig().test_points(), field)
+    for k in ("RMSE mf", "RMSE sf", "RMSE nisf", "RMSE sfTP"):
+        assert np.isfinite(metrics[k])
+    assert grids["mf"][0].shape == (2000,)
+
+
+def test_mse_artifact_roundtrip(tmp_path):
+    metrics = {"RMSE mf": 1.25, "RMSE sf": 2.5, "WRMSE mf": 0.125}
+    p = tmp_path / "MSE_0.2_fieldMeas_0_T1_0.2.txt"
+    save_mse(str(p), metrics)
+    back = parse_mse(str(p))
+    assert back == metrics
+    assert parse_mse_filename(str(p)) == {"fieldNum": 0, "T": 1,
+                                          "velVariance": 0.2}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MSE_DIR),
+                    reason="reference artifacts unavailable")
+def test_aggregate_reproduces_reference_means(tmp_path):
+    """collect+mean over the reference's own 88 MSE files must reproduce
+    the BASELINE.md headline numbers."""
+    rows = collect_results(os.path.join(REF_MSE_DIR, "MSE_*.txt"),
+                           str(tmp_path / "results.csv"))
+    assert len(rows) >= 88
+    # the recorded results.csv snapshot has 88 rows (one MSE file was added
+    # after it was generated); restrict to that snapshot for exact parity
+    # with BASELINE.md's means
+    recorded = np.genfromtxt(os.path.join(REF_MSE_DIR, "results.csv"),
+                             delimiter=",", names=True, dtype=None,
+                             encoding="utf-8")
+    names = set(recorded["filename"])
+    rows88 = [r for r in rows if r["filename"] in names]
+    assert len(rows88) == len(names)
+    rep = mean_metrics(rows88)
+    assert abs(rep["RMSE mf"] - 8.039) < 0.01
+    assert abs(rep["RMSE sf"] - 8.052) < 0.01
+    assert abs(rep["WRMSE mf"] - 0.185) < 0.005
+    assert abs(rep["WRMSE nisf"] - 0.147) < 0.005
+    s = summary(rows)
+    assert s["overall"]["n"] == len(rows)
+    assert "velVariance=0.1" in s
