@@ -1,0 +1,73 @@
+"""Pallas fused-covariance kernel tests (interpret mode on CPU).
+
+The compiled TPU path is exercised by bench/verify drives on hardware;
+these tests pin exact semantics against the XLA composition.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfgp_tpu.ops import kernels as k
+from mfgp_tpu.ops.pallas_kernels import TILE, ar1_cov_fused, rbf_cov_fused
+
+
+@pytest.fixture
+def problem(rng):
+    N, M, D, F = 300, 270, 3, 3  # deliberately not TILE-aligned
+    X1 = rng.normal(size=(N, D)).astype(np.float32)
+    X2 = rng.normal(size=(M, D)).astype(np.float32)
+    f1 = rng.integers(0, F, N).astype(np.int32)
+    f2 = rng.integers(0, F, M).astype(np.int32)
+    var = jnp.asarray([2.0, 1.5, 0.7], jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.5, 2, (F, D)), jnp.float32)
+    rho = jnp.asarray([1.1, 0.9], jnp.float32)
+    return X1, f1, X2, f2, var, ls, rho
+
+
+def test_ar1_fused_matches_xla(problem):
+    X1, f1, X2, f2, var, ls, rho = problem
+    K_ref = np.asarray(k.ar1_cov(
+        jnp.asarray(X1), jnp.asarray(f1), jnp.asarray(X2), jnp.asarray(f2),
+        var, ls, rho))
+    K_pal = np.asarray(ar1_cov_fused(X1, f1, X2, f2, var, ls, rho,
+                                     interpret=True))
+    np.testing.assert_allclose(K_pal, K_ref, atol=1e-5)
+
+
+def test_ar1_fused_gram_with_noise(problem, rng):
+    X1, f1, _, _, var, ls, rho = problem
+    noise = rng.uniform(0.1, 0.5, X1.shape[0]).astype(np.float32)
+    K_ref = np.asarray(k.ar1_cov(
+        jnp.asarray(X1), jnp.asarray(f1), jnp.asarray(X1), jnp.asarray(f1),
+        var, ls, rho)) + np.diag(noise)
+    K_pal = np.asarray(ar1_cov_fused(X1, f1, X1, f1, var, ls, rho,
+                                     noise_diag=noise, interpret=True))
+    np.testing.assert_allclose(K_pal, K_ref, atol=1e-5)
+    # noise landed ONLY on the diagonal
+    off = K_pal - np.asarray(ar1_cov_fused(X1, f1, X1, f1, var, ls, rho,
+                                           interpret=True))
+    np.testing.assert_allclose(off, np.diag(noise), atol=1e-6)
+
+
+def test_rbf_fused_matches_xla(problem):
+    X1, _, X2, _, _, _, _ = problem
+    ls = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    K_ref = np.asarray(k.rbf(jnp.asarray(X1), jnp.asarray(X2), 1.7, ls))
+    K_pal = np.asarray(rbf_cov_fused(X1, X2, 1.7, ls, interpret=True))
+    np.testing.assert_allclose(K_pal, K_ref, atol=1e-5)
+
+
+def test_tile_aligned_shapes(rng):
+    """Exact-multiple-of-TILE shapes take the no-padding path."""
+    N = TILE
+    X = rng.normal(size=(N, 3)).astype(np.float32)
+    f = np.zeros(N, np.int32)
+    var = jnp.asarray([1.0], jnp.float32)
+    ls = jnp.ones((1, 3), jnp.float32)
+    rho = jnp.zeros((0,), jnp.float32)
+    K_ref = np.asarray(k.rbf(jnp.asarray(X), jnp.asarray(X), 1.0,
+                             jnp.ones(3)))
+    K_pal = np.asarray(ar1_cov_fused(X, f, X, f, var, ls, rho,
+                                     interpret=True))
+    np.testing.assert_allclose(K_pal, K_ref, atol=1e-5)
