@@ -1,0 +1,14 @@
+"""Robot runtime layer: controllers, I/O backends, AprilTag localization.
+
+Host-side by design — this is the reference's Raspberry-Pi-facing surface
+(SURVEY C23-C25); the TPU compute path lives in ops/models/planning.
+"""
+
+from mfgp_tpu.hw.controllers import (KPID, PID, angle_wrap, saturate,
+                                     simple_lpf, tail_wave, yaw_correction)
+from mfgp_tpu.hw.io import (RobotIO, SimulatedRobotIO, SocketRobotIO,
+                            m0_to_act_pos, rp1_to_act_pos)
+from mfgp_tpu.hw.apriltag import (AprilFusion, AprilFusionConfig,
+                                  TagDetection, load_tag_map, rp_to_tf,
+                                  tf_to_vec, vec_to_tf, zyx_rotm)
+from mfgp_tpu.hw.geo import convert_gps_format, gps_bearing_distance

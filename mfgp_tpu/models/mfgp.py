@@ -40,7 +40,7 @@ import numpy as np
 
 from mfgp_tpu.ops import kernels as _k
 from mfgp_tpu.ops import linalg as _la
-from mfgp_tpu.ops.optimize import scipy_lbfgsb
+from mfgp_tpu.ops.optimize import batched_lbfgs, scipy_lbfgsb
 
 _LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -319,6 +319,58 @@ class MFGP:
         self.params = unpack(jnp.asarray(xopt, self.X.dtype))
         self._state = None
         return fopt
+
+    def optimize_restarts(self, n_restarts: int = 8, maxiter: int = 200,
+                          spread: float = 1.0, seed: int = 0,
+                          fix_rhos: bool = True, lengthscale_bounds=None):
+        """Device-side restart-batched fit (see gp.GP.optimize_restarts):
+        all restarts advance in one vmapped projected-L-BFGS launch, best
+        NLML wins. Replicates the reference's hyperparameter constraints
+        (``scale.fix``, ``constrain_bounded``) via fixed rhos + log-space
+        box projection."""
+        F, D = self.n_fidelities, self.X.shape[1]
+        dtype = self.X.dtype
+        p = self.params
+        x0 = jnp.concatenate([
+            p.log_variances, p.log_lengthscales.reshape(-1), p.log_noises,
+        ]).astype(dtype)
+        n = x0.shape[0]
+        lower = jnp.full((n,), -jnp.inf, dtype)
+        upper = jnp.full((n,), jnp.inf, dtype)
+        if lengthscale_bounds is not None:
+            lo, hi = (float(np.log(lengthscale_bounds[0])),
+                      float(np.log(lengthscale_bounds[1])))
+            idx = jnp.arange(F, F + F * D)
+            lower = lower.at[idx].set(lo)
+            upper = upper.at[idx].set(hi)
+        fixed_rhos = p.rhos
+        X, fid, y = self.X, self.fid, self.y
+        kernel, jitter = self.kernel, self.jitter
+        if not fix_rhos:
+            raise NotImplementedError(
+                "free rhos use optimize(); the reference always fixes them "
+                "(kern.scale.fix, reference/GPTrainers.py:67)")
+
+        def unpack(vec):
+            return MFGPParams(vec[:F], vec[F : F + F * D].reshape(F, D),
+                              fixed_rhos, vec[F + F * D :])
+
+        def obj(vec):
+            v = nlml(unpack(vec), X, fid, y, kernel=kernel, jitter=jitter)
+            return jnp.where(jnp.isfinite(v), v, 1e20)
+
+        key = jax.random.key(seed)
+        inits = x0[None, :] + spread * jax.random.normal(
+            key, (n_restarts, n), dtype)
+        inits = inits.at[0].set(x0)
+        fit = jax.jit(jax.vmap(
+            lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
+                                    maxiter=maxiter)[:2]))
+        xs, fs = fit(inits)
+        best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+        self.params = unpack(xs[best])
+        self._state = None
+        return float(fs[best])
 
     def predict(self, Xs, fid=None, full_cov: bool = False,
                 include_noise: bool = True, block_size: int | None = None):

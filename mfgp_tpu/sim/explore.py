@@ -185,29 +185,60 @@ class ExplorationSim:
         rows = np.column_stack([tt, pos, xh, noisy, fid.astype(float)])
         return telemetry, rows, float(t[-1] - t[0])
 
+    # -- checkpointing (SURVEY §5: the reference's resume was a stub) -------
+    def _checkpoint(self, path, plan_num, t_now, planned_budget, x0, model,
+                    data_rows, key):
+        from mfgp_tpu.utils import checkpoint as ckpt
+
+        rows = (np.concatenate(data_rows) if data_rows
+                else np.zeros((0, 9)))
+        ck = ckpt.ExplorationCheckpoint(
+            plan_num=plan_num, t_now=t_now, planned_budget=planned_budget,
+            x0=np.asarray(x0), model=ckpt.capture_model(model),
+            data_rows=rows, rng_state=self.rng.bit_generator.state,
+            jax_key_data=np.asarray(jax.random.key_data(key)))
+        ckpt.save_checkpoint(path, ck)
+
+    def resume_state(self, path):
+        """Load a checkpoint into (plan_num, t_now, budget, x0, model,
+        data_rows, key) and restore the host RNG stream."""
+        from mfgp_tpu.utils import checkpoint as ckpt
+
+        ck = ckpt.load_checkpoint(path)
+        self.rng.bit_generator.state = ck.rng_state
+        key = jax.random.wrap_key_data(
+            jnp.asarray(ck.jax_key_data, jnp.uint32))
+        rows = [ck.data_rows] if ck.data_rows.shape[0] else []
+        return (ck.plan_num, ck.t_now, ck.planned_budget,
+                np.asarray(ck.x0), ck.model.restore(jitter=1e-6), rows, key)
+
     # -- main loop ----------------------------------------------------------
-    def run(self, max_replans: Optional[int] = None) -> ExplorationResult:
+    def run(self, max_replans: Optional[int] = None,
+            checkpoint_path: Optional[str] = None,
+            resume_from: Optional[str] = None) -> ExplorationResult:
         exp, cfg = self.exp, self.cfg
         B, BD = exp.B, exp.BD
         max_replans = BD if max_replans is None else max_replans
 
-        x0 = np.array([[0.05 * (cfg.WS[0][1] - cfg.WS[0][0])],
-                       [0.05 * (cfg.WS[1][1] - cfg.WS[1][0])]])
-        planned_budget = 0.0
-        t_now = 0.0
-        plan_num = 0
-        telemetry_all, data_rows = [], []
-        replans = []
-        model = None
-        key = jax.random.key(self.seed)
-
-        # initial model: single dummy point at the origin, like the drivers
-        # (reference/PhysicalExperimentCode/GraceExplorationExperiments_
-        # MFEGP.py:621-666 seeds the MFGP with one dummy point)
-        dummy_X = np.array([[x0[0, 0], x0[1, 0], 0.0]])
-        dummy_y = np.zeros(1)
-        dummy_fid = np.array([1])
-        model = self._make_model(dummy_X, dummy_fid, dummy_y)
+        telemetry_all, replans = [], []
+        if resume_from is not None:
+            (plan_num, t_now, planned_budget, x0, model, data_rows,
+             key) = self.resume_state(resume_from)
+        else:
+            x0 = np.array([[0.05 * (cfg.WS[0][1] - cfg.WS[0][0])],
+                           [0.05 * (cfg.WS[1][1] - cfg.WS[1][0])]])
+            planned_budget = 0.0
+            t_now = 0.0
+            plan_num = 0
+            data_rows = []
+            key = jax.random.key(self.seed)
+            # initial model: single dummy point at the origin, like the
+            # drivers (reference/PhysicalExperimentCode/
+            # GraceExplorationExperiments_MFEGP.py:621-666)
+            dummy_X = np.array([[x0[0, 0], x0[1, 0], 0.0]])
+            dummy_y = np.zeros(1)
+            dummy_fid = np.array([1])
+            model = self._make_model(dummy_X, dummy_fid, dummy_y)
 
         while plan_num < max_replans and (B - planned_budget) > 0.5 * B / BD:
             tranche = min(B / BD, B - planned_budget)
@@ -257,6 +288,9 @@ class ExplorationSim:
             # next plan starts where this path ended
             x0 = np.asarray(pts[-1, :2], float).reshape(2, 1)
             plan_num += 1
+            if checkpoint_path is not None:
+                self._checkpoint(checkpoint_path, plan_num, t_now,
+                                 planned_budget, x0, model, data_rows, key)
 
         gp_data = Table(GPDATA_HEADER.split(","),
                         np.concatenate(data_rows) if data_rows

@@ -106,3 +106,20 @@ def test_param_array_roundtrip(rng):
     vec = np.array([2.0, 1.1, 2.2, 3.3, 0.5])
     model.set_param_array(vec)
     np.testing.assert_allclose(model.param_array, vec, rtol=1e-12)
+
+
+def test_optimize_restarts_matches_scipy_quality(rng):
+    """Device-batched vmapped L-BFGS must reach (or beat) the scipy
+    host-loop optimum on a small problem."""
+    X = rng.uniform(0, 5, (40, 2))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(40)
+    from mfgp_tpu.models.gp import GP
+
+    g1 = GP(X, y, jitter=1e-8)
+    f_scipy = g1.optimize()
+    g2 = GP(X, y, jitter=1e-8)
+    f_dev = g2.optimize_restarts(n_restarts=4, maxiter=150, seed=1)
+    assert f_dev <= f_scipy + 0.5
+    mu1, _ = g1.predict(X[:5])
+    mu2, _ = g2.predict(X[:5])
+    np.testing.assert_allclose(mu1, mu2, atol=0.2)

@@ -122,3 +122,21 @@ def test_mf_uses_low_fidelity_information(rng):
     mu_sf, _ = sf.predict(Xt)
     err_sf = np.sqrt(np.mean((np.asarray(mu_sf) - f_true(Xt)) ** 2))
     assert err_mf < 0.5 * err_sf
+
+
+def test_mfgp_optimize_restarts(rng):
+    X = rng.uniform(0, 5, (36, 2))
+    y = np.sin(X[:, 0]) + 0.05 * rng.standard_normal(36)
+    fid = rng.integers(0, 3, 36)
+    from mfgp_tpu.models.mfgp import MFGP
+
+    m = MFGP(X, fid, y, jitter=1e-8)
+    f0 = -m.log_likelihood()
+    f = m.optimize_restarts(n_restarts=4, maxiter=150,
+                            lengthscale_bounds=(1e-4, 100.0))
+    assert f < f0  # improved over the default-hyps NLML
+    # rhos untouched (reference kern.scale.fix)
+    np.testing.assert_array_equal(np.asarray(m.params.rhos), [1.0, 1.0])
+    # lengthscale bounds respected
+    ls = np.asarray(m.params.lengthscales)
+    assert (ls >= 1e-4 - 1e-12).all() and (ls <= 100.0 + 1e-9).all()
