@@ -137,9 +137,20 @@ def cmd_explore(args):
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
                          plan_iters=args.plan_iters)
-    res = sim.run()
+    if variant == "MANUAL":
+        if args.waypoints:
+            wp = np.loadtxt(args.waypoints, delimiter=",", ndmin=2)[:, :3]
+        else:  # default lawnmower-ish demo chain
+            wp = np.array([[1, 1, 0], [8, 4, 3], [3, 15, 5], [8, 18, 0]],
+                          float)
+        res = sim.run_manual(wp)
+        name = "Manual"
+    else:
+        res = sim.run(checkpoint_path=args.checkpoint,
+                      resume_from=args.resume_from)
+        name = exp.variant
     print(json.dumps({
-        "variant": exp.variant, "replans": len(res.replans),
+        "variant": name, "replans": len(res.replans),
         "n_data": int(res.gp_data.data.shape[0]),
         "budget_used": res.budget_used, "rmse": res.rmse,
     }))
@@ -213,13 +224,16 @@ def build_parser():
 
     p = sub.add_parser("explore"); p.set_defaults(fn=cmd_explore)
     p.add_argument("--variant", default="MFEGP",
-                   choices=["MFEGP", "MFGP", "SFEGP", "SFGP",
-                            "mfegp", "mfgp", "sfegp", "sfgp"])
+                   type=lambda s: s.upper(),
+                   choices=["MFEGP", "MFGP", "SFEGP", "SFGP", "MANUAL"])
     p.add_argument("--out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--budget", type=float, default=150.0)
     p.add_argument("--bd", type=int, default=10)
     p.add_argument("--plan-iters", type=int, default=40)
+    p.add_argument("--checkpoint", help="write a checkpoint after each replan")
+    p.add_argument("--resume-from", help="resume from a checkpoint file")
+    p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

@@ -292,6 +292,12 @@ class ExplorationSim:
                 self._checkpoint(checkpoint_path, plan_num, t_now,
                                  planned_budget, x0, model, data_rows, key)
 
+        return self._finish(data_rows, telemetry_all, replans, model,
+                            planned_budget)
+
+    def _finish(self, data_rows, telemetry_all, replans, model,
+                planned_budget) -> ExplorationResult:
+        cfg = self.cfg
         gp_data = Table(GPDATA_HEADER.split(","),
                         np.concatenate(data_rows) if data_rows
                         else np.zeros((0, 9)))
@@ -307,3 +313,67 @@ class ExplorationSim:
                 (np.asarray(mu).reshape(-1) - f_true) ** 2)))
         return ExplorationResult(gp_data, est, replans, model,
                                  planned_budget, rmse=rmse, wmse=wmse)
+
+    # -- Manual variant (SURVEY C25: GraceExplorationExperiments_Manual) ----
+    def run_manual(self, waypoints: np.ndarray,
+                   speed: Optional[float] = None) -> ExplorationResult:
+        """Teleoperated data-collection run: no planner, the operator's
+        waypoint chain is flown directly; measurements are gathered,
+        energy is integrated from the actuator-rate model, and the GP is
+        trained once at the end (reference/PhysicalExperimentCode/
+        GraceExplorationExperiments_Manual.py:475-704 — zero ``plan()``
+        calls, end-of-run model save).
+
+        waypoints: (W, 3) x/y/z targets, visited at ``speed`` (defaults to
+        the agent swim speed) with measurements at meas_rate.
+        """
+        cfg = self.cfg
+        speed = speed or self.agent_cfg.swim_speed
+        wp = np.asarray(waypoints, float)
+        segs = [wp[0][None]]
+        t_rows = [0.0]
+        t_acc = 0.0
+        dt = 1.0 / max(cfg.meas_rate * 25.0, 1.0)  # dense flight sampling
+        for a, b in zip(wp[:-1], wp[1:]):
+            d = float(np.linalg.norm(b - a))
+            n = max(int(d / (speed * dt)), 1)
+            for k in range(1, n + 1):
+                t_acc += dt
+                segs.append((a + (b - a) * k / n)[None])
+                t_rows.append(t_acc)
+        path = np.concatenate(segs)
+        pts = np.column_stack([path, np.asarray(t_rows)])
+
+        key = jax.random.key(self.seed)
+        telemetry, rows, t_flown = self._fly(pts, 0.0, key)
+        data_rows = [rows] if rows is not None else []
+        # energy: tail-flap swim cost + time cost over the flown duration
+        # (the physical driver integrates actuator-rate-KF udot^2 weights,
+        # reference _Manual.py:516-520; the kinematic sim uses the same
+        # energy model as the planner's swim primitive)
+        from mfgp_tpu.planning.primitives import swim_energy
+
+        budget_used = (swim_energy(t_flown, self.agent_cfg)
+                       + self.agent_cfg.time_energy * t_flown)
+
+        model = None
+        if data_rows and data_rows[0].shape[0] >= 4:
+            allrows = np.concatenate(data_rows)
+            model = self._make_model(allrows[:, 4:7],
+                                     allrows[:, 8].astype(int),
+                                     allrows[:, 7])
+            self._fit(model)
+            if self.out_dir:
+                from mfgp_tpu.utils import checkpoint as ckpt
+
+                ckpt.save_checkpoint(
+                    os.path.join(self.out_dir, "manual_model"),
+                    ckpt.ExplorationCheckpoint(
+                        plan_num=0, t_now=t_flown, planned_budget=budget_used,
+                        x0=wp[-1][:2].reshape(2, 1),
+                        model=ckpt.capture_model(model),
+                        data_rows=allrows,
+                        rng_state=self.rng.bit_generator.state,
+                        jax_key_data=np.asarray(jax.random.key_data(key))))
+        return self._finish(data_rows, [telemetry] if telemetry is not None
+                            else [], [], model, budget_used)

@@ -1,0 +1,197 @@
+"""Replay & plotting tools (SURVEY C27).
+
+The reference resurrects models purely from saved hyperparameter CSVs plus
+data pointers and re-predicts grids for figures
+(reference/MFplottingData.py:17,58-60; reference/SFplottingData.py:32-33),
+bar-plots aggregated errors (reference/plottingAverageErrors.py), and ships
+a tkinter CSV plotter (reference/dataPlotter.py — GUI deliberately not
+ported, SURVEY §7; its capability survives as :func:`plot_csv`).
+
+All figure functions render headless (Agg) and write PNGs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mfgp_tpu.data.io import load_gp_dataset, load_hyp_vector
+from mfgp_tpu.models.gp import GP
+from mfgp_tpu.models.mfgp import MFGP
+from mfgp_tpu.models.nigp import NIGP
+
+
+# ---------------------------------------------------------------------------
+# Model replay from artifacts
+# ---------------------------------------------------------------------------
+def replay_models(gpdata_path: str, hyp_dir: str, kernel: str = "rbf",
+                  jitter: float = 1e-6):
+    """Rebuild the four trained models of one run from its artifacts —
+    no optimization, exactly the reference's plot-script pattern.
+
+    Looks for ``<base>_emuGP.txt / _sfGP.txt / _sfGPTP.txt / _nisfGP.txt``
+    next to the dataset (the GPTrainers artifact family). Missing files
+    yield None entries."""
+    ds = load_gp_dataset(gpdata_path)
+    base = os.path.basename(gpdata_path).replace(".csv", "_")
+
+    def hyp(name):
+        p = os.path.join(hyp_dir, base + name + ".txt")
+        return load_hyp_vector(p) if os.path.exists(p) else None
+
+    out = {}
+    v = hyp("emuGP")
+    if v is not None:
+        Xs, ys = ds.fidelity_lists(use_estimates=True)
+        m = MFGP.from_fidelity_lists(Xs, ys, kernel=kernel, jitter=jitter)
+        m.set_param_array(v)
+        out["mf"] = m
+    v = hyp("sfGP")
+    if v is not None:
+        m = GP(ds.X_est, ds.y, kernel=kernel, jitter=jitter)
+        m.set_param_array(v)
+        out["sf"] = m
+    v = hyp("sfGPTP")
+    if v is not None:
+        m = GP(ds.X_true, ds.y, kernel=kernel, jitter=jitter)
+        m.set_param_array(v)
+        out["sfTP"] = m
+    v = hyp("nisfGP")
+    if v is not None:
+        D = ds.X_est.shape[1]
+        m = NIGP()
+        m.sigma_x_ = v[:D]
+        m.sigma_f_ = float(v[D])
+        m.sigma_y_ = float(v[D + 1])
+        m.lengthscales_ = v[D + 2:]
+        import jax.numpy as jnp
+
+        m.X_train_ = jnp.asarray(ds.X_est)
+        m.y_train_ = jnp.asarray(ds.y)
+        m.noise_diag_train_ = None
+        out["nisf"] = m
+    return ds, out
+
+
+def replay_grid(gpdata_path: str, hyp_dir: str, test_points: np.ndarray,
+                kernel: str = "rbf"):
+    """Re-predict the evaluation grid from saved artifacts -> dict of
+    (mean, var) per available model."""
+    _, models = replay_models(gpdata_path, hyp_dir, kernel=kernel)
+    grids = {}
+    for key, m in models.items():
+        mu, var = m.predict(np.asarray(test_points))
+        grids[key] = (np.asarray(mu).reshape(-1), np.asarray(var).reshape(-1))
+    return grids
+
+
+# ---------------------------------------------------------------------------
+# Figures
+# ---------------------------------------------------------------------------
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_field_slices(grid: np.ndarray, values: np.ndarray, out_png: str,
+                      n_slices: int = 4, title: str = ""):
+    """Depth-slice heatmaps of a scalar field over the 3D grid (the
+    reference's per-plan EID/posterior figures)."""
+    plt = _plt()
+    zs = np.unique(grid[:, 2])
+    pick = zs[np.linspace(0, len(zs) - 1, min(n_slices, len(zs))).astype(int)]
+    fig, axes = plt.subplots(1, len(pick), figsize=(4 * len(pick), 3.6),
+                             squeeze=False)
+    for ax, z in zip(axes[0], pick):
+        m = np.isclose(grid[:, 2], z)
+        sc = ax.tricontourf(grid[m, 0], grid[m, 1], values[m], levels=20)
+        ax.set_title(f"{title} z={z:.2f}")
+        fig.colorbar(sc, ax=ax)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def plot_gpres(gpres_csv: str, out_png: str):
+    """Posterior-vs-truth scatter from a GPRes artifact (ours or the
+    reference's; header x,y,z,trueField,sfMean,sfVar,mfMean,mfVar)."""
+    plt = _plt()
+    d = np.loadtxt(gpres_csv, delimiter=",", skiprows=1)
+    f_true, sf, mf = d[:, 3], d[:, 4], d[:, 6]
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+    for ax, (name, mu) in zip(axes, [("SFGP", sf), ("MFGP", mf)]):
+        ax.scatter(f_true, mu, s=4, alpha=0.4)
+        lo, hi = f_true.min(), f_true.max()
+        ax.plot([lo, hi], [lo, hi], "k--", lw=1)
+        rmse = np.sqrt(np.mean((mu - f_true) ** 2))
+        ax.set_title(f"{name}  RMSE={rmse:.3f}")
+        ax.set_xlabel("true field")
+        ax.set_ylabel("posterior mean")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def plot_average_errors(rows: Sequence[dict], out_png: str,
+                        metrics: Optional[Sequence[str]] = None,
+                        by: str = "velVariance"):
+    """Grouped bar chart of mean metrics sliced by a run parameter
+    (reference/plottingAverageErrors.py)."""
+    from mfgp_tpu.data.aggregate import METRICS, mean_metrics
+
+    plt = _plt()
+    metrics = list(metrics or METRICS[:4])
+    groups = sorted({r.get(by) for r in rows} - {None})
+    width = 0.8 / max(len(groups), 1)
+    fig, ax = plt.subplots(figsize=(1.8 * len(metrics) + 2, 4))
+    xs = np.arange(len(metrics))
+    for gi, g in enumerate(groups):
+        rep = mean_metrics(rows, {by: g})
+        ax.bar(xs + gi * width, [rep[m] for m in metrics], width,
+               label=f"{by}={g}")
+    ax.set_xticks(xs + 0.4 - width / 2)
+    ax.set_xticklabels(metrics, rotation=20)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def plot_csv(csv_path: str, out_png: str, x: str | int = 0,
+             y: Sequence[str | int] = (1,), kind: str = "line",
+             skiprows: int = 1):
+    """Generic CSV column plotter — the capability of the reference's
+    tkinter ``dataPlotter`` as a headless function/CLI."""
+    plt = _plt()
+    with open(csv_path) as f:
+        header = f.readline().strip().lstrip("#").split(",")
+    header = [h.strip() for h in header]
+    d = np.loadtxt(csv_path, delimiter=",", skiprows=skiprows, ndmin=2)
+
+    def col(c):
+        idx = header.index(c) if isinstance(c, str) else int(c)
+        return d[:, idx], (header[idx] if idx < len(header) else str(idx))
+
+    xv, xname = col(x)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for c in y:
+        yv, yname = col(c)
+        if kind == "scatter":
+            ax.scatter(xv, yv, s=4, label=yname)
+        else:
+            ax.plot(xv, yv, label=yname)
+    ax.set_xlabel(xname)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png

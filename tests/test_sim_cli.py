@@ -90,3 +90,24 @@ def test_cli_sfgp_reference_parity(capsys):
           "FieldSettings0.txt"])
     out = json.loads(capsys.readouterr().out.strip())
     assert abs(out["rmse"] - 5.2475) < 0.01
+
+
+def test_manual_variant_collects_and_trains(tmp_path):
+    """The Manual teleop run: no planner, waypoint chain flown, end-of-run
+    model trained and checkpointed (SURVEY C25 Manual)."""
+    wp = np.array([[1, 1, 0], [8, 4, 3], [3, 15, 5]], float)
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=False)
+    sim = ExplorationSim(exp, seed=0, out_dir=str(tmp_path))
+    res = sim.run_manual(wp)
+    assert len(res.replans) == 0  # zero plan() calls, like the reference
+    assert res.gp_data.data.shape[0] > 50
+    assert res.budget_used > 0
+    assert res.rmse is not None and res.rmse < 3.0
+    assert (tmp_path / "manual_model.npz").exists()
+    # the saved model restores and predicts
+    from mfgp_tpu.utils.checkpoint import load_checkpoint
+
+    ck = load_checkpoint(str(tmp_path / "manual_model"))
+    m = ck.model.restore()
+    mu, var = m.predict(wp)
+    assert np.isfinite(np.asarray(mu)).all()

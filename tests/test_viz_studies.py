@@ -1,0 +1,101 @@
+"""Replay/plot tools + training-size study + xbee codec tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mfgp_tpu.data.studies import grid_samples, training_size_study
+from mfgp_tpu.hw import xbee
+from mfgp_tpu.utils.configs import SimConfig
+
+REF_GPDATA = ("/root/reference/Data/TrajectoriesAndEstimates/GPDataSets/"
+              "GPData_0.2_fieldMeas_0_T0_0.csv")
+REF_RESULTS = ("/root/reference/Data/TrajectoriesAndEstimates/GPResults")
+
+
+def test_xbee_roundtrip():
+    fix = xbee.GPSFix(12.5, True, 3.0, 4.0, 0.7)
+    msg = xbee.encode_gps(fix)
+    back = xbee.parse(msg)
+    assert back.command is xbee.Command.CAMERA_GPS
+    assert back.gps == fix
+    assert xbee.parse("OBTTC,STOP").command is xbee.Command.STOP
+    assert xbee.parse("OBTTC,BEGIN").command is xbee.Command.BEGIN
+    # malformed GPS payload degrades gracefully (reference listener
+    # swallows it, :302-306)
+    assert xbee.parse("OBTTC,CameraGPS,x,y").gps is None
+    assert xbee.parse("garbage").command is xbee.Command.UNKNOWN
+
+
+def test_grid_samples_shape():
+    g = grid_samples([[0, 10], [0, 20]], 10.0)
+    assert g.shape == (8 * 16 * 8, 3)
+    assert g.min() >= 0 and g[:, 1].max() == 20.0
+
+
+def test_training_size_study_improves_with_n():
+    res = training_size_study([20, 200], optimize=True, restarts=2)
+    assert res[0]["n"] == 20 and res[1]["n"] == 200
+    assert res[1]["rmse"] < res[0]["rmse"]  # more data -> better fit
+    assert res[1]["rmse"] < 1.0
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GPDATA),
+                    reason="reference artifacts unavailable")
+def test_replay_models_from_artifacts(tmp_path):
+    """Hyp artifacts -> restored models must reproduce the recorded run.
+
+    (The reference repo only committed MSE summaries, not the hyp files its
+    plot scripts consume — so this writes our artifacts in that format and
+    replays them.) The SFGP hyps below are the converged optimum from our
+    trainer on this dataset, which matched the recorded RMSE sf 5.2475."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.data.io import save_hyp_vector
+    from mfgp_tpu.fields.wrbf import parse_field_settings
+    from mfgp_tpu.viz import replay_grid, replay_models
+
+    base = os.path.basename(REF_GPDATA).replace(".csv", "_")
+    sf_hyps = [2.8981072, 23.0393967, 4.8672067, 9.1853363, 0.01608807]
+    save_hyp_vector(str(tmp_path / (base + "sfGP.txt")), sf_hyps)
+    save_hyp_vector(str(tmp_path / (base + "sfGPTP.txt")), sf_hyps)
+
+    ds, models = replay_models(REF_GPDATA, str(tmp_path))
+    assert set(models) == {"sf", "sfTP"}  # only the artifacts we wrote
+    np.testing.assert_allclose(models["sf"].param_array, sf_hyps, rtol=1e-6)
+
+    cfg = SimConfig()
+    tp = cfg.test_points()
+    field = parse_field_settings(
+        "/root/reference/Data/TrajectoriesAndEstimates/FieldData/"
+        "FieldSettings0.txt")
+    f_true = np.asarray(field(jnp.asarray(tp)))
+    grids = replay_grid(REF_GPDATA, str(tmp_path), tp)
+    rmse_sf = float(np.sqrt(np.mean((grids["sf"][0] - f_true) ** 2)))
+    # recorded: RMSE sf 5.2475 (MSE_0.2_fieldMeas_0_T0_0.txt)
+    assert abs(rmse_sf - 5.2475) < 0.02
+
+
+def test_plot_functions_render(tmp_path, rng):
+    from mfgp_tpu.viz import plot_csv, plot_field_slices
+
+    grid = SimConfig().test_points()
+    vals = rng.random(grid.shape[0])
+    p1 = plot_field_slices(grid, vals, str(tmp_path / "slices.png"))
+    assert os.path.getsize(p1) > 1000
+    csv = tmp_path / "d.csv"
+    np.savetxt(csv, np.column_stack([np.arange(50), np.sin(np.arange(50))]),
+               delimiter=",", header="t,v", comments="")
+    p2 = plot_csv(str(csv), str(tmp_path / "csv.png"), x="t", y=["v"])
+    assert os.path.getsize(p2) > 1000
+
+
+def test_plot_average_errors(tmp_path):
+    from mfgp_tpu.viz import plot_average_errors
+
+    rows = [{"RMSE mf": 1.0, "RMSE sf": 2.0, "RMSE nisf": 1.5,
+             "RMSE sfTP": 1.8, "velVariance": v}
+            for v in (0.0, 0.1, 0.2) for _ in range(3)]
+    p = plot_average_errors(rows, str(tmp_path / "avg.png"))
+    assert os.path.getsize(p) > 1000
