@@ -126,6 +126,34 @@ def nlml(log_hyp, X, y, grad_fixed, extra_noise_diag=None,
             + 0.5 * N * _LOG2PI)
 
 
+@partial(jax.jit)
+def nlml_native(log_hyp, X, y, jitter: float = 1e-8):
+    """Fully-coupled NIGP NLML: the posterior-mean gradients are recomputed
+    from the *current* hyperparameters inside the objective and
+    differentiated through (SURVEY §7 step 2's "native mode").
+
+    The reference freezes the gradients per outer iteration and alternates
+    (reference/NIGP.py:215-240) because differentiating through its
+    gradient computation is impractical in numpy/scipy; under ``jax.grad``
+    the exact joint objective is one fused kernel, removing the outer loop
+    entirely.
+    """
+    N, D = X.shape
+    ls = jnp.exp(log_hyp[:D])
+    sigma_f = jnp.exp(log_hyp[D])
+    sigma_y = jnp.exp(log_hyp[D + 1])
+    sigma_x = jnp.exp(log_hyp[D + 2 :])
+    _, grads = posterior_mean_grads(X, y, ls, sigma_f, sigma_y)
+    v = jnp.sum((grads**2) * (sigma_x[None, :] ** 2), axis=1)
+    K = _k.rbf(X, X, sigma_f, ls)
+    Kn = _la.diag_add(K, sigma_y**2 + v + jitter)
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    return (0.5 * jnp.dot(y, alpha)
+            + 0.5 * _la.logdet_from_chol(L)
+            + 0.5 * N * _LOG2PI)
+
+
 @dataclass
 class NIGP:
     """Input-noise GP with the reference's alternating fit schedule.
@@ -208,6 +236,61 @@ class NIGP:
         v = jnp.sum((grad_fixed**2)
                     * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2), axis=1)
         self.noise_diag_train_ = v
+        return self
+
+    def fit_native(self, X, y, n_restarts: int | None = None,
+                   maxiter: int = 200, spread: float = 0.3):
+        """Native-mode fit: one vmapped batched-L-BFGS launch on the
+        fully-coupled NLML (``nlml_native``) — no alternating outer loop.
+        Same init heuristics and [1e-6, 1e6] bounds as :meth:`fit`."""
+        from mfgp_tpu.ops.optimize import batched_lbfgs
+
+        X = jnp.atleast_2d(jnp.asarray(X, jnp.result_type(float)))
+        y = jnp.asarray(y).reshape(-1).astype(X.dtype)
+        N, D = X.shape
+        self.X_train_, self.y_train_ = X, y
+        rng = np.random.default_rng(self.seed)
+        n_restarts = n_restarts or max(self.n_restarts, 1)
+
+        Xn = np.asarray(X)
+        pair = np.sqrt(np.maximum(0, np.sum(
+            (Xn[:, None, :] - Xn[None, :, :]) ** 2, axis=2)))
+        pos = pair[pair > 0]
+        med = np.median(pos) if pos.size else 1.0
+        std_y = np.std(np.asarray(y)) or 1.0
+        log_hyp0 = np.concatenate([
+            np.log(np.ones(D) * (med if med > 0 else 1.0)),
+            [np.log(std_y), np.log(0.1 * std_y)],
+            np.log(np.maximum(np.ones(D) * 0.01 * np.std(Xn, axis=0), 1e-8)),
+        ])
+        inits = (log_hyp0[None, :]
+                 + spread * rng.standard_normal((n_restarts,
+                                                 log_hyp0.shape[0])))
+        inits[0] = log_hyp0
+        lower = jnp.full((2 * D + 2,), np.log(1e-6), X.dtype)
+        upper = jnp.full((2 * D + 2,), np.log(1e6), X.dtype)
+
+        def obj(lh):
+            v = nlml_native(lh, X, y)
+            return jnp.where(jnp.isfinite(v), v, 1e20)
+
+        fit = jax.jit(jax.vmap(
+            lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
+                                    maxiter=maxiter)[:2]))
+        xs, fs = fit(jnp.asarray(inits, X.dtype))
+        best = int(jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf)))
+        log_hyp = np.asarray(xs[best])
+
+        self.lengthscales_ = np.exp(log_hyp[:D])
+        self.sigma_f_ = float(np.exp(log_hyp[D]))
+        self.sigma_y_ = float(np.exp(log_hyp[D + 1]))
+        self.sigma_x_ = np.exp(log_hyp[D + 2 :])
+        _, grads = posterior_mean_grads(
+            X, y, jnp.asarray(self.lengthscales_, X.dtype),
+            self.sigma_f_, self.sigma_y_)
+        self.noise_diag_train_ = jnp.sum(
+            (grads**2) * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2),
+            axis=1)
         return self
 
     def predict(self, Xs, Xs_input_noise=None, return_var: bool = True,

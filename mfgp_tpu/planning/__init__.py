@@ -4,5 +4,6 @@ from mfgp_tpu.planning.primitives import (  # noqa: F401
 )
 from mfgp_tpu.planning.scoring import (  # noqa: F401
     ErgodicCost, SFInfoGainCost, MFInfoGainCost, BatchLogDetCost,
+    MFBatchLogDetCost,
 )
 from mfgp_tpu.planning.rig import RIGPlanner, Node, PathSegment  # noqa: F401

@@ -169,6 +169,51 @@ def _logdet_gain_batch(pts, mask, X, L, grid, variance, lengthscales, noise,
                                       kernel, clamp))(pts, mask)
 
 
+@partial(jax.jit, static_argnames=("kernel",))
+def _mf_logdet_gain_one(xyz, fid_c, mask, X, fidX, L, variances,
+                        lengthscales, rhos, noises, grid, logdet_prior,
+                        kernel="rbf"):
+    """MF batch mutual information (reference ``calculatePathInfoEmuBatch``,
+    reference/PhysicalExperimentCode/GraceRIGV3.py:599-617): grid posterior
+    covariance at the highest fidelity, conditioning extended by the path
+    points at their accrued-variance fidelity labels via one bordered
+    Cholesky block."""
+    F = variances.shape[0]
+    P = xyz.shape[0]
+    G = grid.shape[0]
+    fid_g = jnp.full((G,), F - 1, jnp.int32)
+    B = _k.ar1_cov(X, fidX, xyz, fid_c, variances, lengthscales, rhos,
+                   kernel)  # (N, P)
+    C = _k.ar1_cov(xyz, fid_c, xyz, fid_c, variances, lengthscales, rhos,
+                   kernel) + jnp.diag(_k.mf_noise_diag(fid_c, noises))
+    Kg_path = _k.ar1_cov(grid, fid_g, xyz, fid_c, variances, lengthscales,
+                         rhos, kernel)  # (G, P)
+    if mask is not None:
+        mm = mask[:, None] & mask[None, :]
+        B = jnp.where(mask[None, :], B, 0.0)
+        C = jnp.where(mm, C, jnp.eye(P, dtype=C.dtype))
+        Kg_path = jnp.where(mask[None, :], Kg_path, 0.0)
+    L_ext = _la.chol_append_block(L, B, C)
+    Kg_train = _k.ar1_cov(grid, fid_g, X, fidX, variances, lengthscales,
+                          rhos, kernel)
+    Kxs = jnp.concatenate([Kg_train, Kg_path], axis=1)
+    Kss = _k.ar1_cov(grid, fid_g, grid, fid_g, variances, lengthscales,
+                     rhos, kernel)
+    cov = (_la.posterior_cov(Kss, Kxs, L_ext)
+           + noises[F - 1] * jnp.eye(G, dtype=grid.dtype))
+    return 0.5 * (logdet_prior - _la.logdet_from_chol(_la.chol(cov)))
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _mf_logdet_gain_batch(pts, fids, mask, X, fidX, L, variances,
+                          lengthscales, rhos, noises, grid, logdet_prior,
+                          kernel="rbf"):
+    return jax.vmap(
+        lambda p, f, m: _mf_logdet_gain_one(
+            p, f, m, X, fidX, L, variances, lengthscales, rhos, noises,
+            grid, logdet_prior, kernel))(pts, fids, mask)
+
+
 # ---------------------------------------------------------------------------
 # cost objects
 # ---------------------------------------------------------------------------
@@ -272,6 +317,53 @@ class MFInfoGainCost:
         fids = jnp.asarray(self._fids_from_var(np.asarray(pts[..., 4])))
         return np.asarray(_mf_gain_batch(pts[..., :3], fids, mask,
                                          *self._args, kernel=self._kernel))
+
+
+@dataclass(eq=False)
+class MFBatchLogDetCost:
+    """Multi-fidelity batch mutual-information score over the eval grid
+    (reference ``calculatePathInfoEmuBatch``, reference/
+    PhysicalExperimentCode/GraceRIGV3.py:599-617). Path points condition at
+    the fidelity implied by their accrued localization variance
+    (labels l1*2+l2*1+l3*0, :602-606); the prior grid log-det is cached per
+    instance like the reference's per-plan ``logDetPrior``."""
+
+    model: mfm.MFGP
+    grid: np.ndarray
+    fid_levels: Sequence[float]
+
+    def __post_init__(self):
+        m = self.model
+        self.grid = jnp.asarray(self.grid, m.X.dtype)
+        cov_prior = m.predict_covariance(self.grid)
+        self._logdet_prior = _la.logdet_from_chol(_la.chol(cov_prior))
+        p = m.params
+        self._args = (m.state.X, m.state.fid, m.state.L, p.variances,
+                      p.lengthscales, p.rhos, p.noises, self.grid,
+                      self._logdet_prior)
+        self._kernel = m.kernel
+        self._F = int(p.variances.shape[0])
+
+    def _fids_from_var(self, var):
+        """Accrued variance -> fidelity label (reference :602-606:
+        < fl[0] -> 2 (highest), < fl[1] -> 1, else 0)."""
+        fl = self.fid_levels
+        return np.where(var < fl[0], self._F - 1,
+                        np.where(var < fl[1], 1, 0)).astype(np.int32)
+
+    def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
+        fids = self._fids_from_var(points[:, 4])
+        return float(_mf_logdet_gain_one(
+            jnp.asarray(points[:, :3]), jnp.asarray(fids), None,
+            *self._args, kernel=self._kernel))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, 5)
+        fids = jnp.asarray(self._fids_from_var(np.asarray(pts[..., 4])))
+        return np.asarray(_mf_logdet_gain_batch(
+            pts[..., :3], fids, mask, *self._args, kernel=self._kernel))
 
 
 @dataclass(eq=False)

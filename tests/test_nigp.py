@@ -109,3 +109,22 @@ def test_get_params_layout(rng):
     m.lengthscales_ = np.array([1.0, 2.0, 3.0])
     np.testing.assert_allclose(
         m.get_params(), [0.1, 0.2, 0.3, 1.5, 0.05, 1.0, 2.0, 3.0])
+
+
+def test_native_fit_recovers_input_noise(rng):
+    """fit_native (fully-coupled jax.grad objective, no alternating loop)
+    must recover sigma_x comparably to the alternating parity mode on the
+    reference's own self-check setup (reference/NIGP.py:339-365)."""
+    from mfgp_tpu.models.nigp import NIGP
+
+    N = 100
+    X = np.sort(rng.uniform(0, 10, N))[:, None]
+    Xn = X + 0.3 * rng.standard_normal(X.shape)
+    y = np.sin(Xn[:, 0]) + 0.1 * rng.standard_normal(N)
+    m = NIGP(n_restarts=3)
+    m.fit_native(X, y)
+    assert 0.1 < m.sigma_x_[0] < 0.8  # true 0.3
+    mu, var = m.predict(np.linspace(0, 10, 100)[:, None])
+    rmse = np.sqrt(np.mean((mu - np.sin(np.linspace(0, 10, 100))) ** 2))
+    assert rmse < 0.2
+    assert (np.asarray(var) > 0).all()

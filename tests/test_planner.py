@@ -111,3 +111,38 @@ def test_wallclock_termination():
     t0 = time.time()
     p.plan(np.array([0.5, 0.5]))
     assert time.time() - t0 < 30  # terminated by clock, not iterations
+
+
+def test_mf_batch_logdet_matches_refit_oracle(rng):
+    """MFBatchLogDetCost's bordered-Cholesky gain must equal the gain from
+    a literal model refit on train+path (the reference's procedure,
+    reference/PhysicalExperimentCode/GraceRIGV3.py:599-617)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.models.mfgp import MFGP
+    from mfgp_tpu.ops import linalg as la
+    from mfgp_tpu.planning.scoring import MFBatchLogDetCost
+
+    X = rng.uniform(0, 10, (40, 3))
+    y = np.sin(X.sum(1))
+    fid = rng.integers(0, 3, 40)
+    m = MFGP(X, fid, y, jitter=1e-8)
+    grid = rng.uniform(0, 10, (30, 3))
+    cost = MFBatchLogDetCost(model=m, grid=grid,
+                             fid_levels=[0.25, 2.25, 6.25])
+    path = np.column_stack([rng.uniform(0, 10, (6, 3)), np.arange(6),
+                            np.linspace(0, 3, 6)])
+    got = cost(path)
+    m2 = MFGP(np.vstack([X, path[:, :3]]),
+              np.concatenate([fid, cost._fids_from_var(path[:, 4])]),
+              np.concatenate([y, np.zeros(6)]), jitter=1e-8)
+    m2.params = m.params
+    cov_post = m2.predict_covariance(grid)
+    ld_post = float(la.logdet_from_chol(la.chol(jnp.asarray(cov_post))))
+    oracle = 0.5 * (float(cost._logdet_prior) - ld_post)
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+    # batch path must agree with singles (padding masked correctly)
+    path2 = np.column_stack([rng.uniform(0, 10, (9, 3)), np.arange(9),
+                             np.linspace(0, 1, 9)])
+    b = cost.batch([path, path2])
+    np.testing.assert_allclose(b, [got, cost(path2)], atol=1e-6)
