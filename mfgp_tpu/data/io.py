@@ -33,8 +33,12 @@ GPRES_HEADER = " x,y,z,trueField,sfMean,sfVar,mfMean,mfVar"
 def _load_csv(path):
     with open(path) as f:
         headers = f.readline().strip().lstrip("#").split(",")
-        headers = [h.strip() for h in headers]
-        data = np.loadtxt(f, delimiter=",", ndmin=2)
+    headers = [h.strip() for h in headers]
+    from mfgp_tpu import native
+
+    # native single-pass strtod parser when built (2x numpy.loadtxt),
+    # transparent numpy fallback otherwise
+    data = native.load_csv(path, skiprows=1)
     return headers, data
 
 
