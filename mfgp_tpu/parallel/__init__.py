@@ -8,3 +8,5 @@ from mfgp_tpu.parallel.sharded import (make_sharded_ar1_cross_cov,
                                        make_sharded_weighted_mse)
 from mfgp_tpu.parallel.train import (TrainState, fit_sharded, init_restarts,
                                      make_mfgp_train_step)
+from mfgp_tpu.parallel.sweep import (env_shard, process_shard, run_sweep,
+                                     trainer_sweep)

@@ -119,3 +119,65 @@ def test_fit_sharded_driver(mesh, problem):
     val = mf.nlml(best, jnp.asarray(X), jnp.asarray(fid, jnp.int32),
                   jnp.asarray(y), jitter=1e-6)
     assert np.isfinite(float(val))
+
+
+def test_process_shard_partition():
+    from mfgp_tpu.parallel.sweep import process_shard
+
+    tasks = list(range(10))
+    shards = [process_shard(tasks, i, 3) for i in range(3)]
+    # disjoint and complete
+    assert sorted(sum(shards, [])) == tasks
+    assert shards[0] == [0, 3, 6, 9]
+
+
+def test_run_sweep_isolates_failures():
+    from mfgp_tpu.parallel.sweep import run_sweep
+
+    def worker(t):
+        if t == 2:
+            raise ValueError("boom")
+        return t * 10
+
+    res = run_sweep([1, 2, 3], worker, process_index=0, process_count=1)
+    assert res[1] == 10 and res[3] == 30
+    assert isinstance(res[2], ValueError)
+
+
+def test_trainer_sweep_end_to_end(tmp_path, rng):
+    """Host-sharded GPTrainers sweep on two small synthetic datasets."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.data.io import GPDATA_HEADER, Table
+    from mfgp_tpu.fields.wrbf import default_sim_field, write_field_settings
+    from mfgp_tpu.parallel.sweep import trainer_sweep
+
+    data_dir = tmp_path / "GPDataSets"
+    field_dir = tmp_path / "FieldData"
+    out_dir = tmp_path / "GPResults"
+    data_dir.mkdir(); field_dir.mkdir()
+    field = default_sim_field([[0, 10], [0, 20]], 10.0)
+    write_field_settings(str(field_dir / "FieldSettings0.txt"), field)
+    for t in range(2):
+        n = 40
+        X = rng.uniform(0, 10, (n, 3)) * [1, 2, 1]
+        y = np.asarray(field(jnp.asarray(X)))
+        rows = np.column_stack([
+            np.arange(n, dtype=float), X, X + 0.05 * rng.standard_normal(
+                (n, 3)), y, rng.integers(1, 4, n).astype(float)])
+        Table(GPDATA_HEADER.split(","), rows).save(
+            str(data_dir / f"GPData_0.2_fieldMeas_0_T{t}_0.csv"))
+    # two "hosts" splitting the two files
+    r0 = trainer_sweep(str(data_dir), str(field_dir), str(out_dir),
+                       process_index=0, process_count=2)
+    r1 = trainer_sweep(str(data_dir), str(field_dir), str(out_dir),
+                       process_index=1, process_count=2)
+    assert len(r0) == 1 and len(r1) == 1
+    import os
+
+    assert len([f for f in os.listdir(out_dir)
+                if f.startswith("MSE")]) == 2
+    # resume: a re-run skips everything
+    r0b = trainer_sweep(str(data_dir), str(field_dir), str(out_dir),
+                        process_index=0, process_count=2)
+    assert list(r0b.values()) == ["skipped"]
