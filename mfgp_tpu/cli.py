@@ -192,6 +192,21 @@ def cmd_infogain_test(args):
                       "reference_style_score": ref_style}))
 
 
+def cmd_plot(args):
+    """Headless CSV/GPRes plotting (the reference dataPlotter capability)."""
+    from mfgp_tpu.viz import plot_csv, plot_gpres
+
+    if args.gpres:
+        out = plot_gpres(args.csv, args.out)
+    else:
+        def conv(c):
+            return int(c) if c.isdigit() else c
+
+        out = plot_csv(args.csv, args.out, x=conv(args.x),
+                       y=[conv(c) for c in args.y], kind=args.kind)
+    print(json.dumps({"figure": out}))
+
+
 def build_parser():
     ap = argparse.ArgumentParser(prog="mfgp_tpu",
                                  description="TPU-native MFGP exploration")
@@ -240,6 +255,14 @@ def build_parser():
 
     p = sub.add_parser("infogain-test"); p.set_defaults(fn=cmd_infogain_test)
     p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("plot"); p.set_defaults(fn=cmd_plot)
+    p.add_argument("csv"); p.add_argument("--out", required=True)
+    p.add_argument("--x", default="0")
+    p.add_argument("--y", nargs="+", default=["1"])
+    p.add_argument("--kind", default="line", choices=["line", "scatter"])
+    p.add_argument("--gpres", action="store_true",
+                   help="treat input as a GPRes artifact (scatter vs truth)")
 
     return ap
 

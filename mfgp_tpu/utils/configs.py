@@ -113,6 +113,12 @@ class SimConfig:
         )
 
 
+def _grid(specs) -> np.ndarray:
+    """Fortran-raveled meshgrid, the reference's grid convention."""
+    g = np.meshgrid(*[np.linspace(a, b, n) for a, b, n in specs])
+    return np.array([x.ravel("F") for x in g]).T
+
+
 @dataclass(frozen=True)
 class ExperimentConfig:
     """Physical-experiment-shaped settings (reference/PhysicalExperimentCode/
@@ -135,6 +141,52 @@ class ExperimentConfig:
         (SURVEY C25): MFEGP / MFGP / SFEGP / SFGP (+Manual separately)."""
         return (("MF" if self.multi_fidelity else "SF")
                 + ("E" if self.ergodic else "") + "GP")
+
+    # -- physical-run grids & initial hyps (exploreExpSettings.py) ----------
+    def erg_grid(self) -> np.ndarray:
+        """Batch-ergodic grid 21x11x5 (exploreExpSettings.py:158-161)."""
+        WS, mD = self.sim.WS, self.sim.max_depth
+        return _grid([(WS[0][0], WS[0][1], 21), (WS[1][0], WS[1][1], 11),
+                      (0.0, mD, 5)])
+
+    def ig_grid(self) -> np.ndarray:
+        """Batch info-gain grid 10x6x5 (exploreExpSettings.py:163-166)."""
+        WS, mD = self.sim.WS, self.sim.max_depth
+        return _grid([(WS[0][0], WS[0][1], 10), (WS[1][0], WS[1][1], 6),
+                      (0.0, mD, 5)])
+
+    def robot_test_points(self) -> np.ndarray:
+        """31x31x11 robot evaluation grid (exploreExpSettings.py:170-173,
+        a 15ft x 10ft x 1m tank)."""
+        ft = 0.3048
+        return _grid([(0.0, 15 * ft, 31), (0.0, 10 * ft, 31),
+                      (0.0, 1.0, 11)])
+
+    @staticmethod
+    def physical_init_hyps_sf() -> np.ndarray:
+        """Pre-set SFGP hyps [sig_var, l(3), noise]
+        (exploreExpSettings.py:75-78)."""
+        return np.array([3.378, 0.1678, 0.1792, 0.3618, 1e-8])
+
+    @staticmethod
+    def physical_init_hyps_mf() -> np.ndarray:
+        """Pre-set MFGP hyps in the 17-element emukit param_array layout.
+
+        The reference's ``initHypsMF`` (exploreExpSettings.py:79-81) is 15
+        values — per-fidelity [var, lx, ly, lz] x3, scale [1,1], and ONE
+        shared measurement noise; emukit's param_array carries three
+        per-fidelity noises, so the shared value is replicated here."""
+        fid1 = [6.6895, .3872, .3808, .4076]
+        fid2 = [1.9063, .1938, .1868, .2204]
+        fid3 = [3.72e-8, 4.78, 3.65, 1.8]
+        return np.array(fid1 + fid2 + fid3 + [1.0, 1.0]
+                        + [0.1156, 0.1156, 0.1156])
+
+    @staticmethod
+    def field_transform(x):
+        """Output transform ``log(x + 1)`` applied to the RGB field data
+        (exploreExpSettings.py:156 ``ftf``)."""
+        return np.log(np.asarray(x) + 1.0)
 
 
 DEFAULT_SIM = SimConfig()

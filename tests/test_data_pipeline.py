@@ -151,3 +151,27 @@ def test_aggregate_reproduces_reference_means(tmp_path):
     s = summary(rows)
     assert s["overall"]["n"] == len(rows)
     assert "velVariance=0.1" in s
+
+
+def test_physical_config_surface():
+    """Robot-run grids & pre-set hyps (SURVEY C26,
+    reference/PhysicalExperimentCode/exploreExpSettings.py)."""
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig()
+    assert exp.erg_grid().shape == (21 * 11 * 5, 3)
+    assert exp.ig_grid().shape == (10 * 6 * 5, 3)
+    tp = exp.robot_test_points()
+    assert tp.shape == (31 * 31 * 11, 3)  # BASELINE.md: 10571 robot grid
+    assert tp.shape[0] == 10571
+    assert exp.physical_init_hyps_sf().shape == (5,)
+    hyps = exp.physical_init_hyps_mf()
+    assert hyps.shape == (17,)
+    # loads straight into the MFGP param layout
+    from mfgp_tpu.models.mfgp import MFGPParams
+
+    p = MFGPParams.from_vector(hyps, 3, 3)
+    np.testing.assert_allclose(np.asarray(p.rhos), [1.0, 1.0])
+    # field transform log(x+1)
+    np.testing.assert_allclose(ExperimentConfig.field_transform([0.0, 1.0]),
+                               [0.0, np.log(2.0)])
