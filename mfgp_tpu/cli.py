@@ -192,6 +192,14 @@ def cmd_infogain_test(args):
                       "reference_style_score": ref_style}))
 
 
+def cmd_serve(args):
+    """Serve a trained model checkpoint over HTTP (posterior + EID)."""
+    _cpu(args)
+    from mfgp_tpu.serve import serve_checkpoint
+
+    serve_checkpoint(args.checkpoint, host=args.host, port=args.port)
+
+
 def cmd_plot(args):
     """Headless CSV/GPRes plotting (the reference dataPlotter capability)."""
     from mfgp_tpu.viz import plot_csv, plot_gpres
@@ -255,6 +263,11 @@ def build_parser():
 
     p = sub.add_parser("infogain-test"); p.set_defaults(fn=cmd_infogain_test)
     p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
+    p.add_argument("checkpoint")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
 
     p = sub.add_parser("plot"); p.set_defaults(fn=cmd_plot)
     p.add_argument("csv"); p.add_argument("--out", required=True)

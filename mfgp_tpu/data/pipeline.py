@@ -102,6 +102,25 @@ def bin_fidelity(est: Table, meas: Table, cfg: SimConfig) -> Table:
     return Table(GPDATA_HEADER.split(","), cols)
 
 
+def write_run_settings(path: str, cfg: SimConfig, origin: str = ""):
+    """``T<seed>_<vmn>Settings.txt`` provenance artifact: ground-truth
+    origin, seed, measurement-noise vector, and the KF matrices — the
+    reference's per-run settings dump
+    (reference/trajectoryEstimateGenerator.py:16-43)."""
+    model = cfg.kf_model()
+    A = np.asarray(type(model).A(cfg.dt))
+    with open(path, "w") as f:
+        f.write(f"Groundtruth Origin: {origin}\n")
+        f.write(f"Random Seed: {cfg.seed}\n")
+        f.write("Meas Noise:\n "
+                + str(np.asarray(cfg.kf_meas_noise).reshape(-1, 1)) + "\n")
+        f.write(f"KF A({cfg.dt}) Matrix:\n {A}\n")
+        f.write("KF B Matrix:\n 0\n")
+        f.write(f"KF Pinit Matrix:\n {np.asarray(model.P0)}\n")
+        f.write(f"KF Q Matrix:\n {np.asarray(model.Q)}\n")
+        f.write(f"KF R Matrix:\n {np.asarray(model.R)}\n")
+
+
 def run_pipeline(traj: Table, cfg: SimConfig, out_dir: str | None = None,
                  traj_name: str | None = None, field: WRBFField | None = None,
                  field_rng: np.random.Generator | None = None):
@@ -128,6 +147,8 @@ def run_pipeline(traj: Table, cfg: SimConfig, out_dir: str | None = None,
     if out_dir is not None:
         os.makedirs(os.path.join(out_dir, "FieldData"), exist_ok=True)
         os.makedirs(os.path.join(out_dir, "GPDataSets"), exist_ok=True)
+        write_run_settings(os.path.join(out_dir, name + "Settings.txt"),
+                           cfg, origin=getattr(traj, "origin", "<in-memory>"))
         est.save(os.path.join(out_dir, name + ".csv"))
         meas.save(os.path.join(
             out_dir, "FieldData", f"fieldMeas_{cfg.seed}_{name}.csv"))

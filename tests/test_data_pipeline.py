@@ -175,3 +175,15 @@ def test_physical_config_surface():
     # field transform log(x+1)
     np.testing.assert_allclose(ExperimentConfig.field_transform([0.0, 1.0]),
                                [0.0, np.log(2.0)])
+
+
+def test_run_settings_artifact(tmp_path, synth_traj):
+    """T*Settings.txt provenance dump written alongside the estimates
+    (reference/trajectoryEstimateGenerator.py:16-43)."""
+    cfg = SimConfig(seed=1, vmn=0.1)
+    run_pipeline(synth_traj, cfg, out_dir=str(tmp_path))
+    p = tmp_path / "T1_0.1Settings.txt"
+    assert p.exists()
+    txt = p.read_text()
+    assert "Random Seed: 1" in txt
+    assert "KF Q Matrix" in txt and "KF R Matrix" in txt
