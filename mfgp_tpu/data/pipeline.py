@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mfgp_tpu.data.io import (EST_HEADER, FIELD_HEADER, GPDATA_HEADER, Table,
-                              load_table)
+from mfgp_tpu.data.io import (EST_HEADER, FIELD_HEADER, GPDATA_HEADER,
+                              Table)
 from mfgp_tpu.estimation.kalman import filter_trajectory
 from mfgp_tpu.fields.wrbf import WRBFField, random_field, write_field_settings
 from mfgp_tpu.utils.configs import SimConfig

@@ -25,9 +25,8 @@ at the highest level).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import List
 
-import jax.numpy as jnp
 import numpy as np
 
 from mfgp_tpu.models.gp import GP

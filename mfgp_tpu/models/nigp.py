@@ -307,12 +307,20 @@ class NIGP:
         K = _k.rbf(X, X, self.sigma_f_, ls)
         obs = self.sigma_y_**2 + (self.noise_diag_train_
                                   if self.noise_diag_train_ is not None else 0.0)
-        L = _la.chol(K + jnp.diag(jnp.broadcast_to(obs, (X.shape[0],))))
+        L = _la.chol(_la.diag_add(K, jnp.broadcast_to(obs, (X.shape[0],))))
         alpha = _la.solve_posterior(L, y)
         Kxs = _k.rbf(Xs, X, self.sigma_f_, ls)
         mean = _la.posterior_mean(Kxs, alpha)
         if not (return_var or return_cov):
             return np.asarray(mean)
+
+        if not return_cov and Xs_input_noise is None:
+            # marginal variances without materialising the (M, M) cov
+            kss = jnp.broadcast_to(jnp.asarray(self.sigma_f_, X.dtype),
+                                   (Xs.shape[0],))
+            var = _la.posterior_var(kss, Kxs, L)
+            var = jnp.maximum(var, 1e-12)
+            return np.asarray(mean), np.asarray(var)
 
         Kss = _k.rbf(Xs, Xs, self.sigma_f_, ls)
         cov = _la.posterior_cov(Kss, Kxs, L)

@@ -18,18 +18,15 @@ Pad helpers keep shapes static and divisible by the shard count.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from mfgp_tpu.models import gp as _gp
 from mfgp_tpu.models import mfgp as _mf
 from mfgp_tpu.ops import kernels as _k
 from mfgp_tpu.ops import linalg as _la
-from mfgp_tpu.parallel.mesh import DP_AXIS, MP_AXIS, pad_to_multiple
+from mfgp_tpu.parallel.mesh import MP_AXIS, pad_to_multiple
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 

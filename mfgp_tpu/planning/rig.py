@@ -393,3 +393,50 @@ class RIGPlanner:
                                                    self.E.values()),
                 "best_info": self.best_path.info,
                 "best_budget": self.best_path.budget, **self.stats}
+
+    # -- traversals (reference/GraceRIGV3.py:1367-1453) ---------------------
+    def _adjacency(self):
+        adj: dict[int, set] = {i: set() for i in self.V}
+        for (i, j) in self.E:
+            if i in adj and i != j:
+                adj[i].add(j)
+        return adj
+
+    def dfs(self, start: Optional[int] = None):
+        """Depth-first node order from ``start`` (default: root)."""
+        adj = self._adjacency()
+        stack = [self.root_idx if start is None else start]
+        seen, order = set(), []
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            order.append(n)
+            stack.extend(sorted(adj.get(n, ()), reverse=True))
+        return order
+
+    def bfs(self, start: Optional[int] = None):
+        """Breadth-first node order from ``start`` (default: root)."""
+        from collections import deque
+
+        adj = self._adjacency()
+        q = deque([self.root_idx if start is None else start])
+        seen, order = set(q), []
+        while q:
+            n = q.popleft()
+            order.append(n)
+            for m in sorted(adj.get(n, ())):
+                if m not in seen:
+                    seen.add(m)
+                    q.append(m)
+        return order
+
+    def search(self, idx: int) -> bool:
+        """Is node ``idx`` reachable from the root?"""
+        return idx in self.dfs()
+
+    def childless_nodes(self):
+        """Leaf nodes: no outgoing edges (reference ``childlessNodes``)."""
+        adj = self._adjacency()
+        return sorted(i for i, kids in adj.items() if not kids)

@@ -146,3 +146,25 @@ def test_mf_batch_logdet_matches_refit_oracle(rng):
                              np.linspace(0, 1, 9)])
     b = cost.batch([path, path2])
     np.testing.assert_allclose(b, [got, cost(path2)], atol=1e-6)
+
+
+def test_graph_traversals(rng):
+    """DFS/BFS/search/childless over a planned graph
+    (reference/GraceRIGV3.py:1367-1453)."""
+    from mfgp_tpu.planning.primitives import AgentConfig
+    from mfgp_tpu.planning.rig import RIGPlanner
+
+    p = RIGPlanner(cfg=AgentConfig.sim_defaults(), delta=10, B=150,
+                   WS=np.array([[0, 10], [0, 20]]), R=1.25, Rd=5,
+                   same_node_distance=1, max_iter=25, seed=3,
+                   env=lambda pts: np.ones(len(pts)))
+    p.plan(np.array([[0.5], [0.5]]))
+    order_dfs = p.dfs()
+    order_bfs = p.bfs()
+    assert order_dfs[0] == p.root_idx == order_bfs[0]
+    assert set(order_dfs) == set(order_bfs)  # same reachable set
+    assert p.search(p.root_idx)
+    assert not p.search(10_000)
+    leaves = p.childless_nodes()
+    assert all(
+        not any(i == a for (a, b) in p.E if a != b) for i in leaves)
