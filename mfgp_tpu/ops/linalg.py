@@ -85,6 +85,21 @@ def tri_solve_blocked(L: jax.Array, B: jax.Array, block: int = 2048
     return X[:, 0] if vec else X
 
 
+def chol_solve_blocked(L: jax.Array, B: jax.Array, block: int = 2048
+                       ) -> jax.Array:
+    """``(L L^T)^-1 B`` with both triangular sweeps block-substituted.
+
+    The upper sweep ``L^T x = y`` is run as a lower solve on the
+    index-reversed system (flip rows/cols of L^T), so one blocked
+    forward-substitution kernel serves both.
+    """
+    y = tri_solve_blocked(L, B, block)
+    Lrev = L.T[::-1, ::-1]  # upper -> lower under index reversal
+    yrev = y[::-1] if y.ndim == 1 else y[::-1, :]
+    xrev = tri_solve_blocked(Lrev, yrev, block)
+    return xrev[::-1] if xrev.ndim == 1 else xrev[::-1, :]
+
+
 def logdet_from_chol(L: jax.Array) -> jax.Array:
     """``log |K| = 2 sum log diag(L)`` (reference/NIGP.py:159)."""
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)

@@ -111,12 +111,14 @@ def batched_lbfgs(
     m: int = 10,
     tol: float = 1e-6,
     max_ls: int = 20,
+    value_and_grad: Callable | None = None,
 ):
     """Pure-JAX projected L-BFGS with backtracking Armijo line search.
 
     ``fun`` maps (n,) -> scalar; vmap this whole function for restart
     batches. Bounds are enforced by projection of the trial point. Returns
-    (x, f, n_iters).
+    (x, f, n_iters). ``value_and_grad`` overrides autodiff with a custom
+    (value, grad) function (e.g. the analytic NLML gradient).
     """
     n = x0.shape[0]
     if lower is None:
@@ -124,7 +126,7 @@ def batched_lbfgs(
     if upper is None:
         upper = jnp.full((n,), jnp.inf, x0.dtype)
 
-    vg = jax.value_and_grad(fun)
+    vg = value_and_grad or jax.value_and_grad(fun)
 
     def clip(x):
         return jnp.clip(x, lower, upper)

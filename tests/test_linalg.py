@@ -79,3 +79,22 @@ def test_weighted_mse_matches_reference_formula(rng):
 def test_rmse():
     e = np.array([1.0, -1.0, 1.0, -1.0])
     assert float(la.rmse(jnp.asarray(e))) == 1.0
+
+
+def test_chol_solve_blocked_matches_dense(rng):
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops.linalg import chol, chol_solve, chol_solve_blocked
+
+    n = 300
+    A = rng.normal(size=(n, n))
+    S = A @ A.T + n * np.eye(n)
+    L = chol(jnp.asarray(S))
+    B = rng.normal(size=(n, 17))
+    x1 = np.asarray(chol_solve(L, jnp.asarray(B)))
+    x2 = np.asarray(chol_solve_blocked(L, jnp.asarray(B), block=64))
+    np.testing.assert_allclose(x2, x1, rtol=1e-10, atol=1e-12)
+    b = rng.normal(size=n)
+    y1 = np.asarray(chol_solve(L, jnp.asarray(b)))
+    y2 = np.asarray(chol_solve_blocked(L, jnp.asarray(b), block=64))
+    np.testing.assert_allclose(y2, y1, rtol=1e-10, atol=1e-12)

@@ -140,3 +140,29 @@ def test_mfgp_optimize_restarts(rng):
     # lengthscale bounds respected
     ls = np.asarray(m.params.lengthscales)
     assert (ls >= 1e-4 - 1e-12).all() and (ls <= 100.0 + 1e-9).all()
+
+
+def test_analytic_gradient_matches_autodiff(rng):
+    """nlml_value_and_grad's trace-identity gradients must equal autodiff
+    exactly (var/lengthscale/noise; rhos fixed)."""
+    import jax
+
+    N, D, F = 60, 3, 3
+    X = jnp.asarray(rng.uniform(0, 10, (N, D)))
+    fid = jnp.asarray(rng.integers(0, F, N), jnp.int32)
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)))
+    params = mf.MFGPParams(
+        jnp.log(jnp.asarray([2.0, 1.0, 0.5])),
+        jnp.log(jnp.asarray(rng.uniform(0.5, 3, (F, D)))),
+        jnp.asarray([1.2, 0.8]),
+        jnp.log(jnp.asarray([0.3, 0.1, 0.05])))
+    v_ad, g_ad = jax.value_and_grad(
+        lambda p: mf.nlml(p, X, fid, y, jitter=1e-8))(params)
+    v_an, g_an = mf.nlml_value_and_grad(params, X, fid, y, jitter=1e-8)
+    np.testing.assert_allclose(float(v_an), float(v_ad), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_an.log_variances),
+                               np.asarray(g_ad.log_variances), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(g_an.log_lengthscales),
+                               np.asarray(g_ad.log_lengthscales), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_an.log_noises),
+                               np.asarray(g_ad.log_noises), atol=1e-12)
