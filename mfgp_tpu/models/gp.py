@@ -122,6 +122,37 @@ def nlml(params: GPParams, X, y, extra_noise_diag=0.0, kernel: str = "rbf",
 
 
 @partial(jax.jit, static_argnames=("kernel",))
+def nlml_value_and_grad(params: GPParams, X, y, extra_noise_diag=0.0,
+                        kernel: str = "rbf", jitter: float = 0.0):
+    """NLML + analytic gradient (RBF): the F=1 case of the trace-identity
+    shortcut in models/mfgp.nlml_value_and_grad — ~2.5x faster than the
+    Cholesky-VJP backward at large N. Returns (value, GPParams-grad)."""
+    if kernel != "rbf":
+        raise NotImplementedError("analytic gradient: rbf only")
+    N, D = X.shape
+    K = _k.rbf(X, X, params.variance, params.lengthscales)
+    obs = params.noise + extra_noise_diag + jitter
+    Kn = _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    val = (0.5 * jnp.dot(y, alpha)
+           + 0.5 * _la.logdet_from_chol(L)
+           + 0.5 * N * _LOG2PI)
+
+    Kinv = _la.chol_solve_blocked(L, jnp.eye(N, dtype=X.dtype))
+    W = Kinv - alpha[:, None] * alpha[None, :]
+    A = W * K  # == W o (dK/dlog variance)
+    ones_x = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
+    sv = jnp.dot(A, ones_x, precision=jax.lax.Precision.HIGHEST)
+    s, Ax = sv[:, 0], sv[:, 1:]
+    g_logvar = 0.5 * jnp.sum(s)
+    g_logls = (jnp.sum((X**2) * s[:, None], axis=0)
+               - jnp.sum(X * Ax, axis=0)) / (params.lengthscales**2)
+    g_lognoise = 0.5 * params.noise * jnp.sum(jnp.diagonal(W))
+    return val, GPParams(g_logvar, g_logls, g_lognoise)
+
+
+@partial(jax.jit, static_argnames=("kernel",))
 def condition(params: GPParams, X, y, extra_noise_diag=0.0,
               kernel: str = "rbf", jitter: float = 0.0) -> GPState:
     L = _la.chol(_assemble_noisy_cov(params, X, extra_noise_diag, jitter,
@@ -272,8 +303,22 @@ class GP:
             v = nlml(p, X, y, kernel=kernel, jitter=jitter)
             return jnp.where(jnp.isfinite(v), v, 1e20)
 
+        vg = None
+        if kernel == "rbf":
+            def vg(vec):
+                p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
+                v, g = nlml_value_and_grad(p, X, y, kernel=kernel,
+                                           jitter=jitter)
+                gv = jnp.concatenate([g.log_variance[None],
+                                      g.log_lengthscales,
+                                      g.log_noise[None]])
+                bad = ~jnp.isfinite(v)
+                return (jnp.where(bad, 1e20, v),
+                        jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
+
         fit = jax.jit(jax.vmap(
-            lambda v: batched_lbfgs(obj, v, maxiter=maxiter)[:2]))
+            lambda v: batched_lbfgs(obj, v, maxiter=maxiter,
+                                    value_and_grad=vg)[:2]))
         xs, fs = fit(inits)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
         xopt = xs[best]

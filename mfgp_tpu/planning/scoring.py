@@ -27,6 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfgp_tpu.metrics.ergodic import kl_divergence, trajectory_distribution
+from mfgp_tpu.metrics.fourier import (basis_norms, config_k,
+                                      fourier_basis, fourier_coefficients,
+                                      sobolev_weights)
 from mfgp_tpu.metrics.info_gain import (sequential_gain_from_cov,
                                         sequential_gain_cross)
 from mfgp_tpu.models import gp as gpm
@@ -249,6 +252,69 @@ class ErgodicCost:
         pts, mask = _pad_paths(paths, 4)
         return np.asarray(_ergodic_batch(pts, mask, self.grid,
                                          self.sigma_diag, self._p))
+
+
+@jax.jit
+def _fourier_erg_one(xyz_unit, mask, k, hk, lamk, target_coef):
+    w = (mask.astype(xyz_unit.dtype) if mask is not None
+         else jnp.ones(xyz_unit.shape[0], xyz_unit.dtype))
+    F = fourier_basis(xyz_unit, k)  # (M, T)
+    coef = jnp.sum(F * w[None, :], axis=1) / jnp.maximum(jnp.sum(w), 1.0) / hk
+    return -jnp.sum(lamk * (coef - target_coef) ** 2)
+
+
+@jax.jit
+def _fourier_erg_batch(pts, mask, k, hk, lamk, target_coef):
+    return jax.vmap(lambda p, m: _fourier_erg_one(p, m, k, hk, lamk,
+                                                  target_coef))(pts, mask)
+
+
+@dataclass(eq=False)
+class FourierErgodicCost:
+    """Spectral (Sobolev-norm) ergodic cost over the cosine basis.
+
+    The reference implements this metric standalone and never wires it into
+    the planner (SURVEY C11, reference/PhysicalExperimentCode/
+    ergodicMetric.py); here it is a first-class planner cost: score =
+    -sum_k lambda_k (c_k(traj) - c_k(target))^2, with the target
+    coefficients precomputed from the EID over the grid. Coordinates are
+    normalized to the unit box (the cosine basis domain).
+    """
+
+    eid: np.ndarray  # (G,) target distribution over grid
+    grid: np.ndarray  # (G, d)
+    bounds: np.ndarray  # (d, 2) workspace box for unit normalization
+    n_coefs: int = 5  # coefficients per dimension
+
+    def __post_init__(self):
+        self.bounds = np.asarray(self.bounds, float)
+        d = self.bounds.shape[0]
+        lengths = self.bounds[:, 1] - self.bounds[:, 0]
+        self._k = jnp.asarray(config_k(*[(self.n_coefs, 1.0)] * d))
+        self._hk = basis_norms(self._k)
+        self._lamk = sobolev_weights(self._k)
+        gu = (np.asarray(self.grid)[:, :d] - self.bounds[:, 0]) / lengths
+        p = np.asarray(self.eid).reshape(-1)
+        self._target = fourier_coefficients(jnp.asarray(gu), jnp.asarray(p)
+                                            * p.shape[0], self._k, self._hk)
+        self._lo = jnp.asarray(self.bounds[:, 0])
+        self._ilen = jnp.asarray(1.0 / lengths)
+        self._d = d
+
+    def _unit(self, xyz):
+        return (jnp.asarray(xyz[:, : self._d]) - self._lo) * self._ilen
+
+    def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
+        return float(_fourier_erg_one(self._unit(points), None, self._k,
+                                      self._hk, self._lamk, self._target))
+
+    def batch(self, paths: Sequence[np.ndarray]) -> np.ndarray:
+        pts, mask = _pad_paths(paths, self._d)
+        units = jax.vmap(self._unit)(pts)
+        return np.asarray(_fourier_erg_batch(units, mask, self._k, self._hk,
+                                             self._lamk, self._target))
 
 
 @dataclass(eq=False)

@@ -147,6 +147,11 @@ class ExplorationSim:
 
     def _make_cost(self, model, eid):
         if self.exp.ergodic:
+            if self.exp.ergodic_metric == "fourier":
+                bounds = np.asarray(
+                    list(self.cfg.WS) + [(0.0, self.cfg.max_depth)], float)
+                return scoring.FourierErgodicCost(eid=eid, grid=self.grid,
+                                                  bounds=bounds)
             return scoring.ErgodicCost(eid=eid, grid=self.grid)
         if isinstance(model, MFGP):
             return scoring.MFInfoGainCost(model=model,

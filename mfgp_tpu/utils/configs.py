@@ -134,6 +134,7 @@ class ExperimentConfig:
     alpha_auto: bool = False  # EID auto-alpha (exploreExpSettings.py:71)
     update_hyps: bool = True  # retrain at replan (exploreExpSettings.py:73)
     kernel: str = "rbf"  # physical drivers use "matern32"
+    ergodic_metric: str = "kl"  # "kl" (reference) or "fourier" (Sobolev)
 
     @property
     def variant(self) -> str:

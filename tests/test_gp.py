@@ -123,3 +123,20 @@ def test_optimize_restarts_matches_scipy_quality(rng):
     mu1, _ = g1.predict(X[:5])
     mu2, _ = g2.predict(X[:5])
     np.testing.assert_allclose(mu1, mu2, atol=0.2)
+
+
+def test_gp_analytic_gradient_matches_autodiff(rng):
+    import jax
+
+    from mfgp_tpu.models import gp as g
+
+    X = jnp.asarray(rng.uniform(0, 10, (50, 3)))
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)))
+    p = g.GPParams(jnp.log(jnp.asarray(2.0)),
+                   jnp.log(jnp.asarray([1.5, 0.7, 2.2])),
+                   jnp.log(jnp.asarray(0.1)))
+    v1, g1 = jax.value_and_grad(lambda q: g.nlml(q, X, y, jitter=1e-8))(p)
+    v2, g2 = g.nlml_value_and_grad(p, X, y, jitter=1e-8)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)

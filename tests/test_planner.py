@@ -168,3 +168,37 @@ def test_graph_traversals(rng):
     leaves = p.childless_nodes()
     assert all(
         not any(i == a for (a, b) in p.E if a != b) for i in leaves)
+
+
+def test_fourier_ergodic_cost_ranks_coverage(rng):
+    """Spectral ergodic cost (SURVEY C11, wired as a planner cost): a
+    trajectory through the EID mass must outrank one far from it, and
+    batch scores must equal singles."""
+    from mfgp_tpu.metrics.eid import eid_grid
+    from mfgp_tpu.planning import FourierErgodicCost
+
+    grid = eid_grid([[0, 10], [0, 20]], 10.0)
+    d2 = ((grid - np.array([7, 14, 5])) ** 2).sum(1)
+    eid = np.exp(-0.1 * d2)
+    eid /= eid.sum()
+    cost = FourierErgodicCost(eid=eid, grid=grid,
+                              bounds=np.array([[0, 10], [0, 20], [0, 10]]))
+    t_good = np.column_stack([np.linspace(5, 9, 30),
+                              np.linspace(10, 18, 30),
+                              np.linspace(3, 7, 30)])
+    t_bad = np.column_stack([np.linspace(0, 2, 30), np.linspace(0, 4, 30),
+                             np.linspace(0, 1, 30)])
+    assert cost(t_good) > cost(t_bad)
+    b = cost.batch([t_good, t_bad])
+    np.testing.assert_allclose(b, [cost(t_good), cost(t_bad)], atol=1e-9)
+
+
+def test_fourier_ergodic_in_sim_loop():
+    """The spectral metric drives the closed loop end to end."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=True,
+                           ergodic_metric="fourier", B=10, BD=1)
+    res = ExplorationSim(exp, seed=4, plan_iters=6).run()
+    assert res.budget_used <= 10.0
