@@ -1,0 +1,109 @@
+"""Quickstart: the five workflows a reference user needs, end to end.
+
+Run on CPU (f64) by default; drop the two config lines to run on TPU.
+
+    python examples/quickstart.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+
+# 1. Fit a single-fidelity GP on a fidelity-binned dataset ------------------
+def example_sfgp():
+    import jax.numpy as jnp
+
+    from mfgp_tpu.fields.wrbf import default_sim_field
+    from mfgp_tpu.models import GP
+
+    rng = np.random.default_rng(0)
+    field = default_sim_field([[0, 10], [0, 20]], 10.0)
+    X = rng.uniform(0, 10, (200, 3)) * [1, 2, 1]
+    y = np.asarray(field(jnp.asarray(X))) + 0.1 * rng.standard_normal(200)
+    gp = GP(X, y, jitter=1e-6)
+    gp.optimize_restarts(n_restarts=4)  # one device launch, all restarts
+    mu, var = gp.predict(X[:5])
+    print("SFGP:", "nlml", round(-gp.log_likelihood(), 2),
+          "hyps", np.round(gp.param_array, 3))
+
+
+# 2. Multi-fidelity (AR1) on localization-binned data -----------------------
+def example_mfgp():
+    import jax.numpy as jnp
+
+    from mfgp_tpu.fields.wrbf import default_sim_field
+    from mfgp_tpu.models import MFGP
+
+    rng = np.random.default_rng(1)
+    field = default_sim_field([[0, 10], [0, 20]], 10.0)
+    X = rng.uniform(0, 10, (240, 3)) * [1, 2, 1]
+    y = np.asarray(field(jnp.asarray(X)))
+    # noisy positions -> lower fidelity (more position error)
+    sig = rng.choice([0.02, 0.3, 1.0], 240)
+    Xh = X + sig[:, None] * rng.standard_normal((240, 3))
+    fid = np.select([sig < 0.1, sig < 0.5], [1, 2], 3)  # 1 = best
+    m = MFGP.from_fidelity_lists(
+        [Xh[fid == 3], Xh[fid == 2], Xh[fid == 1]],
+        [y[fid == 3], y[fid == 2], y[fid == 1]], jitter=1e-6)
+    m.optimize_restarts(n_restarts=4, lengthscale_bounds=(1e-4, 100))
+    mu, var = m.predict(X[:5])
+    print("MFGP:", "nlml", round(-m.log_likelihood(), 2),
+          "posterior head", np.round(np.asarray(mu), 2))
+
+
+# 3. Offline pipeline: trajectory -> estimates -> GP dataset ----------------
+def example_pipeline(tmp="/tmp/mfgp_quickstart"):
+    from mfgp_tpu.data import Table, run_pipeline
+    from mfgp_tpu.utils.configs import SimConfig
+
+    t = np.arange(0, 900, 0.1)
+    traj = Table(["t", "x", "y", "z"], np.column_stack([
+        t, 5 + 4 * np.sin(2 * np.pi * t / 300),
+        10 + 8 * np.sin(2 * np.pi * t / 400),
+        np.clip(5 * np.sin(2 * np.pi * t / 150) ** 2 - 0.4, 0, None)]))
+    est, meas, gpd, field = run_pipeline(traj, SimConfig(), out_dir=tmp)
+    print("pipeline:", gpd.data.shape[0], "binned rows ->", tmp)
+
+
+# 4. Closed-loop adaptive exploration (flagship) ----------------------------
+def example_explore():
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=True, ergodic=True, B=20, BD=2)
+    res = ExplorationSim(exp, seed=0, plan_iters=10).run()
+    print("explore:", len(res.replans), "replans,",
+          res.gp_data.data.shape[0], "points, final RMSE",
+          round(res.rmse, 3))
+
+
+# 5. Multi-chip sharded fit (runs on however many devices exist) ------------
+def example_sharded():
+    from mfgp_tpu.parallel import fit_sharded, make_mesh
+
+    rng = np.random.default_rng(2)
+    X = rng.uniform(0, 10, (120, 3))
+    y = np.sin(X.sum(1))
+    fid = rng.integers(0, 3, 120)
+    grid = rng.uniform(0, 10, (64, 3))
+    mesh = make_mesh()  # all available devices
+    best, losses, mu, var = fit_sharded(mesh, X, fid, y, grid, steps=50)
+    print("sharded:", dict(mesh.shape), "best loss",
+          round(float(np.min(np.asarray(losses))), 2))
+
+
+if __name__ == "__main__":
+    example_sfgp()
+    example_mfgp()
+    example_pipeline()
+    example_explore()
+    example_sharded()
