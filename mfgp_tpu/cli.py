@@ -140,6 +140,13 @@ def cmd_explore(args):
     if variant == "MANUAL":
         if args.waypoints:
             wp = np.loadtxt(args.waypoints, delimiter=",", ndmin=2)[:, :3]
+        elif args.trajectory_name:
+            from mfgp_tpu.hw.trajectories import (reference_trajectory,
+                                                  scale_to_workspace)
+
+            t = np.linspace(0, 540, 40)
+            curve = reference_trajectory(args.trajectory_name, t)
+            wp = scale_to_workspace(curve, exp.sim.WS, exp.sim.max_depth)
         else:  # default lawnmower-ish demo chain
             wp = np.array([[1, 1, 0], [8, 4, 3], [3, 15, 5], [8, 18, 0]],
                           float)
@@ -257,6 +264,8 @@ def build_parser():
     p.add_argument("--checkpoint", help="write a checkpoint after each replan")
     p.add_argument("--resume-from", help="resume from a checkpoint file")
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
+    p.add_argument("--trajectory-name",
+                   help="named reference curve for MANUAL (circle, fig8, ...)")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

@@ -12,3 +12,6 @@ from mfgp_tpu.hw.apriltag import (AprilFusion, AprilFusionConfig,
                                   TagDetection, load_tag_map, rp_to_tf,
                                   tf_to_vec, vec_to_tf, zyx_rotm)
 from mfgp_tpu.hw.geo import convert_gps_format, gps_bearing_distance
+from mfgp_tpu.hw.trajectories import (TRAJECTORIES, reference_trajectory,
+                                      scale_to_workspace)
+from mfgp_tpu.hw import xbee  # noqa: F401

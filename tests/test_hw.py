@@ -109,3 +109,23 @@ def test_simulated_robot_io_surface():
     r, p, y = io.read_euler()
     assert (r, p, y) == (0.0, 0.0, 0.0)
     assert len(io.read_imu()) == 9
+
+
+def test_reference_trajectories():
+    """Named curves (SURVEY C26 backsteppingConfig): shapes, bounds,
+    workspace scaling."""
+    from mfgp_tpu.hw.trajectories import (TRAJECTORIES,
+                                          reference_trajectory,
+                                          scale_to_workspace)
+
+    t = np.linspace(0, 540, 200)
+    for name in TRAJECTORIES:
+        out = reference_trajectory(name, t)
+        assert out.shape == (200, 4)
+        assert np.isfinite(out).all()
+    fig8 = reference_trajectory("fig8", t)
+    wp = scale_to_workspace(fig8, [[0, 10], [0, 20]], 10.0)
+    assert wp[:, 0].min() >= 0 and wp[:, 0].max() <= 10
+    assert wp[:, 1].max() <= 20 and wp[:, 2].max() <= 10
+    with pytest.raises(KeyError):
+        reference_trajectory("nope", t)
