@@ -53,6 +53,61 @@ def generate_estimates(traj: Table, cfg: SimConfig, seed: int | None = None,
     return Table(EST_HEADER.split(","), cols)
 
 
+def generate_estimates_batch(trajs, cfg: SimConfig, seeds=None,
+                             t_cut: float = 3600.0):
+    """Batched stage 1: one vmapped ``lax.scan`` filters a whole sweep.
+
+    The reference runs its 10-trajectory x 3-noise study one file at a time
+    (reference/trajectoryEstimateGenerator.py); here every trajectory's KF
+    runs as one device launch. Variable lengths are padded to the longest
+    (positions repeat the last row with a constant dt tail) and outputs are
+    truncated per trajectory.
+
+    trajs: list of Tables with t/x/y/z columns. Returns a list of estimate
+    Tables matching :func:`generate_estimates` row for row.
+    """
+    seeds = seeds if seeds is not None else [cfg.seed + i
+                                             for i in range(len(trajs))]
+    model = cfg.kf_model()
+
+    ts, poss, lengths = [], [], []
+    for traj in trajs:
+        t = traj.col("t")
+        pos = traj.cols("x", "y", "z")
+        n_keep = int(np.searchsorted(t, t_cut, side="left")) + 1
+        t, pos = t[: n_keep + 1], pos[: n_keep + 1]
+        lengths.append(t.shape[0])
+        ts.append(t)
+        poss.append(pos)
+    T = max(lengths)
+    tpad = np.zeros((len(trajs), T))
+    ppad = np.zeros((len(trajs), T, 3))
+    for i, (t, pos) in enumerate(zip(ts, poss)):
+        n = t.shape[0]
+        tpad[i, :n] = t
+        ppad[i, :n] = pos
+        if n < T:  # constant-dt tail keeps the scan's divisions finite
+            dt = t[-1] - t[-2] if n >= 2 else 1.0
+            tpad[i, n:] = t[-1] + dt * np.arange(1, T - n + 1)
+            ppad[i, n:] = pos[-1]
+
+    keys = jax.vmap(jax.random.key)(jnp.asarray(seeds, jnp.uint32))
+    out = jax.vmap(filter_trajectory, in_axes=(None, 0, 0, 0))(
+        model, jnp.asarray(tpad), jnp.asarray(ppad), keys)
+
+    tables = []
+    for i, n in enumerate(lengths):
+        cols = np.column_stack([
+            np.asarray(out["t"][i][: n - 1]),
+            np.asarray(out["pos"][i][: n - 1]),
+            np.asarray(out["xh"][i][: n - 1]),
+            np.asarray(out["sig"][i][: n - 1]),
+            np.asarray(out["err"][i][: n - 1]),
+        ])
+        tables.append(Table(EST_HEADER.split(","), cols))
+    return tables
+
+
 def generate_field_measurements(est: Table, field: WRBFField,
                                 cfg: SimConfig, rng: np.random.Generator
                                 ) -> Table:

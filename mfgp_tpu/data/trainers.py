@@ -84,10 +84,21 @@ def evaluate_models(models: TrainedModels, test_points: np.ndarray,
                          ("nisf", mu_ni, cov_ni), ("sfTP", mu_tp, cov_tp)):
         err = np.asarray(mu).reshape(-1) - f_true
         metrics[f"RMSE {key}"] = float(np.sqrt(np.mean(err**2)))
-        metrics[f"WRMSE {key}"] = float(weighted_mse(
-            jnp.asarray(err), jnp.asarray(cov, jnp.float64),
-            normalize=normalize))
-        grids[key] = (np.asarray(mu).reshape(-1), np.diag(np.asarray(cov)))
+        cov = np.asarray(cov, np.float64)
+        w = float(weighted_mse(jnp.asarray(err), jnp.asarray(cov),
+                               normalize=normalize))
+        if not np.isfinite(w):
+            # near-singular posterior covariance (NIGP with vanishing noise
+            # does this on some datasets — the reference's explicit inverse
+            # returns garbage-but-finite values there); retry with a
+            # trace-scaled jitter
+            jit = 1e-10 * np.trace(cov) / cov.shape[0] + 1e-12
+            w = float(weighted_mse(
+                jnp.asarray(err),
+                jnp.asarray(cov + jit * np.eye(cov.shape[0])),
+                normalize=normalize))
+        metrics[f"WRMSE {key}"] = w
+        grids[key] = (np.asarray(mu).reshape(-1), np.diag(cov))
     return metrics, grids
 
 

@@ -187,3 +187,19 @@ def test_run_settings_artifact(tmp_path, synth_traj):
     txt = p.read_text()
     assert "Random Seed: 1" in txt
     assert "KF Q Matrix" in txt and "KF R Matrix" in txt
+
+
+def test_batched_estimates_match_serial(synth_traj):
+    """vmapped sweep filtering must reproduce the serial path per
+    trajectory (same seeds -> identical rows)."""
+    from mfgp_tpu.data import generate_estimates_batch
+
+    cfg = SimConfig(seed=7, vmn=0.1)
+    # two different-length trajectories
+    short = Table(synth_traj.headers, synth_traj.data[:3000])
+    outs = generate_estimates_batch([synth_traj, short], cfg,
+                                    seeds=[7, 8])
+    ref0 = generate_estimates(synth_traj, cfg, seed=7)
+    ref1 = generate_estimates(short, cfg, seed=8)
+    np.testing.assert_allclose(outs[0].data, ref0.data, rtol=1e-10)
+    np.testing.assert_allclose(outs[1].data, ref1.data, rtol=1e-10)

@@ -105,3 +105,24 @@ def test_sim_survives_constant_field(rng):
     sim = ExplorationSim(exp, seed=1, plan_iters=4, field_env=flat)
     res = sim.run()
     assert res.budget_used <= 8.0
+
+
+def test_wmse_singular_covariance_recovers(rng):
+    """A near-singular posterior covariance must yield a finite WMSE via
+    the jitter retry (NIGP with vanishing noise hits this; observed on
+    GPData_0.2_fieldMeas_0_T1_0)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops.linalg import weighted_mse
+
+    n = 40
+    u = rng.normal(size=(n, 2))
+    cov = u @ u.T  # rank-2: singular
+    err = rng.normal(size=n)
+    w = float(weighted_mse(jnp.asarray(err), jnp.asarray(cov)))
+    assert not np.isfinite(w)  # raw path fails as expected
+    # the trainers-path retry
+    jit = 1e-10 * np.trace(cov) / n + 1e-12
+    w2 = float(weighted_mse(jnp.asarray(err),
+                            jnp.asarray(cov + jit * np.eye(n))))
+    assert np.isfinite(w2)
