@@ -326,6 +326,30 @@ class GP:
         self._state = None
         return float(fs[best])
 
+    # -- online updates -----------------------------------------------------
+    def extend_data(self, X_new, y_new):
+        """Online conditioning: append observations WITHOUT refactorizing.
+
+        The Cholesky factor grows by a bordered block (O(N^2 P) instead of
+        O((N+P)^3), ops.linalg.chol_append_block) — the "online GP update"
+        of BASELINE config 4; the reference instead calls ``gp.set_XY`` and
+        refits from scratch on every replan
+        (reference/PhysicalExperimentCode/GraceRIGV3.py:590)."""
+        X_new = jnp.atleast_2d(jnp.asarray(X_new, self.X.dtype))
+        y_new = jnp.asarray(y_new, self.y.dtype).reshape(-1)
+        state = self.state  # force factorization of the current data
+        B = _cov(self.params, state.X, X_new, self.kernel)
+        C = _cov(self.params, X_new, X_new, self.kernel)
+        obs = self.params.noise + self.jitter
+        C = _la.diag_add(C, jnp.broadcast_to(obs, (X_new.shape[0],)))
+        L = _la.chol_append_block(state.L, B, C)
+        X = jnp.concatenate([state.X, X_new])
+        y = jnp.concatenate([state.y, y_new])
+        alpha = _la.solve_posterior(L, y)
+        self.X, self.y = X, y
+        self._state = GPState(X, y, L, alpha)
+        return self
+
     # -- prediction ---------------------------------------------------------
     def predict(self, Xs, full_cov: bool = False, include_noise: bool = True,
                 block_size: int | None = None):

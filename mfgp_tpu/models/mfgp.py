@@ -459,6 +459,30 @@ class MFGP:
         self._state = None
         return float(fs[best])
 
+    def extend_data(self, X_new, fid_new, y_new):
+        """Online conditioning: append fidelity-labelled observations via a
+        bordered Cholesky block — O(N^2 P) vs the reference's full
+        ``set_data`` + refit per replan (see gp.GP.extend_data)."""
+        X_new = jnp.atleast_2d(jnp.asarray(X_new, self.X.dtype))
+        fid_new = jnp.asarray(fid_new, jnp.int32).reshape(-1)
+        y_new = jnp.asarray(y_new, self.y.dtype).reshape(-1)
+        state = self.state
+        p = self.params
+        B = _k.ar1_cov(state.X, state.fid, X_new, fid_new, p.variances,
+                       p.lengthscales, p.rhos, self.kernel)
+        C = _k.ar1_cov(X_new, fid_new, X_new, fid_new, p.variances,
+                       p.lengthscales, p.rhos, self.kernel)
+        C = _la.diag_add(C, _k.mf_noise_diag(fid_new, p.noises)
+                         + self.jitter)
+        L = _la.chol_append_block(state.L, B, C)
+        X = jnp.concatenate([state.X, X_new])
+        fid = jnp.concatenate([state.fid, fid_new])
+        y = jnp.concatenate([state.y, y_new])
+        alpha = _la.solve_posterior(L, y)
+        self.X, self.fid, self.y = X, fid, y
+        self._state = MFGPState(X, fid, y, L, alpha)
+        return self
+
     def predict(self, Xs, fid=None, full_cov: bool = False,
                 include_noise: bool = True, block_size: int | None = None):
         """Predict at fidelity ``fid`` (default: highest).

@@ -270,14 +270,30 @@ class ExplorationSim:
                 data_rows.append(rows)
                 t_now += t_flown
 
-            # retrain on everything gathered so far
+            # retrain on everything gathered so far; with frozen hyps the
+            # new rows extend the conditioned state online (bordered
+            # Cholesky block) instead of a full refit
             allrows = np.concatenate(data_rows) if data_rows else None
             if allrows is not None and allrows.shape[0] >= 4:
-                X = allrows[:, 4:7]
-                y = allrows[:, 7]
-                fid = allrows[:, 8].astype(int)
-                model = self._make_model(X, fid, y)
-                self._fit(model)
+                can_extend = (not self.exp.update_hyps and plan_num > 0
+                              and rows is not None
+                              and hasattr(model, "extend_data")
+                              and allrows.shape[0] > rows.shape[0])
+                if can_extend:
+                    if isinstance(model, MFGP):
+                        # fidLev {3,2,1} -> emukit index {0,1,2}
+                        # (the [Xf3, Xf2, Xf1] stacking order)
+                        model.extend_data(rows[:, 4:7],
+                                          3 - rows[:, 8].astype(int),
+                                          rows[:, 7])
+                    else:
+                        model.extend_data(rows[:, 4:7], rows[:, 7])
+                else:
+                    X = allrows[:, 4:7]
+                    y = allrows[:, 7]
+                    fid = allrows[:, 8].astype(int)
+                    model = self._make_model(X, fid, y)
+                    self._fit(model)
 
             rec = ReplanRecord(plan_num, t_now, tranche, best.info,
                                np.asarray(pts), *[

@@ -140,3 +140,22 @@ def test_gp_analytic_gradient_matches_autodiff(rng):
     np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+
+
+def test_extend_data_matches_full_recondition(rng):
+    """Online bordered-block conditioning == full refactorization."""
+    from mfgp_tpu.models.gp import GP
+
+    X = rng.uniform(0, 10, (30, 3))
+    y = np.sin(X.sum(1))
+    Xn = rng.uniform(0, 10, (7, 3))
+    yn = np.sin(Xn.sum(1))
+    g1 = GP(X, y, jitter=1e-8)
+    g1.extend_data(Xn, yn)
+    g2 = GP(np.vstack([X, Xn]), np.concatenate([y, yn]), jitter=1e-8)
+    g2.params = g1.params
+    Xs = rng.uniform(0, 10, (12, 3))
+    mu1, var1 = g1.predict(Xs)
+    mu2, var2 = g2.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, rtol=1e-9)
+    np.testing.assert_allclose(var1, var2, rtol=1e-8, atol=1e-10)

@@ -166,3 +166,22 @@ def test_analytic_gradient_matches_autodiff(rng):
                                np.asarray(g_ad.log_lengthscales), atol=1e-9)
     np.testing.assert_allclose(np.asarray(g_an.log_noises),
                                np.asarray(g_ad.log_noises), atol=1e-12)
+
+
+def test_mfgp_extend_data_matches_full_recondition(rng):
+    X = rng.uniform(0, 10, (30, 3))
+    y = np.sin(X.sum(1))
+    fid = rng.integers(0, 3, 30)
+    Xn = rng.uniform(0, 10, (6, 3))
+    yn = np.sin(Xn.sum(1))
+    fn = rng.integers(0, 3, 6)
+    m1 = mf.MFGP(X, fid, y, jitter=1e-8)
+    m1.extend_data(Xn, fn, yn)
+    m2 = mf.MFGP(np.vstack([X, Xn]), np.concatenate([fid, fn]),
+                 np.concatenate([y, yn]), jitter=1e-8)
+    m2.params = m1.params
+    Xs = rng.uniform(0, 10, (12, 3))
+    mu1, var1 = m1.predict(Xs)
+    mu2, var2 = m2.predict(Xs)
+    np.testing.assert_allclose(mu1, mu2, rtol=1e-9)
+    np.testing.assert_allclose(var1, var2, rtol=1e-8, atol=1e-10)

@@ -111,3 +111,13 @@ def test_manual_variant_collects_and_trains(tmp_path):
     m = ck.model.restore()
     mu, var = m.predict(wp)
     assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_frozen_hyps_online_extension_runs():
+    """update_hyps=False uses the online bordered-block extension across
+    replans (BASELINE config 4's online GP update)."""
+    exp = ExperimentConfig(multi_fidelity=True, ergodic=False, B=20, BD=2,
+                           update_hyps=False)
+    res = ExplorationSim(exp, seed=1, plan_iters=8).run()
+    assert len(res.replans) >= 1
+    assert res.rmse is None or np.isfinite(res.rmse)
