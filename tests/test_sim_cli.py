@@ -121,3 +121,29 @@ def test_frozen_hyps_online_extension_runs():
     res = ExplorationSim(exp, seed=1, plan_iters=8).run()
     assert len(res.replans) >= 1
     assert res.rmse is None or np.isfinite(res.rmse)
+
+
+def test_toy_dynamics_integrate():
+    """rk4 + toy models (SURVEY C22's broken unused dynamics, working)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.sim.dynamics import (glider_simple, rk4_step,
+                                       single_integrator_3d, unicycle_3d)
+
+    # single integrator moves linearly
+    x = jnp.zeros(3)
+    for _ in range(10):
+        x = rk4_step(single_integrator_3d, x, jnp.asarray([1.0, 0.0, 0.5]),
+                     0.1)
+    np.testing.assert_allclose(np.asarray(x), [1.0, 0.0, 0.5], atol=1e-9)
+    # unicycle turning in place keeps position
+    u = jnp.asarray([0.0, 0.0, 1.0])
+    s = jnp.zeros(4)
+    for _ in range(10):
+        s = rk4_step(unicycle_3d, s, u, 0.1)
+    np.testing.assert_allclose(np.asarray(s[:3]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(float(s[3]), 1.0, atol=1e-9)
+    # glider under gravity falls
+    g0 = jnp.asarray([0.0, 10.0, 1.0, 0.0])
+    g1 = rk4_step(glider_simple, g0, jnp.zeros(2), 0.1)
+    assert float(g1[3]) < 0
