@@ -199,6 +199,22 @@ def cmd_infogain_test(args):
                       "reference_style_score": ref_style}))
 
 
+def cmd_study(args):
+    """Full study sweep: trajectories -> pipeline -> 4-model training ->
+    aggregation (the reference's entire manual workflow as one command)."""
+    _cpu(args)
+    from mfgp_tpu.data.study import run_study
+
+    rep = run_study(
+        args.out,
+        traj_seeds=tuple(range(args.trajectories)),
+        vmn_levels=tuple(args.vmn),
+        field_seeds=tuple(args.field_seeds),
+        closed_loop=args.closed_loop,
+        duration=args.duration)
+    print(json.dumps(rep, indent=1))
+
+
 def cmd_serve(args):
     """Serve a trained model checkpoint over HTTP (posterior + EID)."""
     _cpu(args)
@@ -272,6 +288,15 @@ def build_parser():
 
     p = sub.add_parser("infogain-test"); p.set_defaults(fn=cmd_infogain_test)
     p.add_argument("--seed", type=int, default=0)
+
+    p = sub.add_parser("study"); p.set_defaults(fn=cmd_study)
+    p.add_argument("--out", required=True)
+    p.add_argument("--trajectories", type=int, default=2)
+    p.add_argument("--vmn", type=float, nargs="+", default=[0.0, 0.1, 0.2])
+    p.add_argument("--field-seeds", type=int, nargs="+", default=[0])
+    p.add_argument("--closed-loop", action="store_true",
+                   help="generate trajectories with the closed-loop sim")
+    p.add_argument("--duration", type=float, default=1200.0)
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
     p.add_argument("checkpoint")

@@ -1,0 +1,103 @@
+"""End-to-end study driver (the reference's §3.5 workflow, completed).
+
+The reference's simulation study is four scripts run by hand over a
+ground-truth trajectory CSV whose *generator is missing from the repo*
+(SURVEY §3.5: ``mfgpSimSimp.csv`` came from an absent closed-loop sim).
+This driver closes the loop end to end:
+
+  for each (trajectory seed x velocity-noise level):
+      1. fly a closed-loop exploration run (sim.ExplorationSim) or a
+         scripted reference curve -> ground-truth trajectory
+      2. pipeline: KF estimates -> field measurements -> fidelity binning
+      3. trainers: fit {MFGP, SFGP, SFGP-TP, NIGP}, RMSE/WMSE
+      4. aggregate -> results.csv + summary
+
+reproducing the reference's 10 x 3 x 3 study design
+(reference/resultParser.py:44-55) at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mfgp_tpu.data.aggregate import collect_results, summary
+from mfgp_tpu.data.io import Table
+from mfgp_tpu.data.pipeline import run_pipeline
+from mfgp_tpu.data.trainers import process_dataset
+from mfgp_tpu.fields.wrbf import random_field
+from mfgp_tpu.utils.configs import SimConfig
+
+
+def scripted_trajectory(seed: int, cfg: SimConfig, duration: float = 1200.0,
+                        dt: float = 0.1) -> Table:
+    """A smooth seeded survey trajectory over the workspace (stand-in for a
+    full closed-loop flight when speed matters)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(0.0, duration, dt)
+    xs, ys = cfg.WS[0][1], cfg.WS[1][1]
+    f1, f2, f3 = rng.uniform(1 / 600, 1 / 200, 3)
+    ph = rng.uniform(0, 2 * np.pi, 3)
+    x = xs * (0.5 + 0.4 * np.sin(2 * np.pi * f1 * t + ph[0]))
+    y = ys * (0.5 + 0.4 * np.sin(2 * np.pi * f2 * t + ph[1]))
+    z = np.clip(cfg.max_depth * (0.55 + 0.5 * np.sin(
+        2 * np.pi * f3 * t + ph[2])) - 0.1 * cfg.max_depth, 0.0, None)
+    return Table(["t", "x", "y", "z"], np.column_stack([t, x, y, z]))
+
+
+def closed_loop_trajectory(seed: int, cfg: SimConfig, budget: float = 30.0,
+                           plan_iters: int = 10) -> Table:
+    """Ground-truth trajectory from an actual closed-loop exploration run
+    (the missing generator of the reference's mfgpSimSimp.csv)."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(sim=cfg, multi_fidelity=False, ergodic=True,
+                           B=budget, BD=3)
+    sim = ExplorationSim(exp, seed=seed, plan_iters=plan_iters)
+    res = sim.run()
+    est = res.estimates
+    if est.shape[0] < 10:
+        return scripted_trajectory(seed, cfg)
+    return Table(["t", "x", "y", "z"], est[:, :4])
+
+
+def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
+              field_seeds=(0,), cfg: SimConfig | None = None,
+              closed_loop: bool = False, optimize: bool = True,
+              duration: float = 1200.0):
+    """The full sweep. Returns the aggregate summary dict; writes the
+    reference's artifact tree under ``out_dir``."""
+    base_cfg = cfg or SimConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    res_dir = os.path.join(out_dir, "GPResults")
+    os.makedirs(res_dir, exist_ok=True)
+
+    for fseed in field_seeds:
+        frng = np.random.default_rng(1000 + fseed)
+        field = random_field(frng, base_cfg.WS, base_cfg.max_depth)
+        for tseed in traj_seeds:
+            traj_cfg = SimConfig(seed=fseed, vmn=0.0)
+            traj = (closed_loop_trajectory(tseed, traj_cfg)
+                    if closed_loop
+                    else scripted_trajectory(tseed, traj_cfg,
+                                             duration=duration))
+            for vmn in vmn_levels:
+                run_cfg = SimConfig(seed=fseed, vmn=vmn)
+                name = f"T{tseed}_{vmn:g}"
+                run_pipeline(traj, run_cfg, out_dir=out_dir, traj_name=name,
+                             field=field,
+                             field_rng=np.random.default_rng(
+                                 7 * tseed + fseed))
+                ds_name = (f"GPData_{run_cfg.meas_rate:g}_fieldMeas_"
+                           f"{fseed}_{name}.csv")
+                process_dataset(
+                    os.path.join(out_dir, "GPDataSets", ds_name),
+                    os.path.join(out_dir, "FieldData",
+                                 f"FieldSettings{fseed}.txt"),
+                    out_dir=res_dir, cfg=run_cfg, optimize=optimize)
+
+    rows = collect_results(os.path.join(res_dir, "MSE_*.txt"),
+                           os.path.join(res_dir, "results.csv"))
+    return summary(rows)

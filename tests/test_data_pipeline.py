@@ -203,3 +203,20 @@ def test_batched_estimates_match_serial(synth_traj):
     ref1 = generate_estimates(short, cfg, seed=8)
     np.testing.assert_allclose(outs[0].data, ref0.data, rtol=1e-10)
     np.testing.assert_allclose(outs[1].data, ref1.data, rtol=1e-10)
+
+
+def test_study_driver_end_to_end(tmp_path):
+    """run_study produces the full reference artifact tree + aggregation
+    (tiny configuration for speed; fit quality is covered elsewhere)."""
+    from mfgp_tpu.data.study import run_study
+
+    rep = run_study(str(tmp_path), traj_seeds=(0,), vmn_levels=(0.1,),
+                    field_seeds=(0,), duration=300.0, optimize=False)
+    assert rep["overall"]["n"] == 1
+    assert np.isfinite(rep["overall"]["RMSE sf"])
+    res = tmp_path / "GPResults"
+    assert (res / "results.csv").exists()
+    assert (res / "MSE_0.2_fieldMeas_0_T0_0.1.txt").exists()
+    assert (tmp_path / "GPDataSets" /
+            "GPData_0.2_fieldMeas_0_T0_0.1.csv").exists()
+    assert (tmp_path / "T0_0.1Settings.txt").exists()
