@@ -144,3 +144,42 @@ def test_logdet_cache_helper(rng):
     K = A @ A.T + 12 * np.eye(12)
     np.testing.assert_allclose(float(logdet(jnp.asarray(K))),
                                np.linalg.slogdet(K)[1], rtol=1e-9)
+
+
+def test_mf_sequential_matches_refit_loop(rng):
+    """MFInfoGainCost's one-Cholesky closed form vs a literal per-point MF
+    model refit loop (the reference's calculatePathInfoEmu procedure,
+    reference/GraceRIGV3.py:525-562): condition on each path point at its
+    accrued-variance fidelity with a dummy observation, predict the next
+    at fidelity 0, accumulate log(1 + v/noise_0)."""
+    from mfgp_tpu.models.mfgp import MFGP
+    from mfgp_tpu.planning.scoring import MFInfoGainCost
+
+    X = rng.uniform(0, 10, (25, 3))
+    y = np.sin(X.sum(1))
+    fid = rng.integers(0, 3, 25)
+    m = MFGP(X, fid, y, jitter=0.0)
+    fid_levels = [0.25, 2.25, 6.25]
+    cost = MFInfoGainCost(model=m, fid_levels=fid_levels)
+
+    P = 7
+    path = np.column_stack([rng.uniform(0, 10, (P, 3)), np.arange(P),
+                            rng.uniform(0, 8, P)])
+    got = cost(path)
+
+    # oracle: explicit refit per point
+    fids_c = cost._fids_from_var(path[:, 4])
+    noise0 = float(np.asarray(m.params.noises)[0])
+    Xc, fc, yc = X.copy(), fid.copy(), y.copy()
+    total = 0.0
+    for i in range(P):
+        m2 = MFGP(Xc, fc, yc, jitter=0.0)
+        m2.params = m.params
+        _, var = m2.predict(path[i : i + 1, :3], fid=0,
+                            include_noise=True)
+        v = float(np.asarray(var)[0])  # latent + fid-0 noise
+        total += np.log(1 + v / noise0)
+        Xc = np.vstack([Xc, path[i : i + 1, :3]])
+        fc = np.concatenate([fc, [fids_c[i]]])
+        yc = np.concatenate([yc, [0.0]])
+    np.testing.assert_allclose(got, total, rtol=1e-7)
