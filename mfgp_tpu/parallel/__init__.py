@@ -3,6 +3,7 @@
 from mfgp_tpu.parallel.mesh import (DP_AXIS, MP_AXIS, dp_sharding, make_mesh,
                                     mp_sharding, replicated)
 from mfgp_tpu.parallel.sharded import (make_sharded_ar1_cross_cov,
+                                       make_sharded_nlml_value_and_grad,
                                        make_sharded_gp_predict,
                                        make_sharded_mfgp_predict,
                                        make_sharded_weighted_mse)

@@ -181,3 +181,29 @@ def test_trainer_sweep_end_to_end(tmp_path, rng):
     r0b = trainer_sweep(str(data_dir), str(field_dir), str(out_dir),
                         process_index=0, process_count=2)
     assert list(r0b.values()) == ["skipped"]
+
+
+def test_sharded_nlml_grad_matches_local(mesh, rng):
+    """ICI-distributed analytic gradient (column-sharded K^-1, psum'd
+    contractions) == the local trace-identity gradient."""
+    from mfgp_tpu.parallel.sharded import make_sharded_nlml_value_and_grad
+
+    N, D, F = 48, 3, 3
+    X = jnp.asarray(rng.uniform(0, 10, (N, D)))
+    fid = jnp.asarray(rng.integers(0, F, N), jnp.int32)
+    y = jnp.asarray(np.sin(np.asarray(X).sum(1)))
+    params = mf.MFGPParams(
+        jnp.log(jnp.asarray([2.0, 1.0, 0.5])),
+        jnp.log(jnp.asarray(rng.uniform(0.5, 3, (F, D)))),
+        jnp.asarray([1.2, 0.8]),
+        jnp.log(jnp.asarray([0.3, 0.1, 0.05])))
+    v_l, g_l = mf.nlml_value_and_grad(params, X, fid, y, jitter=1e-6)
+    v_s, g_s = make_sharded_nlml_value_and_grad(mesh, jitter=1e-6)(
+        params, X, fid, y)
+    np.testing.assert_allclose(float(v_s), float(v_l), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g_l), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+    # indivisible N is an explicit error, not silent wrong math
+    with pytest.raises(ValueError):
+        make_sharded_nlml_value_and_grad(mesh)(params, X[:47], fid[:47],
+                                               y[:47])
