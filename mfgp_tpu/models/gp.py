@@ -124,13 +124,14 @@ def nlml(params: GPParams, X, y, extra_noise_diag=0.0, kernel: str = "rbf",
 @partial(jax.jit, static_argnames=("kernel",))
 def nlml_value_and_grad(params: GPParams, X, y, extra_noise_diag=0.0,
                         kernel: str = "rbf", jitter: float = 0.0):
-    """NLML + analytic gradient (RBF): the F=1 case of the trace-identity
-    shortcut in models/mfgp.nlml_value_and_grad — ~2.5x faster than the
-    Cholesky-VJP backward at large N. Returns (value, GPParams-grad)."""
-    if kernel != "rbf":
-        raise NotImplementedError("analytic gradient: rbf only")
+    """NLML + analytic gradient (RBF/Matern32): the F=1 case of the
+    trace-identity shortcut in models/mfgp.nlml_value_and_grad — ~2.5x
+    faster than the Cholesky-VJP backward at large N.
+    Returns (value, GPParams-grad)."""
+    if kernel not in ("rbf", "matern32"):
+        raise NotImplementedError(f"analytic gradient: {kernel}")
     N, D = X.shape
-    K = _k.rbf(X, X, params.variance, params.lengthscales)
+    K = _cov(params, X, X, kernel)
     obs = params.noise + extra_noise_diag + jitter
     Kn = _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
     L = _la.chol(Kn)
@@ -144,8 +145,13 @@ def nlml_value_and_grad(params: GPParams, X, y, extra_noise_diag=0.0,
     A = W * K  # == W o (dK/dlog variance)
     ones_x = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
     sv = jnp.dot(A, ones_x, precision=jax.lax.Precision.HIGHEST)
+    g_logvar = 0.5 * jnp.sum(sv[:, 0])
+    if kernel == "matern32":
+        # dK/dlog l_d = 3 v e^{-sqrt3 r} r_d^2 (see mfgp version)
+        r = jnp.sqrt(_k.sqdist(X, X, 1.0 / params.lengthscales) + 1e-36)
+        Als = W * (params.variance * 3.0 * jnp.exp(-1.7320508075688772 * r))
+        sv = jnp.dot(Als, ones_x, precision=jax.lax.Precision.HIGHEST)
     s, Ax = sv[:, 0], sv[:, 1:]
-    g_logvar = 0.5 * jnp.sum(s)
     g_logls = (jnp.sum((X**2) * s[:, None], axis=0)
                - jnp.sum(X * Ax, axis=0)) / (params.lengthscales**2)
     g_lognoise = 0.5 * params.noise * jnp.sum(jnp.diagonal(W))
@@ -304,7 +310,7 @@ class GP:
             return jnp.where(jnp.isfinite(v), v, 1e20)
 
         vg = None
-        if kernel == "rbf":
+        if kernel in ("rbf", "matern32"):
             def vg(vec):
                 p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
                 v, g = nlml_value_and_grad(p, X, y, kernel=kernel,

@@ -158,21 +158,25 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
 
     Returns ``(value, MFGPParams-grad)`` with ``rhos`` gradient zero
     (the reference always fixes them, reference/GPTrainers.py:67).
-    Matern32 lengthscale gradients are not expressible with this exact
-    shortcut; use autodiff for that kernel.
+
+    Matern32: ``dK/dlog l_d = 3 v e^{-sqrt(3) r} * r_d^2`` with
+    ``r_d^2 = (x_d - x'_d)^2 / l_d^2`` — the same row-sum/X-weighted-sum
+    matvec contraction applies with ``A' = W o (3 v w w^T e^{-sqrt(3) r})``
+    and the variance term keeps ``A = W o T``.
     """
-    if kernel != "rbf":
-        raise NotImplementedError("analytic gradient: rbf only")
+    if kernel not in ("rbf", "matern32"):
+        raise NotImplementedError(f"analytic gradient: {kernel}")
     N, D = X.shape
     F = params.variances.shape[0]
     Wfid = _k.ar1_fidelity_weights(params.rhos, F)  # (F, F)
     w = Wfid[:, fid]  # (F, N)
     inv_ls = 1.0 / params.lengthscales  # (F, D)
+    kfn = _k.KERNELS[kernel]
 
     Kms = []
     K = jnp.zeros((N, N), X.dtype)
     for m in range(F):
-        Km = _k.rbf(X, X, 1.0, params.lengthscales[m])
+        Km = kfn(X, X, 1.0, params.lengthscales[m])
         Kms.append(Km)
         K = K + params.variances[m] * (w[m][:, None] * w[m][None, :]) * Km
     noise_vec = _k.mf_noise_diag(fid, params.noises)
@@ -190,12 +194,26 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     g_logvar = []
     g_logls = []
     ones_x = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
+    _SQRT3 = 1.7320508075688772
     for m in range(F):
-        T = params.variances[m] * (w[m][:, None] * w[m][None, :]) * Kms[m]
+        ww = w[m][:, None] * w[m][None, :]
+        T = params.variances[m] * ww * Kms[m]
         A = Wm * T
-        sv = jnp.dot(A, ones_x, precision=jax.lax.Precision.HIGHEST)
+        if kernel == "rbf":
+            # dK/dlog l_d = K * r_d^2 -> same A drives both contractions
+            Avar, Als = A, A
+        else:
+            # variance term uses K; lengthscale term uses 3 v e^{-sqrt3 r}
+            r = jnp.sqrt(_k.sqdist(X, X, inv_ls[m]) + 1e-36)
+            E = params.variances[m] * ww * (3.0 * jnp.exp(-_SQRT3 * r))
+            Avar, Als = A, Wm * E
+        sv = jnp.dot(Avar, ones_x, precision=jax.lax.Precision.HIGHEST)
+        g_logvar.append(0.5 * jnp.sum(sv[:, 0]))
+        if Als is not Avar:
+            sv = jnp.dot(Als, ones_x, precision=jax.lax.Precision.HIGHEST)
         s, Ax = sv[:, 0], sv[:, 1:]
-        g_logvar.append(0.5 * jnp.sum(s))
+        # 0.5 * sum_ij A'_ij (x_d - x'_d)^2 / l_d^2, via the symmetric
+        # matvec identity sum A (x-x')^2 = 2 (x^2 . s - x . (A x))
         g_ls = (jnp.sum((X**2) * s[:, None], axis=0)
                 - jnp.sum(X * Ax, axis=0)) * (inv_ls[m] ** 2)
         g_logls.append(g_ls)
@@ -435,7 +453,7 @@ class MFGP:
             return jnp.where(jnp.isfinite(v), v, 1e20)
 
         vg = None
-        if kernel == "rbf":
+        if kernel in ("rbf", "matern32"):
             # analytic trace-identity gradient: ~2.5x faster than autodiff
             def vg(vec):
                 v, g = nlml_value_and_grad(unpack(vec), X, fid, y,

@@ -135,11 +135,14 @@ def test_gp_analytic_gradient_matches_autodiff(rng):
     p = g.GPParams(jnp.log(jnp.asarray(2.0)),
                    jnp.log(jnp.asarray([1.5, 0.7, 2.2])),
                    jnp.log(jnp.asarray(0.1)))
-    v1, g1 = jax.value_and_grad(lambda q: g.nlml(q, X, y, jitter=1e-8))(p)
-    v2, g2 = g.nlml_value_and_grad(p, X, y, jitter=1e-8)
-    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+    for kern in ("rbf", "matern32"):
+        v1, g1 = jax.value_and_grad(
+            lambda q: g.nlml(q, X, y, kernel=kern, jitter=1e-8))(p)
+        v2, g2 = g.nlml_value_and_grad(p, X, y, kernel=kern, jitter=1e-8)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-9)
 
 
 def test_extend_data_matches_full_recondition(rng):

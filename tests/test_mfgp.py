@@ -156,16 +156,19 @@ def test_analytic_gradient_matches_autodiff(rng):
         jnp.log(jnp.asarray(rng.uniform(0.5, 3, (F, D)))),
         jnp.asarray([1.2, 0.8]),
         jnp.log(jnp.asarray([0.3, 0.1, 0.05])))
-    v_ad, g_ad = jax.value_and_grad(
-        lambda p: mf.nlml(p, X, fid, y, jitter=1e-8))(params)
-    v_an, g_an = mf.nlml_value_and_grad(params, X, fid, y, jitter=1e-8)
-    np.testing.assert_allclose(float(v_an), float(v_ad), rtol=1e-12)
-    np.testing.assert_allclose(np.asarray(g_an.log_variances),
-                               np.asarray(g_ad.log_variances), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(g_an.log_lengthscales),
-                               np.asarray(g_ad.log_lengthscales), atol=1e-9)
-    np.testing.assert_allclose(np.asarray(g_an.log_noises),
-                               np.asarray(g_ad.log_noises), atol=1e-12)
+    for kern in ("rbf", "matern32"):
+        v_ad, g_ad = jax.value_and_grad(
+            lambda p: mf.nlml(p, X, fid, y, kernel=kern, jitter=1e-8))(params)
+        v_an, g_an = mf.nlml_value_and_grad(params, X, fid, y, kernel=kern,
+                                            jitter=1e-8)
+        np.testing.assert_allclose(float(v_an), float(v_ad), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_an.log_variances),
+                                   np.asarray(g_ad.log_variances), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(g_an.log_lengthscales),
+                                   np.asarray(g_ad.log_lengthscales),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(g_an.log_noises),
+                                   np.asarray(g_ad.log_noises), atol=1e-12)
 
 
 def test_mfgp_extend_data_matches_full_recondition(rng):
