@@ -1,0 +1,76 @@
+"""Driver-artifact smoke tests: bench.py and __graft_entry__.py.
+
+The round driver compile-checks entry(), runs dryrun_multichip on a
+virtual mesh, and executes bench.py on hardware; these tests catch
+regressions in those paths before the driver does.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    mu, var = jax.jit(fn)(*args)
+    assert mu.shape == (16,) and var.shape == (16,)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert (np.asarray(var) > 0).all()
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    assert len(jax.devices()) == 8
+    g.dryrun_multichip(8)  # asserts internally
+
+
+def test_bench_numpy_unit_smoke():
+    from bench import run_numpy_unit
+
+    t, nlml, mu_sum, var_sum = run_numpy_unit(150, 80)
+    assert t > 0 and np.isfinite(nlml)
+    assert np.isfinite(mu_sum) and np.isfinite(var_sum)
+
+
+def test_bench_tpu_unit_smoke_on_cpu():
+    """The 'TPU' unit is platform-generic jitted JAX; exercise it tiny."""
+    from bench import run_tpu
+
+    secs = run_tpu(120, 64, repeats=1)
+    assert secs > 0
+
+
+def test_bench_units_agree():
+    """The JAX unit and the NumPy baseline compute the same quantities."""
+    import jax.numpy as jnp
+
+    from bench import _theta, build_problem
+    from mfgp_tpu.models import mfgp as mf
+
+    N, M = 150, 80
+    X, fid, y, grid, grid_fid = build_problem(N, M)
+    _, nlml_np, mu_np, var_np = __import__("bench").run_numpy_unit(N, M)
+    v, l, r, nz = _theta()
+    params = mf.MFGPParams(
+        jnp.log(jnp.asarray(v)), jnp.log(jnp.asarray(l)),
+        jnp.asarray(r), jnp.log(jnp.asarray(nz)))
+    Xj = jnp.asarray(X, jnp.float64)
+    val = float(mf.nlml(params, Xj, jnp.asarray(fid),
+                        jnp.asarray(y, jnp.float64), jitter=1e-6))
+    np.testing.assert_allclose(val, nlml_np, rtol=1e-6)
+    state = mf.condition(params, Xj, jnp.asarray(fid),
+                         jnp.asarray(y, jnp.float64), jitter=1e-6)
+    mu, var = mf.predict(params, state, jnp.asarray(grid, jnp.float64),
+                         jnp.asarray(grid_fid))
+    np.testing.assert_allclose(float(np.sum(np.asarray(mu))), mu_np,
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(np.sum(np.asarray(var))), var_np,
+                               rtol=1e-5)
