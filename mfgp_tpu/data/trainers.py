@@ -142,22 +142,35 @@ def process_dataset(gpdata_path: str, field_settings_path: str,
     return models, metrics
 
 
+def dataset_task(fname: str, gpdata_dir: str, field_dir: str, out_dir: str,
+                 resume: bool = True):
+    """Resolve one ``GPData_*.csv`` into (done, gpdata_path, settings_path).
+
+    The single source of truth for the sweep conventions: resume by
+    MSE-output existence (the reference's skip-to-last-file logic,
+    reference/GPTrainers.py:21-22) and the ``fieldMeas_<seed>`` filename ->
+    FieldSettings mapping. Shared by process_directory and
+    parallel.sweep.trainer_sweep."""
+    mse_name = fname.replace("GPData", "MSE").replace(".csv", ".txt")
+    done = resume and os.path.exists(os.path.join(out_dir, mse_name))
+    field_seed = fname.split("_")[3]
+    settings = os.path.join(field_dir, f"FieldSettings{field_seed}.txt")
+    return done, os.path.join(gpdata_dir, fname), settings
+
+
 def process_directory(gpdata_dir: str, field_dir: str, out_dir: str,
                       cfg: SimConfig | None = None, kernel: str = "rbf",
                       resume: bool = True, optimize: bool = True):
-    """Sweep a GPDataSets directory (resumable by output existence, like the
-    reference's skip-to-last-file logic, reference/GPTrainers.py:21-22)."""
+    """Sweep a GPDataSets directory (resumable by output existence)."""
     results = {}
     for fname in sorted(os.listdir(gpdata_dir)):
         if not fname.endswith(".csv"):
             continue
-        mse_name = fname.replace("GPData", "MSE").replace(".csv", ".txt")
-        if resume and os.path.exists(os.path.join(out_dir, mse_name)):
+        done, gpdata_path, settings = dataset_task(
+            fname, gpdata_dir, field_dir, out_dir, resume)
+        if done:
             continue
-        field_seed = fname.split("_")[3]
-        settings = os.path.join(field_dir, f"FieldSettings{field_seed}.txt")
-        _, metrics = process_dataset(
-            os.path.join(gpdata_dir, fname), settings, out_dir, cfg,
-            kernel=kernel, optimize=optimize)
+        _, metrics = process_dataset(gpdata_path, settings, out_dir, cfg,
+                                     kernel=kernel, optimize=optimize)
         results[fname] = metrics
     return results

@@ -92,7 +92,7 @@ def posterior_mean_grads(X, y, lengthscales, sigma_f, sigma_y,
     N = X.shape[0]
     K = _k.rbf(X, X, sigma_f, lengthscales)
     obs = sigma_y**2 + (noise_diag if noise_diag is not None else 0.0)
-    Kn = K + jnp.diag(jnp.broadcast_to(obs, (N,)))
+    Kn = _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     Ka = jnp.dot(K, alpha, precision=_HIGHEST)  # == posterior mean at train
@@ -118,7 +118,7 @@ def nlml(log_hyp, X, y, grad_fixed, extra_noise_diag=None,
     if extra_noise_diag is not None:
         v = v + extra_noise_diag
     K = _k.rbf(X, X, sigma_f, ls)
-    Kn = K + jnp.diag(sigma_y**2 + v) + jitter * jnp.eye(N, dtype=K.dtype)
+    Kn = _la.diag_add(K, sigma_y**2 + v + jitter)
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     return (0.5 * jnp.dot(y, alpha)
@@ -208,6 +208,12 @@ class NIGP:
         grad_fixed = jnp.zeros((N, D), X.dtype)
         bounds = [(np.log(1e-6), np.log(1e6))] * (2 * D + 2)
 
+        # one jitted value+grad shared across all iters x restarts — a
+        # fresh lambda per restart would recompile the NLML gradient graph
+        # iters*n_restarts times (grad_fixed flows in as an argument)
+        vg = jax.jit(jax.value_and_grad(
+            lambda lh, gf: nlml(lh, X, y, gf)))
+
         for it in range(self.iters):
             if self.verbose:
                 print(f"NIGP iteration {it + 1}/{self.iters} ...")
@@ -221,8 +227,8 @@ class NIGP:
             for _ in range(self.n_restarts):
                 init = log_hyp + 0.1 * rng.standard_normal(log_hyp.shape)
                 xo, fo, _ = scipy_lbfgsb(
-                    lambda lh: nlml(lh, X, y, grad_fixed),
-                    init, bounds=bounds, maxiter=maxiter_opt)
+                    None, init, bounds=bounds, maxiter=maxiter_opt,
+                    args=(grad_fixed,), value_and_grad=vg)
                 if fo < best_val:
                     best_val, best_x = fo, xo
             log_hyp = best_x if best_x is not None else log_hyp

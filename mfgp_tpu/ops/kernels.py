@@ -110,13 +110,22 @@ def ar1_fidelity_weights(rhos: jax.Array, n_fidelities: int) -> jax.Array:
     [Xf3, Xf2, Xf1] so fidLev 3 (worst localization) maps to fidelity 0,
     reference/GPTrainers.py:55-61).
     """
-    rho_ext = jnp.concatenate([jnp.ones((1,), rhos.dtype), rhos])  # rho_0 := 1
-    # cumprod over levels: C[f] = prod_{l<=f} rho_l  (C[0] = 1)
-    C = jnp.cumprod(rho_ext)
-    # W[m, f] = C[f] / C[m] for f >= m else 0
-    W = C[None, :] / C[:, None]
-    mask = jnp.tril(jnp.ones((n_fidelities, n_fidelities), bool)).T  # f >= m
-    return jnp.where(mask, W, 0.0)
+    # Built row-by-row (F is small and static) instead of a cumprod ratio
+    # C[f]/C[m], which is 0/0 = NaN whenever any rho is exactly 0 (e.g. an
+    # optimizer with free rhos stepping through 0, or rho=0 to decouple
+    # fidelities).
+    rows = []
+    for m in range(n_fidelities):
+        entries = []
+        for f in range(n_fidelities):
+            if f < m:
+                entries.append(jnp.zeros((), rhos.dtype))
+            elif f == m:
+                entries.append(jnp.ones((), rhos.dtype))
+            else:
+                entries.append(entries[-1] * rhos[f - 1])
+        rows.append(jnp.stack(entries))
+    return jnp.stack(rows)
 
 
 def ar1_cov(

@@ -29,16 +29,19 @@ def scipy_lbfgsb(
     bounds=None,
     maxiter: int = 1000,
     args=(),
+    value_and_grad: Callable | None = None,
 ):
     """Minimise ``fun(x, *args)`` (a jax scalar fn) with scipy L-BFGS-B.
 
     Returns (x_opt, f_opt, n_evals). NaN/inf objective values are mapped to a
     large penalty, mirroring the reference's ``safe_obj``
-    (reference/NIGP.py:119-123).
+    (reference/NIGP.py:119-123). Pass a pre-jitted ``value_and_grad`` to
+    share one compiled gradient graph across many calls (fresh lambdas
+    would otherwise recompile per call).
     """
     from scipy.optimize import minimize
 
-    vg = jax.jit(jax.value_and_grad(fun))
+    vg = value_and_grad or jax.jit(jax.value_and_grad(fun))
     n_evals = 0
 
     def f_np(x):
@@ -149,7 +152,6 @@ def batched_lbfgs(
         # ensure descent; fall back to steepest descent
         descent = jnp.dot(d, st.g)
         d = jnp.where(descent < 0, d, -st.g)
-        descent = jnp.minimum(descent, jnp.dot(-st.g, st.g))
 
         def ls_body(carry):
             t, _, _, it = carry

@@ -140,7 +140,7 @@ def make_sharded_weighted_mse(mesh: Mesh, normalize: bool = True):
     return f
 
 
-def make_sharded_nlml_value_and_grad(mesh: Mesh, jitter: float = 1e-6):
+def make_sharded_nlml_value_and_grad(mesh: Mesh, jitter: float = 0.0):
     """ICI-distributed analytic MFGP NLML gradient (RBF).
 
     The gradient's dominant cost and memory is the explicit ``K_n^-1``

@@ -60,27 +60,28 @@ def run_sweep(tasks: Sequence, worker: Callable, *,
 
 
 def trainer_sweep(gpdata_dir: str, field_dir: str, out_dir: str,
-                  kernel: str = "rbf", resume: bool = True,
+                  cfg=None, kernel: str = "rbf", resume: bool = True,
+                  optimize: bool = True,
                   process_index: int | None = None,
                   process_count: int | None = None) -> dict:
     """The GPTrainers sweep, host-sharded (reference/GPTrainers.py:26-170).
 
     Every host processes its shard of ``GPData_*.csv``; output-existence
-    resume makes re-runs and host joins idempotent.
+    resume makes re-runs and host joins idempotent. Task resolution is
+    shared with the serial sweep (data.trainers.dataset_task).
     """
-    from mfgp_tpu.data.trainers import process_dataset
+    from mfgp_tpu.data.trainers import dataset_task, process_dataset
 
     os.makedirs(out_dir, exist_ok=True)
     files = sorted(f for f in os.listdir(gpdata_dir) if f.endswith(".csv"))
 
     def worker(fname):
-        mse_name = fname.replace("GPData", "MSE").replace(".csv", ".txt")
-        if resume and os.path.exists(os.path.join(out_dir, mse_name)):
+        done, gpdata_path, settings = dataset_task(
+            fname, gpdata_dir, field_dir, out_dir, resume)
+        if done:
             return "skipped"
-        field_seed = fname.split("_")[3]
-        settings = os.path.join(field_dir, f"FieldSettings{field_seed}.txt")
-        _, metrics = process_dataset(os.path.join(gpdata_dir, fname),
-                                     settings, out_dir, kernel=kernel)
+        _, metrics = process_dataset(gpdata_path, settings, out_dir, cfg,
+                                     kernel=kernel, optimize=optimize)
         return metrics
 
     return run_sweep(files, worker, process_index=process_index,

@@ -57,16 +57,29 @@ def init_restarts(key: jax.Array, n_restarts: int, n_fidelities: int, D: int,
     )
 
 
+class TrainStepFns(NamedTuple):
+    """The sharded training-step bundle (see make_mfgp_train_step)."""
+
+    init_fn: object
+    step_fn: object  # full step: update + best-restart grid posterior
+    loss_step_fn: object  # update only: (state, X, fid, y) -> state, losses
+    prepare_grid: object
+
+
 def make_mfgp_train_step(mesh: Mesh, kernel: str = "rbf",
                          learning_rate: float = 0.05, jitter: float = 1e-6,
-                         fix_rhos: bool = True):
-    """Build (init_fn, step_fn) for the sharded restart-batched MFGP fit.
+                         fix_rhos: bool = True) -> TrainStepFns:
+    """Build the sharded restart-batched MFGP fit functions.
 
     ``step_fn(state, X, fid, y, grid, grid_fid)`` advances every restart one
     Adam step on the exact NLML and returns the posterior mean/variance of
     the *current best* restart on the mp-sharded grid:
 
         state', losses (R,), mu (M,), var (M,)
+
+    ``loss_step_fn`` does the update without the O(N^3)+O(N^2 M)
+    condition/predict — the right inner-loop step when only the final
+    posterior matters (fit_sharded uses it).
     """
     opt = optax.adam(learning_rate)
 
@@ -90,11 +103,7 @@ def make_mfgp_train_step(mesh: Mesh, kernel: str = "rbf",
     def loss_fn(p: _mf.MFGPParams, X, fid, y):
         return _mf.nlml(p, X, fid, y, kernel=kernel, jitter=jitter)
 
-    # shardings flow from the committed inputs (params: dp, grid: mp,
-    # data: replicated); GSPMD propagates the layouts and places the ICI
-    # collectives for the cross-shard argmin/broadcast below.
-    @partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state: TrainState, X, fid, y, grid, grid_fid):
+    def _update(state: TrainState, X, fid, y):
         losses, grads = jax.vmap(
             jax.value_and_grad(loss_fn), in_axes=(0, None, None, None)
         )(state.params, X, fid, y)
@@ -103,35 +112,51 @@ def make_mfgp_train_step(mesh: Mesh, kernel: str = "rbf",
         grads = jax.tree.map(jnp.nan_to_num, grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), losses
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def loss_step_fn(state: TrainState, X, fid, y):
+        return _update(state, X, fid, y)
+
+    # shardings flow from the committed inputs (params: dp, grid: mp,
+    # data: replicated); GSPMD propagates the layouts and places the ICI
+    # collectives for the cross-shard argmin/broadcast below.
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, X, fid, y, grid, grid_fid):
+        new_state, losses = _update(state, X, fid, y)
 
         # global best restart: argmin over the dp-sharded loss vector —
         # GSPMD inserts the gather + broadcast of the winner over ICI
         safe = jnp.where(jnp.isfinite(losses), losses, jnp.inf)
         best = jnp.argmin(safe)
-        best_params = jax.tree.map(lambda a: a[best], params)
+        best_params = jax.tree.map(lambda a: a[best], new_state.params)
 
         gstate = _mf.condition(best_params, X, fid, y, kernel=kernel,
                                jitter=jitter)
         mu, var = _mf.predict(best_params, gstate, grid, grid_fid,
                               kernel=kernel)
-        new_state = TrainState(params, opt_state, state.step + 1)
         return new_state, losses, mu, var
 
-    def prepare_grid(grid: np.ndarray, grid_fid=None, dtype=jnp.float32):
-        """Pad grid rows to the mp shard count and device_put sharded."""
+    def prepare_grid(grid: np.ndarray, grid_fid=None, dtype=jnp.float32,
+                     n_fidelities: int = 3):
+        """Pad grid rows to the mp shard count and device_put sharded.
+
+        ``grid_fid=None`` defaults to the HIGHEST fidelity (the reference
+        predicts by appending fidelity 2, reference/GPTrainers.py:119) —
+        it previously defaulted to 0 (lowest), silently evaluating the
+        wrong AR1 weighting and noise.
+        """
         M = grid.shape[0]
         Mp = pad_to_multiple(M, n_mp)
         g = np.zeros((Mp, grid.shape[1]), dtype=np.asarray(grid).dtype)
         g[:M] = grid
-        gf = np.zeros((Mp,), np.int32)
+        gf = np.full((Mp,), n_fidelities - 1, np.int32)
         if grid_fid is not None:
             gf[:M] = grid_fid
-        else:
-            gf[:] = 0
         return (jax.device_put(jnp.asarray(g, dtype), mp_shard),
                 jax.device_put(jnp.asarray(gf), mp_shard), M)
 
-    return init_fn, step_fn, prepare_grid
+    return TrainStepFns(init_fn, step_fn, loss_step_fn, prepare_grid)
 
 
 def fit_sharded(mesh: Mesh, X, fid, y, grid, grid_fid=None, *,
@@ -145,18 +170,22 @@ def fit_sharded(mesh: Mesh, X, fid, y, grid, grid_fid=None, *,
     n_dp = mesh.shape[DP_AXIS]
     if n_restarts is None:
         n_restarts = pad_to_multiple(max(8, n_dp), n_dp)
-    init_fn, step_fn, prepare_grid = make_mfgp_train_step(
+    fns = make_mfgp_train_step(
         mesh, kernel=kernel, learning_rate=learning_rate, jitter=jitter)
     X = jnp.asarray(X, dtype)
     fid = jnp.asarray(fid, jnp.int32)
     y = jnp.asarray(y, dtype)
     n_fidelities = int(fid.max()) + 1 if fid.size else 1
-    gpad, gfpad, M = prepare_grid(np.asarray(grid), grid_fid, dtype)
-    state = init_fn(jax.random.key(seed), n_restarts, n_fidelities,
-                    X.shape[1], dtype)
-    losses = mu = var = None
-    for _ in range(steps):
-        state, losses, mu, var = step_fn(state, X, fid, y, gpad, gfpad)
+    gpad, gfpad, M = fns.prepare_grid(np.asarray(grid), grid_fid, dtype,
+                                      n_fidelities=n_fidelities)
+    state = fns.init_fn(jax.random.key(seed), n_restarts, n_fidelities,
+                        X.shape[1], dtype)
+    losses = None
+    # inner loop: update-only steps (no per-step Cholesky/grid posterior);
+    # the final step_fn call produces the best-restart grid posterior once
+    for _ in range(max(steps - 1, 0)):
+        state, losses = fns.loss_step_fn(state, X, fid, y)
+    state, losses, mu, var = fns.step_fn(state, X, fid, y, gpad, gfpad)
     best = jnp.argmin(jnp.where(jnp.isfinite(losses), losses, jnp.inf))
     best_params = jax.tree.map(lambda a: a[best], state.params)
     return best_params, losses, mu[:M], var[:M]

@@ -93,3 +93,20 @@ def test_rbf_dx1_finite_difference(rng):
         Xm = X1.copy(); Xm[:, d] -= eps
         fd = (np_rbf(Xp, X2, 1.3, ls) - np_rbf(Xm, X2, 1.3, ls)) / (2 * eps)
         np.testing.assert_allclose(g[:, :, d], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_ar1_weights_rho_zero_no_nan():
+    """rho = 0 (decoupled fidelities) must yield exact zeros/ones, not the
+    0/0 NaNs of a cumprod-ratio formulation (code-review finding)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops.kernels import ar1_fidelity_weights
+
+    W = np.asarray(ar1_fidelity_weights(jnp.asarray([0.0, 0.5]), 3))
+    assert np.isfinite(W).all()
+    np.testing.assert_allclose(np.diag(W), 1.0)
+    np.testing.assert_allclose(W[1, 2], 0.5)
+    np.testing.assert_allclose(W[0, 1], 0.0)  # decoupled by rho_1 = 0
+    np.testing.assert_allclose(W[0, 2], 0.0)
+    # lower triangle zero
+    assert W[1, 0] == 0.0 and W[2, 0] == 0.0 and W[2, 1] == 0.0

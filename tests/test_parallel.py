@@ -88,8 +88,8 @@ def test_sharded_cross_cov_matches_local(mesh, problem, rng):
 
 def test_train_step_improves_and_selects_best(mesh, problem):
     X, fid, y, grid = problem
-    init_fn, step_fn, prepare_grid = make_mfgp_train_step(
-        mesh, learning_rate=0.05)
+    fns = make_mfgp_train_step(mesh, learning_rate=0.05)
+    init_fn, step_fn, prepare_grid = fns.init_fn, fns.step_fn, fns.prepare_grid
     gpad, gfpad, M = prepare_grid(grid)
     state = init_fn(jax.random.key(0), 8, 3, X.shape[1], jnp.float64)
     Xj = jnp.asarray(X)
@@ -207,3 +207,22 @@ def test_sharded_nlml_grad_matches_local(mesh, rng):
     with pytest.raises(ValueError):
         make_sharded_nlml_value_and_grad(mesh)(params, X[:47], fid[:47],
                                                y[:47])
+
+
+def test_prepare_grid_defaults_to_highest_fidelity(mesh, problem):
+    """grid_fid=None must evaluate at the HIGHEST fidelity like every other
+    predict path (code-review finding: it silently used fidelity 0)."""
+    X, fid, y, grid = problem
+    fns = make_mfgp_train_step(mesh)
+    _, gfpad, M = fns.prepare_grid(grid, None, jnp.float64, n_fidelities=3)
+    assert (np.asarray(gfpad) == 2).all()
+    # fit_sharded now matches MFGP.predict's default-fidelity posterior
+    best, losses, mu, var = fit_sharded(mesh, X, fid, y, grid, steps=5,
+                                        dtype=jnp.float64)
+    m = MFGP(X, fid, y, jitter=1e-6)
+    m.params = best
+    mu_ref, var_ref = m.predict(grid)  # defaults to highest fidelity
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref),
+                               rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(var_ref),
+                               rtol=1e-8)
