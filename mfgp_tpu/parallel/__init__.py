@@ -11,3 +11,4 @@ from mfgp_tpu.parallel.train import (TrainState, fit_sharded, init_restarts,
                                      make_mfgp_train_step)
 from mfgp_tpu.parallel.sweep import (env_shard, process_shard, run_sweep,
                                      trainer_sweep)
+from mfgp_tpu.parallel.chol import make_sharded_cholesky
