@@ -39,8 +39,11 @@ def generate_estimates(traj: Table, cfg: SimConfig, seed: int | None = None,
     seed = cfg.seed if seed is None else seed
     t = traj.col("t")
     pos = traj.cols("x", "y", "z")
-    # reference breaks when row j-1 exceeds the cutoff -> keep one row past
-    n_keep = int(np.searchsorted(t, t_cut, side="left")) + 1
+    # the reference breaks before writing a row with t > t_cut
+    # (reference/trajectoryEstimateGenerator.py:54-55): every output row
+    # satisfies t <= t_cut, so keep exactly that many rows (+1 for the
+    # filter's finite-difference lookahead)
+    n_keep = int(np.searchsorted(t, t_cut, side="right"))
     t = t[: n_keep + 1]
     pos = pos[: n_keep + 1]
     model = cfg.kf_model()
@@ -74,7 +77,7 @@ def generate_estimates_batch(trajs, cfg: SimConfig, seeds=None,
     for traj in trajs:
         t = traj.col("t")
         pos = traj.cols("x", "y", "z")
-        n_keep = int(np.searchsorted(t, t_cut, side="left")) + 1
+        n_keep = int(np.searchsorted(t, t_cut, side="right"))
         t, pos = t[: n_keep + 1], pos[: n_keep + 1]
         lengths.append(t.shape[0])
         ts.append(t)

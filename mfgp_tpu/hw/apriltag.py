@@ -191,13 +191,19 @@ class AprilFusion:
             meas.append(z)
             noise.append(r)
 
+        def unwrap(z_yaw):
+            """Re-reference a wrapped yaw measurement to the current state
+            so innovations never jump by ~2*pi (the reference wraps the
+            state every cycle, driver :226-230)."""
+            return self.x[3, 0] + angle_wrap(z_yaw - self.x[3, 0], np.pi)
+
         h_depth = np.zeros(8)
         h_depth[2] = 1.0
         add(h_depth, depth, cfg.r_depth)
         if detections:
             h_yaw = np.zeros(8)
             h_yaw[3] = 1.0
-            add(h_yaw, yaw, cfg.r_yaw)
+            add(h_yaw, unwrap(yaw), cfg.r_yaw)
         if gps is not None:
             gx, gy, gyaw = gps
             for i, (z, r) in enumerate(
@@ -208,8 +214,7 @@ class AprilFusion:
             h = np.zeros(8)
             h[3] = 1.0
             # unwrap GPS yaw near the current estimate (driver :139)
-            z = self.x[3, 0] + angle_wrap(gyaw - self.x[3, 0], np.pi)
-            add(h, z, cfg.gps_yaw_noise)
+            add(h, unwrap(gyaw), cfg.gps_yaw_noise)
 
         accepted = 0
         for det in detections:
@@ -217,24 +222,28 @@ class AprilFusion:
             if pose is None:
                 continue
             px, py, pz = pose[:3, 3]
-            _, _, pyaw = rotm_to_euler(pose[:3, :3])
+            proll, ppitch, pyaw = rotm_to_euler(pose[:3, :3])
             if cfg.boundaries_xy is not None:
                 xmax, xmin, ymax, ymin = cfg.boundaries_xy
                 if not (xmin <= px <= xmax and ymin <= py <= ymax):
                     continue
             if self._window_reject(t_now, px, py, trust_gps=gps is not None):
                 continue
+            # reference noise model (driver :205-213): ADDITIVE scaling
+            # 1 + distance + skew + pose_err*peScale, with the pose-error
+            # term divided by 100 on the yaw row
             dist = float(np.linalg.norm(np.asarray(det.t).reshape(-1)))
-            scale = (1.0 + dist**2) * (1.0 + cfg.pose_err_scale
-                                       * max(det.pose_err, 0.0))
+            skew = 3.0 * float(np.hypot(proll, ppitch)) / 2.22
+            pe = max(det.pose_err, 0.0)
+            scale_xyz = 1.0 + dist + skew + cfg.pose_err_scale * pe
+            scale_yaw = 1.0 + dist + skew + cfg.pose_err_scale * pe / 100.0
             for i, z in [(0, px), (1, py), (2, pz)]:
                 h = np.zeros(8)
                 h[i] = 1.0
-                add(h, z, cfg.r_tag_xyz * scale)
+                add(h, z, cfg.r_tag_xyz * scale_xyz)
             h = np.zeros(8)
             h[3] = 1.0
-            z = self.x[3, 0] + angle_wrap(pyaw - self.x[3, 0], np.pi)
-            add(h, z, cfg.r_tag_yaw * scale)
+            add(h, unwrap(pyaw), cfg.r_tag_yaw * scale_yaw)
             self._window.append((t_now, px, py))
             accepted += 1
 
@@ -242,5 +251,9 @@ class AprilFusion:
         z = np.asarray(meas, float)[:, None]
         R = np.diag(noise)
         x, P = kf_update(self.x, self.P, z, H, R)
-        self.x, self.P = np.asarray(x), np.asarray(P)
+        # np.array (copy): kf_update returns read-only device buffers
+        self.x, self.P = np.array(x), np.array(P)
+        # wrap the state yaw every cycle (driver :226-230) so it can never
+        # random-walk away from the wrapped measurement domain
+        self.x[3, 0] = angle_wrap(self.x[3, 0], np.pi)
         return self.x.copy(), np.diag(self.P).copy()

@@ -218,6 +218,8 @@ class RIGPlanner:
     def update_path_list(self, n_prev: Node, n_new: Node,
                          new_edges: Sequence[Edge]):
         edge_id = (n_prev.idx, n_new.idx)
+        was_known = n_new.idx in self.V
+        n_edges_before = len(self.E.get(edge_id, ()))
         pending = []  # (base_path or None, segment-prototype)
 
         if not n_new.path_list and edge_id[0] == self.root_idx:
@@ -277,6 +279,18 @@ class RIGPlanner:
                 n_new.info = info
                 best = BestPath(seg.budget, info, n_new.idx, tuple(new_path))
         self.best_path = best
+
+        # roll back if a brand-new node was not admitted (every extension
+        # exceeded the budget): keeping its edges/V entry would let plan()
+        # recycle the index for a *different* state while stale edges
+        # synthesized for the old endpoint survive under the same (i, j)
+        # key, corrupting persistence and traversals
+        if not was_known and not n_new.path_list:
+            self.V.pop(n_new.idx, None)
+            if edge_id in self.E:
+                del self.E[edge_id][n_edges_before:]
+                if not self.E[edge_id]:
+                    del self.E[edge_id]
 
     # -- main loop ----------------------------------------------------------
     def _terminal(self):
@@ -360,9 +374,7 @@ class RIGPlanner:
         return d
 
     def edge_dict(self, save=False, fname="graphEdges.txt"):
-        d = {str(k): [list(e[:6]) + [[list(map(float, p[1:])) for p in e.prims]]
-                      for e in v] for k, v in self.E.items()}
-        # store leg types alongside params for exact reconstruction
+        # leg types stored alongside params for exact reconstruction
         d = {str(k): [
             [e.idx1, e.idx2, e.info, e.budget, e.time, e.uncertainty,
              [[int(p[0])] + [float(x) for x in p[1:]] for p in e.prims]]

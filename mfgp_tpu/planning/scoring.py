@@ -38,6 +38,23 @@ from mfgp_tpu.ops import kernels as _k
 from mfgp_tpu.ops import linalg as _la
 
 
+def fids_from_variance(var, fid_levels, n_fidelities: int):
+    """Accrued localization variance -> conditioning fidelity label.
+
+    Reference semantics (reference/GraceRIGV3.py:528-533): below the first
+    threshold -> highest fidelity (F-1), each further threshold steps one
+    level down, floor 0. Generalized to any F (the previous copies
+    hardcoded F=3 and crashed or mislabelled otherwise).
+    """
+    fl = np.asarray(fid_levels, float)
+    if fl.shape[0] < n_fidelities - 1:
+        raise ValueError(
+            f"need {n_fidelities - 1} fidelity thresholds, got {fl.shape[0]}")
+    lev = np.searchsorted(fl[: n_fidelities - 1], np.asarray(var),
+                          side="right")
+    return (n_fidelities - 1 - lev).astype(np.int32)
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     b = minimum
     while b < n:
@@ -244,6 +261,8 @@ class ErgodicCost:
         self._p = jnp.where(jnp.any(p == 0), p + floor, p)
 
     def __call__(self, points: np.ndarray) -> float:
+        if points.shape[0] == 0:
+            return -np.inf
         return float(_ergodic_one(jnp.asarray(points[:, 3]),
                                   jnp.asarray(points[:, :3]), None,
                                   self.grid, self.sigma_diag, self._p))
@@ -363,12 +382,7 @@ class MFInfoGainCost:
         self._F = int(p.variances.shape[0])
 
     def _fids_from_var(self, var):
-        """Accrued variance -> conditioning fidelity
-        (reference/GraceRIGV3.py:528-533): < fl[0] -> highest (F-1),
-        < fl[1] -> 1, else -> 0 (lowest)."""
-        fl = self.fid_levels
-        return np.where(var < fl[0], self._F - 1,
-                        np.where(var < fl[1], 1, 0)).astype(np.int32)
+        return fids_from_variance(var, self.fid_levels, self._F)
 
     def __call__(self, points: np.ndarray) -> float:
         if points.shape[0] == 0:
@@ -411,11 +425,7 @@ class MFBatchLogDetCost:
         self._F = int(p.variances.shape[0])
 
     def _fids_from_var(self, var):
-        """Accrued variance -> fidelity label (reference :602-606:
-        < fl[0] -> 2 (highest), < fl[1] -> 1, else 0)."""
-        fl = self.fid_levels
-        return np.where(var < fl[0], self._F - 1,
-                        np.where(var < fl[1], 1, 0)).astype(np.int32)
+        return fids_from_variance(var, self.fid_levels, self._F)
 
     def __call__(self, points: np.ndarray) -> float:
         if points.shape[0] == 0:

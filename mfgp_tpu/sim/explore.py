@@ -254,6 +254,7 @@ class ExplorationSim:
                 WS=np.asarray(cfg.WS, float), R=cfg.near_rad, Rd=cfg.Rd,
                 same_node_distance=cfg.same_node_distance,
                 budget_cutoff=0.9, max_iter=self.plan_iters,
+                wallclock_limit=exp.plan_wallclock,
                 seed=self.seed + plan_num, cost=cost,
                 env=lambda pts: np.asarray(self.field(jnp.asarray(pts))),
             )
@@ -375,6 +376,7 @@ class ExplorationSim:
         from mfgp_tpu.planning.primitives import swim_energy
 
         budget_used = (swim_energy(t_flown, self.agent_cfg)
+                       * self.agent_cfg.tail_energy_scale
                        + self.agent_cfg.time_energy * t_flown)
 
         model = None

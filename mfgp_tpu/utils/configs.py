@@ -96,13 +96,9 @@ class SimConfig:
         """The 2000-point eval grid, Fortran raveled to match the
         reference's ``testPoints`` ordering
         (reference/exploreSimSettings.py:116-119)."""
-        specs = [
-            np.linspace(self.WS[0][0], self.WS[0][1], nums[0]),
-            np.linspace(self.WS[1][0], self.WS[1][1], nums[1]),
-            np.linspace(0.0, self.max_depth, nums[2]),
-        ]
-        grids = np.meshgrid(*specs)
-        return np.array([g.ravel("F") for g in grids]).T
+        return _grid([(self.WS[0][0], self.WS[0][1], nums[0]),
+                      (self.WS[1][0], self.WS[1][1], nums[1]),
+                      (0.0, self.max_depth, nums[2])])
 
     def agent(self) -> AgentConfig:
         cfg = AgentConfig.sim_defaults()
@@ -128,7 +124,10 @@ class ExperimentConfig:
     sim: SimConfig = field(default_factory=SimConfig)
     B: float = 80.0  # robot energy budget (exploreExpSettings.py:253)
     BD: int = 10
-    plan_wallclock: float = 45.0  # s per replan (exploreExpSettings.py:214)
+    # wall-clock stopwatch per replan; None = iteration-bounded planning.
+    # Set 45.0 to reproduce the reference's stopwatch
+    # (exploreExpSettings.py:214-215); now wired into RIGPlanner.
+    plan_wallclock: float | None = None
     multi_fidelity: bool = True
     ergodic: bool = True  # False -> information-gain scoring
     alpha_auto: bool = False  # EID auto-alpha (exploreExpSettings.py:71)

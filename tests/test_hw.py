@@ -129,3 +129,35 @@ def test_reference_trajectories():
     assert wp[:, 1].max() <= 20 and wp[:, 2].max() <= 10
     with pytest.raises(KeyError):
         reference_trajectory("nope", t)
+
+
+def test_april_fusion_yaw_wrap_stability():
+    """State yaw stays wrapped and a near-pi compass measurement produces a
+    small innovation, not a ~2*pi yank (code-review finding)."""
+    tag_world = vec_to_tf([0.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    fusion = AprilFusion({1: tag_world})
+    # drive the yaw estimate near +pi via repeated wrapped measurements
+    for i in range(60):
+        yaw_meas = np.pi - 0.05 if i % 2 == 0 else -np.pi + 0.05
+        x, _ = fusion.step(0.1 * i, 0.1, depth=0.5, yaw=yaw_meas,
+                           detections=[TagDetection(1, np.eye(3),
+                                                    np.zeros(3))])
+        assert -np.pi <= x[3, 0] < np.pi + 1e-9
+    # estimate settled near the +/-pi seam rather than diverging
+    assert abs(abs(x[3, 0]) - np.pi) < 0.3
+
+
+def test_fids_from_variance_general_f():
+    """Generalized fidelity binning (code-review finding: the old copies
+    hardcoded F=3)."""
+    from mfgp_tpu.planning.scoring import fids_from_variance
+
+    # F=3, reference semantics
+    np.testing.assert_array_equal(
+        fids_from_variance([0.1, 1.0, 9.0], [0.25, 2.25, 6.25], 3),
+        [2, 1, 0])
+    # F=2: below threshold -> highest (1), above -> 0
+    np.testing.assert_array_equal(
+        fids_from_variance([0.1, 9.0], [0.25], 2), [1, 0])
+    with pytest.raises(ValueError):
+        fids_from_variance([0.1], [], 3)
