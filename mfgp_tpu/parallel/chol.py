@@ -35,6 +35,95 @@ from mfgp_tpu.parallel.mesh import MP_AXIS
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
+def _chol_cols_body(A, idx, n, nc, block, axis):
+    """In-shard right-looking Cholesky sweep (see module docstring).
+
+    A: (n, nc) this chip's columns; idx: this chip's mesh index along
+    ``axis``. Returns this chip's columns of L (strict upper zeroed).
+    Usable inside any shard_map (make_sharded_cholesky wraps it; the fully
+    sharded gradient composes it with the solve sweeps)."""
+    col0 = idx * nc
+    for k in range(0, n, block):
+        owner = k // nc  # static
+        k_local = k % nc  # static
+        pan_cols = jax.lax.dynamic_slice(A, (0, k_local), (n, block))
+        diag = jax.lax.dynamic_slice(pan_cols, (k, 0), (block, block))
+        Lkk = _la.chol(diag)
+        sol = jax.scipy.linalg.solve_triangular(
+            Lkk, pan_cols.T, lower=True).T
+        rows = jnp.arange(n)[:, None]
+        panel = jnp.where(rows < k, 0.0,
+                          jnp.where(rows < k + block,
+                                    jnp.pad(Lkk, ((k, n - k - block),
+                                                  (0, 0))),
+                                    sol))
+        is_owner = (idx == owner)
+        panel = jnp.where(is_owner, panel, jnp.zeros_like(panel))
+        panel = jax.lax.psum(panel, axis)
+        A = jnp.where(
+            is_owner,
+            jax.lax.dynamic_update_slice(A, panel, (0, k_local)),
+            A)
+        my_cols = col0 + jnp.arange(nc)
+        pj = panel[my_cols]
+        upd = jnp.dot(panel, pj.T, precision=_HIGHEST)
+        col_active = (my_cols >= k + block)[None, :]
+        row_active = (jnp.arange(n) >= k + block)[:, None]
+        A = A - jnp.where(col_active & row_active, upd, 0.0)
+    my_cols = col0 + jnp.arange(nc)
+    tril = jnp.arange(n)[:, None] >= my_cols[None, :]
+    return jnp.where(tril, A, 0.0)
+
+
+def _broadcast_panel(L_cols, idx, k, n, nc, block, axis):
+    """psum-broadcast column panel [k, k+block) from its owner chip."""
+    owner = k // nc
+    k_local = k % nc
+    panel = jax.lax.dynamic_slice(L_cols, (0, k_local), (n, block))
+    panel = jnp.where(idx == owner, panel, jnp.zeros_like(panel))
+    return jax.lax.psum(panel, axis)
+
+
+def _tri_solve_lower_body(L_cols, B_cols, idx, n, nc, block, axis):
+    """Forward substitution ``L X = B`` with BOTH operands column-sharded.
+
+    Per row-block step: one psum broadcasts the owner's L panel; each chip
+    then solves its own RHS columns locally. X comes back column-sharded
+    like B."""
+    X = B_cols
+    for k in range(0, n, block):
+        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis)
+        Lkk = jax.lax.dynamic_slice(panel, (k, 0), (block, block))
+        rhs_k = jax.lax.dynamic_slice(X, (k, 0), (block, X.shape[1]))
+        x_k = jax.scipy.linalg.solve_triangular(Lkk, rhs_k, lower=True)
+        X = jax.lax.dynamic_update_slice(X, x_k, (k, 0))
+        # eliminate this block from the rows below
+        below = jnp.dot(panel, x_k, precision=_HIGHEST)  # (n, cols)
+        row_mask = (jnp.arange(n) >= k + block)[:, None]
+        X = X - jnp.where(row_mask, below, 0.0)
+    return X
+
+
+def _tri_solve_upper_body(L_cols, Y_cols, idx, n, nc, block, axis):
+    """Backward substitution ``L^T X = Y`` with column-sharded operands.
+
+    Sweeps row blocks last-to-first; block i needs ``L[j, i]^T X_j`` for
+    j > i, which lives entirely in the broadcast panel i."""
+    X = Y_cols
+    for k in range(n - block, -1, -block):
+        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis)
+        Lkk = jax.lax.dynamic_slice(panel, (k, 0), (block, block))
+        rhs_k = jax.lax.dynamic_slice(X, (k, 0), (block, X.shape[1]))
+        # subtract sum_{j>k} L[j, k]^T X_j  (rows below k+block of panel)
+        row_mask = (jnp.arange(n) >= k + block)[:, None]
+        Xbelow = jnp.where(row_mask, X, 0.0)
+        corr = jnp.dot(panel.T, Xbelow, precision=_HIGHEST)  # (block, cols)
+        x_k = jax.scipy.linalg.solve_triangular(Lkk.T, rhs_k - corr,
+                                                lower=False)
+        X = jax.lax.dynamic_update_slice(X, x_k, (k, 0))
+    return X
+
+
 def make_sharded_cholesky(mesh: Mesh, n: int, block: int = 256):
     """Build ``f(K) -> L`` for (n, n) SPD inputs, column-sharded over mp.
 
@@ -51,60 +140,145 @@ def make_sharded_cholesky(mesh: Mesh, n: int, block: int = 256):
         raise ValueError(f"column block {nc} not divisible by panel {block}")
 
     def shard_body(K_cols):
-        # K_cols: (n, nc) — this chip's columns of the symmetric K
         idx = jax.lax.axis_index(MP_AXIS)
-        col0 = idx * nc
-        A = K_cols
-
-        for k in range(0, n, block):
-            owner = k // nc  # static
-            k_local = k % nc  # static
-            # --- 1. owner factorizes the panel (everyone computes on its
-            # own slice; non-owners produce garbage that the psum masks out)
-            pan_cols = jax.lax.dynamic_slice(
-                A, (0, k_local), (n, block))  # (n, block)
-            diag = jax.lax.dynamic_slice(pan_cols, (k, 0), (block, block))
-            Lkk = _la.chol(diag)
-            below = jax.lax.dynamic_slice(
-                pan_cols, (0, 0), (n, block))  # rows k+block.. updated below
-            # solve L21 Lkk^T = A21 -> L21 = A21 Lkk^-T (rows > k)
-            sol = jax.scipy.linalg.solve_triangular(
-                Lkk, below.T, lower=True).T  # (n, block)
-            # assemble this chip's candidate finished panel:
-            # rows < k: 0; rows in [k, k+block): Lkk (lower); rows >= k+block: sol
-            rows = jnp.arange(n)[:, None]
-            panel = jnp.where(rows < k, 0.0,
-                              jnp.where(rows < k + block,
-                                        jnp.pad(Lkk, ((k, n - k - block),
-                                                      (0, 0))),
-                                        sol))
-            is_owner = (idx == owner)
-            panel = jnp.where(is_owner, panel, jnp.zeros_like(panel))
-            # --- 2. broadcast the finished panel (psum-as-broadcast)
-            panel = jax.lax.psum(panel, MP_AXIS)  # (n, block)
-            # --- 3. owner writes the panel into its columns
-            A = jnp.where(
-                is_owner,
-                jax.lax.dynamic_update_slice(
-                    A, jax.lax.dynamic_slice(panel, (0, 0), (n, block)),
-                    (0, k_local)),
-                A)
-            # --- 4. trailing update on every chip's columns > k+block-1:
-            # A[i, j] -= sum_c panel[i, c] * panel[j, c]
-            my_cols = col0 + jnp.arange(nc)
-            pj = panel[my_cols]  # (nc, block) = L[j, panel] for my columns
-            upd = jnp.dot(panel, pj.T, precision=_HIGHEST)  # (n, nc)
-            col_active = (my_cols >= k + block)[None, :]
-            row_active = (jnp.arange(n) >= k + block)[:, None]
-            A = A - jnp.where(col_active & row_active, upd, 0.0)
-
-        # zero the strict upper triangle of the global matrix in my columns
-        my_cols = col0 + jnp.arange(nc)
-        tril = jnp.arange(n)[:, None] >= my_cols[None, :]
-        return jnp.where(tril, A, 0.0)
+        return _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS)
 
     smapped = jax.shard_map(shard_body, mesh=mesh,
                             in_specs=P(None, MP_AXIS),
                             out_specs=P(None, MP_AXIS))
 
+    return jax.jit(smapped)
+
+
+def make_sharded_tri_solves(mesh: Mesh, n: int, ncols: int,
+                            block: int = 256):
+    """Build ``(lower_fn, upper_fn)`` for column-sharded triangular solves.
+
+    Both L and the RHS/solution are column-sharded over mp; each sweep step
+    is one (n, block) psum broadcast + local block solve + local MXU
+    elimination. ``ncols`` is the global RHS column count (must divide by
+    the mp extent)."""
+    n_mp = mesh.shape[MP_AXIS]
+    if n % (n_mp) or (n // n_mp) % block:
+        raise ValueError(f"n={n} incompatible with mp={n_mp}, block={block}")
+    if ncols % n_mp:
+        raise ValueError(f"ncols={ncols} not divisible by mp={n_mp}")
+    nc = n // n_mp
+
+    def lower_body(L_cols, B_cols):
+        idx = jax.lax.axis_index(MP_AXIS)
+        return _tri_solve_lower_body(L_cols, B_cols, idx, n, nc, block,
+                                     MP_AXIS)
+
+    def upper_body(L_cols, Y_cols):
+        idx = jax.lax.axis_index(MP_AXIS)
+        return _tri_solve_upper_body(L_cols, Y_cols, idx, n, nc, block,
+                                     MP_AXIS)
+
+    specs = dict(mesh=mesh, in_specs=(P(None, MP_AXIS), P(None, MP_AXIS)),
+                 out_specs=P(None, MP_AXIS))
+    return (jax.jit(jax.shard_map(lower_body, **specs)),
+            jax.jit(jax.shard_map(upper_body, **specs)))
+
+
+def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
+                                           block: int = 256,
+                                           jitter: float = 0.0):
+    """End-to-end memory-scaled MFGP NLML value+gradient (RBF, rhos fixed).
+
+    Every O(N^2) object — the covariance columns, the Cholesky factor, and
+    the explicit inverse — lives column-sharded over the mp axis; the only
+    replicated arrays are the O(N) data and O(1) parameters:
+
+      1. each chip assembles ITS columns of K_n (local MXU work),
+      2. distributed Cholesky (_chol_cols_body),
+      3. alpha and logdet from sharded pieces: two distributed triangular
+         solves give this chip's K_n^-1 columns; ``alpha = psum(Kinv_c y_c)``
+         and ``logdet = psum(local log-diags)``,
+      4. the trace-identity contractions of
+         models/mfgp.nlml_value_and_grad, psum'd (as in
+         make_sharded_nlml_value_and_grad, but without a replicated L).
+
+    Per-chip memory: 3 * N^2/n_mp + O(N); the factorizable N scales
+    linearly with the mesh. Returns ``f(params, X, fid, y)``.
+    """
+    from mfgp_tpu.models.mfgp import MFGPParams
+
+    n_mp = mesh.shape[MP_AXIS]
+    if n % n_mp or (n // n_mp) % block:
+        raise ValueError(f"n={n} incompatible with mp={n_mp}, block={block}")
+    nc = n // n_mp
+
+    def shard_body(params, X, fid, y):
+        idx = jax.lax.axis_index(MP_AXIS)
+        col0 = idx * nc
+        cols = col0 + jnp.arange(nc)
+        F = params.variances.shape[0]
+        D = X.shape[1]
+
+        from mfgp_tpu.ops import kernels as _k
+
+        Xc = X[cols]
+        fc = fid[cols]
+        Wfid = _k.ar1_fidelity_weights(params.rhos, F)
+        w_full = Wfid[:, fid]
+        w_cols = Wfid[:, fc]
+
+        # 1. local covariance columns + noise on the diagonal entries
+        K_cols = jnp.zeros((n, nc), X.dtype)
+        Km_cols_list = []
+        for m in range(F):
+            Km = _k.KERNELS["rbf"](X, Xc, 1.0, params.lengthscales[m])
+            Km_cols_list.append(Km)
+            K_cols = K_cols + (params.variances[m]
+                               * (w_full[m][:, None] * w_cols[m][None, :])
+                               * Km)
+        noise_c = _k.mf_noise_diag(fc, params.noises) + jitter
+        diag_sel = (jnp.arange(n)[:, None] == cols[None, :])
+        K_cols = K_cols + jnp.where(diag_sel, noise_c[None, :], 0.0)
+
+        # 2. distributed Cholesky
+        L_cols = _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS)
+
+        # 3. sharded inverse columns, alpha, logdet
+        eye_cols = diag_sel.astype(X.dtype)
+        Yc = _tri_solve_lower_body(L_cols, eye_cols, idx, n, nc, block,
+                                   MP_AXIS)
+        Kinv_cols = _tri_solve_upper_body(L_cols, Yc, idx, n, nc, block,
+                                          MP_AXIS)
+        alpha = jax.lax.psum(
+            jnp.dot(Kinv_cols, y[cols], precision=_HIGHEST), MP_AXIS)
+        logdiag = jnp.log(L_cols[cols, jnp.arange(nc)])
+        logdet = 2.0 * jax.lax.psum(jnp.sum(logdiag), MP_AXIS)
+        val = (0.5 * jnp.dot(y, alpha) + 0.5 * logdet
+               + 0.5 * n * jnp.log(2 * jnp.pi).astype(X.dtype))
+
+        # 4. trace-identity contractions on the sharded columns
+        Wm_cols = Kinv_cols - alpha[:, None] * alpha[cols][None, :]
+        ones_xc = jnp.concatenate([jnp.ones((nc, 1), X.dtype), Xc], axis=1)
+        g_var, g_ls = [], []
+        for m in range(F):
+            T = (params.variances[m]
+                 * (w_full[m][:, None] * w_cols[m][None, :])
+                 * Km_cols_list[m])
+            A = Wm_cols * T
+            sv = jax.lax.psum(
+                jnp.dot(A, ones_xc, precision=_HIGHEST), MP_AXIS)
+            s, Ax = sv[:, 0], sv[:, 1:]
+            g_var.append(0.5 * jnp.sum(s))
+            g_ls.append((jnp.sum((X**2) * s[:, None], axis=0)
+                         - jnp.sum(X * Ax, axis=0))
+                        / (params.lengthscales[m] ** 2))
+        diag_w = Wm_cols[cols, jnp.arange(nc)]
+        g_noise = jnp.stack([
+            0.5 * params.noises[f] * jax.lax.psum(
+                jnp.sum(jnp.where(fc == f, diag_w, 0.0)), MP_AXIS)
+            for f in range(F)])
+        grad = MFGPParams(jnp.stack(g_var), jnp.stack(g_ls),
+                          jnp.zeros_like(params.rhos), g_noise)
+        return val, grad
+
+    smapped = jax.shard_map(shard_body, mesh=mesh,
+                            in_specs=(P(), P(), P(), P()),
+                            out_specs=(P(), P()))
     return jax.jit(smapped)
