@@ -99,3 +99,53 @@ def test_plot_average_errors(tmp_path):
             for v in (0.0, 0.1, 0.2) for _ in range(3)]
     p = plot_average_errors(rows, str(tmp_path / "avg.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_replay_all_four_model_kinds(tmp_path, rng):
+    """Write artifacts for all four families with our own trainer, replay
+    them, and verify each restored model reproduces its source's
+    predictions (full C27 coverage incl. MFGP/NIGP)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.data.io import GPDATA_HEADER, Table, save_hyp_vector
+    from mfgp_tpu.data.trainers import train_models
+    from mfgp_tpu.fields.wrbf import default_sim_field
+    from mfgp_tpu.viz import replay_models
+
+    field = default_sim_field([[0, 10], [0, 20]], 10.0)
+    n = 40
+    X = rng.uniform(0, 10, (n, 3)) * [1, 2, 1]
+    y = np.asarray(field(jnp.asarray(X)))
+    rows = np.column_stack([
+        np.arange(n, dtype=float), X,
+        X + 0.05 * rng.standard_normal((n, 3)), y,
+        rng.integers(1, 4, n).astype(float)])
+    ds_path = tmp_path / "GPData_0.2_fieldMeas_0_T0_0.csv"
+    Table(GPDATA_HEADER.split(","), rows).save(str(ds_path))
+
+    from mfgp_tpu.data.io import load_gp_dataset
+
+    ds = load_gp_dataset(str(ds_path))
+    models = train_models(ds, optimize=False)
+    base = "GPData_0.2_fieldMeas_0_T0_0_"
+    save_hyp_vector(str(tmp_path / (base + "emuGP.txt")),
+                    models.mf.param_array, row=True)
+    save_hyp_vector(str(tmp_path / (base + "sfGP.txt")),
+                    models.sf.param_array)
+    save_hyp_vector(str(tmp_path / (base + "sfGPTP.txt")),
+                    models.sf_tp.param_array)
+    save_hyp_vector(str(tmp_path / (base + "nisfGP.txt")),
+                    models.nigp.get_params())
+
+    _, restored = replay_models(str(ds_path), str(tmp_path))
+    assert set(restored) == {"mf", "sf", "sfTP", "nisf"}
+    Xq = X[:6]
+    np.testing.assert_allclose(
+        np.asarray(restored["mf"].predict(Xq)[0]),
+        np.asarray(models.mf.predict(Xq)[0]), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(restored["sf"].predict(Xq)[0]),
+        np.asarray(models.sf.predict(Xq)[0]), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(restored["nisf"].predict(Xq)[0]),
+        np.asarray(models.nigp.predict(Xq)[0]), rtol=1e-6)
