@@ -97,19 +97,19 @@ def run_tpu(N, M, repeats=3):
     gj = jnp.asarray(grid)
     gfj = jnp.asarray(grid_fid)
 
-    # analytic trace-identity gradient: 0.845 s vs 2.145 s for autodiff at
-    # N=20k (identical values; see models/mfgp.nlml_value_and_grad)
-    nlml_grad = jax.jit(
-        lambda p: mf.nlml_value_and_grad(p, Xj, fj, yj, jitter=1e-6))
-
-    @jax.jit
-    def posterior(p):
-        state = mf.condition(p, Xj, fj, yj, jitter=1e-6)
-        return mf.predict_blocked(p, state, gj, gfj)
+    # analytic trace-identity gradient + conditioned state from ONE
+    # factorization (the NumPy baseline also factorizes once; see
+    # models/mfgp.nlml_value_grad_state). Kept as TWO launches: fusing
+    # them into one jit makes XLA hold the gradient's inverse alongside
+    # the posterior buffers — 15.76G/15.75G HBM, an OOM by 16 MB.
+    vgs = jax.jit(
+        lambda p: mf.nlml_value_grad_state(p, Xj, fj, yj, jitter=1e-6))
+    post = jax.jit(
+        lambda p, s: mf.predict_blocked(p, s, gj, gfj))
 
     def unit():
-        val, g = nlml_grad(params)
-        mu, var = posterior(params)
+        val, g, state = vgs(params)
+        mu, var = post(params, state)
         jax.block_until_ready((val, g, mu, var))
         return float(val)
 

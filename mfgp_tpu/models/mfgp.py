@@ -164,6 +164,13 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     matvec contraction applies with ``A' = W o (3 v w w^T e^{-sqrt(3) r})``
     and the variance term keeps ``A = W o T``.
     """
+    val, grad, _, _ = _nlml_vg_core(params, X, fid, y, kernel, jitter)
+    return val, grad
+
+
+def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
+                  jitter: float):
+    """Shared implementation: returns (val, grad, L, alpha)."""
     if kernel not in ("rbf", "matern32"):
         raise NotImplementedError(f"analytic gradient: {kernel}")
     N, D = X.shape
@@ -173,11 +180,13 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     inv_ls = 1.0 / params.lengthscales  # (F, D)
     kfn = _k.KERNELS[kernel]
 
-    Kms = []
+    # base kernels are NOT kept for the gradient loop — holding F of them
+    # alive pushed the fused value+grad+state program past 16 GB HBM at
+    # N=20k; recomputing each K_m below is O(N^2 D) noise next to the
+    # solves
     K = jnp.zeros((N, N), X.dtype)
     for m in range(F):
         Km = kfn(X, X, 1.0, params.lengthscales[m])
-        Kms.append(Km)
         K = K + params.variances[m] * (w[m][:, None] * w[m][None, :]) * Km
     noise_vec = _k.mf_noise_diag(fid, params.noises)
     Kn = _la.diag_add(K, noise_vec + jitter)
@@ -197,7 +206,7 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     _SQRT3 = 1.7320508075688772
     for m in range(F):
         ww = w[m][:, None] * w[m][None, :]
-        T = params.variances[m] * ww * Kms[m]
+        T = params.variances[m] * ww * kfn(X, X, 1.0, params.lengthscales[m])
         A = Wm * T
         if kernel == "rbf":
             # dK/dlog l_d = K * r_d^2 -> same A drives both contractions
@@ -224,7 +233,22 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     grad = MFGPParams(
         jnp.stack(g_logvar), jnp.stack(g_logls),
         jnp.zeros_like(params.rhos), g_lognoise)
-    return val, grad
+    return val, grad, L, alpha
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def nlml_value_grad_state(params: MFGPParams, X, fid, y,
+                          kernel: str = "rbf", jitter: float = 0.0):
+    """(value, grad, conditioned state) sharing ONE factorization.
+
+    A training loop's final step needs the NLML+gradient AND the
+    conditioned posterior state; calling nlml_value_and_grad + condition
+    factorizes the N x N covariance twice. This fuses them around a single
+    Cholesky (the NumPy reference-equivalent unit in bench.py also
+    factorizes once, so this keeps the benchmark apples-to-apples).
+    """
+    val, grad, L, alpha = _nlml_vg_core(params, X, fid, y, kernel, jitter)
+    return val, grad, MFGPState(X, jnp.asarray(fid, jnp.int32), y, L, alpha)
 
 
 @partial(jax.jit, static_argnames=("kernel",))
