@@ -162,3 +162,19 @@ def test_extend_data_matches_full_recondition(rng):
     mu2, var2 = g2.predict(Xs)
     np.testing.assert_allclose(mu1, mu2, rtol=1e-9)
     np.testing.assert_allclose(var1, var2, rtol=1e-8, atol=1e-10)
+
+
+def test_gp_value_grad_state_shares_factorization(rng):
+    from mfgp_tpu.models import gp as g
+
+    X = rng.uniform(0, 10, (30, 3))
+    y = np.sin(X.sum(1))
+    p = g.GPParams.default(3)
+    v, grad, state = g.nlml_value_grad_state(p, jnp.asarray(X),
+                                             jnp.asarray(y), jitter=1e-8)
+    state2 = g.condition(p, jnp.asarray(X), jnp.asarray(y), jitter=1e-8)
+    np.testing.assert_allclose(np.asarray(state.L), np.asarray(state2.L),
+                               atol=1e-14)
+    v2, g2 = g.nlml_value_and_grad(p, jnp.asarray(X), jnp.asarray(y),
+                                   jitter=1e-8)
+    np.testing.assert_allclose(float(v), float(v2), rtol=1e-14)
