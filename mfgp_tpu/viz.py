@@ -175,11 +175,14 @@ def plot_csv(csv_path: str, out_png: str, x: str | int = 0,
     with open(csv_path) as f:
         header = f.readline().strip().lstrip("#").split(",")
     header = [h.strip() for h in header]
-    d = np.loadtxt(csv_path, delimiter=",", skiprows=skiprows, ndmin=2)
 
     def col(c):
         idx = header.index(c) if isinstance(c, str) else int(c)
-        return d[:, idx], (header[idx] if idx < len(header) else str(idx))
+        # per-column load so non-numeric columns elsewhere in the file
+        # (e.g. results.csv's filename column) don't break parsing
+        v = np.loadtxt(csv_path, delimiter=",", skiprows=skiprows,
+                       usecols=[idx], ndmin=1)
+        return v, (header[idx] if idx < len(header) else str(idx))
 
     xv, xname = col(x)
     fig, ax = plt.subplots(figsize=(7, 4))

@@ -149,3 +149,14 @@ def test_replay_all_four_model_kinds(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(restored["nisf"].predict(Xq)[0]),
         np.asarray(models.nigp.predict(Xq)[0]), rtol=1e-6)
+
+
+def test_plot_csv_with_string_columns(tmp_path):
+    """results.csv-style files have a string filename column; plotting
+    numeric columns from them must work (found in the final CLI sweep)."""
+    from mfgp_tpu.viz import plot_csv
+
+    p = tmp_path / "r.csv"
+    p.write_text("filename,RMSE sf,T\nMSE_a.txt,1.5,0\nMSE_b.txt,2.5,1\n")
+    out = plot_csv(str(p), str(tmp_path / "f.png"), x="T", y=["RMSE sf"])
+    assert os.path.getsize(out) > 1000
