@@ -14,3 +14,4 @@ from mfgp_tpu.parallel.sweep import (env_shard, process_shard, run_sweep,
 from mfgp_tpu.parallel.chol import make_sharded_cholesky
 from mfgp_tpu.parallel.chol import (make_fully_sharded_nlml_value_and_grad,
                                     make_sharded_tri_solves)
+from mfgp_tpu.parallel.chol import fit_memory_scaled

@@ -282,3 +282,38 @@ def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
                             in_specs=(P(), P(), P(), P()),
                             out_specs=(P(), P()))
     return jax.jit(smapped)
+
+
+def fit_memory_scaled(mesh: Mesh, X, fid, y, *, steps: int = 100,
+                      learning_rate: float = 0.05, block: int = 256,
+                      jitter: float = 1e-6, params0=None):
+    """Adam fit of one MFGP whose per-step gradient is fully ICI-sharded.
+
+    For N beyond a single chip's HBM (every N^2 object is O(N^2/n_mp) per
+    chip, see make_fully_sharded_nlml_value_and_grad). Parameters are O(1)
+    and update host-side with optax. Returns (params, loss_history).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mfgp_tpu.models.mfgp import MFGPParams
+
+    X = jnp.asarray(X, jnp.float32)
+    fid = jnp.asarray(fid, jnp.int32)
+    y = jnp.asarray(y, jnp.float32)
+    N, D = X.shape
+    F = int(np.asarray(fid).max()) + 1
+    params = params0 or MFGPParams.default(F, D, jnp.float32)
+    vg = make_fully_sharded_nlml_value_and_grad(mesh, N, block=block,
+                                                jitter=jitter)
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+    history = []
+    for _ in range(steps):
+        val, grad = vg(params, X, fid, y)
+        grad = jax.tree.map(jnp.nan_to_num, grad)
+        updates, opt_state = opt.update(grad, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        history.append(float(val))
+    return params, history

@@ -294,3 +294,27 @@ def test_fully_sharded_nlml_grad_matches_local(mesh, rng):
     np.testing.assert_allclose(float(v_s), float(v_l), rtol=1e-12)
     for a, b in zip(jax.tree.leaves(g_l), jax.tree.leaves(g_s)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10)
+
+
+def test_fit_memory_scaled_converges(mesh, rng):
+    """Adam over the fully ICI-sharded gradient decreases the NLML."""
+    from mfgp_tpu.parallel.chol import fit_memory_scaled
+
+    N = 64
+    X = rng.uniform(0, 10, (N, 3))
+    y = np.sin(X.sum(1)) + 0.05 * rng.standard_normal(N)
+    fid = rng.integers(0, 3, N)
+    params, hist = fit_memory_scaled(mesh, X, fid, y, steps=30, block=16)
+    assert hist[-1] < hist[0]
+    assert np.isfinite(hist).all()
+    # the sharded objective agrees with the local NLML at the returned
+    # params (hist entries are pre-update, so compare fresh evaluations)
+    from mfgp_tpu.parallel.chol import make_fully_sharded_nlml_value_and_grad
+
+    Xj = jnp.asarray(X, jnp.float32)
+    fj = jnp.asarray(fid, jnp.int32)
+    yj = jnp.asarray(y, jnp.float32)
+    val_local = float(mf.nlml(params, Xj, fj, yj, jitter=1e-6))
+    val_shard, _ = make_fully_sharded_nlml_value_and_grad(
+        mesh, N, block=16, jitter=1e-6)(params, Xj, fj, yj)
+    np.testing.assert_allclose(float(val_shard), val_local, rtol=1e-4)
