@@ -210,7 +210,7 @@ def predict(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
 
 @partial(jax.jit, static_argnames=("kernel", "include_noise", "block_size"))
 def predict_blocked(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
-                    include_noise: bool = True, block_size: int = 2048):
+                    include_noise: bool = True, block_size: int = 1024):
     """Posterior mean/variance streamed over grid-row blocks.
 
     One (M_big, N) triangular solve makes XLA keep an O(M N) chain of
@@ -387,7 +387,7 @@ class GP:
                 return predict_blocked(
                     self.params, self.state, Xs, kernel=self.kernel,
                     include_noise=include_noise,
-                    block_size=block_size or 2048)
+                    block_size=block_size or 1024)
         return predict(self.params, self.state, Xs, kernel=self.kernel,
                        full_cov=full_cov, include_noise=include_noise)
 

@@ -289,7 +289,7 @@ def predict(params: MFGPParams, state: MFGPState, Xs, fid_s,
 @partial(jax.jit, static_argnames=("kernel", "include_noise", "block_size"))
 def predict_blocked(params: MFGPParams, state: MFGPState, Xs, fid_s,
                     kernel: str = "rbf", include_noise: bool = True,
-                    block_size: int = 2048):
+                    block_size: int = 1024):
     """MFGP posterior mean/variance streamed over grid-row blocks.
 
     Same rationale as gp.predict_blocked: a single full-grid triangular
@@ -548,7 +548,7 @@ class MFGP:
                 return predict_blocked(
                     self.params, self.state, Xs, fid_s, kernel=self.kernel,
                     include_noise=include_noise,
-                    block_size=block_size or 2048)
+                    block_size=block_size or 1024)
         return predict(self.params, self.state, Xs, fid_s, kernel=self.kernel,
                        full_cov=full_cov, include_noise=include_noise)
 
