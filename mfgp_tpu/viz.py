@@ -166,6 +166,62 @@ def plot_average_errors(rows: Sequence[dict], out_png: str,
     return out_png
 
 
+def plot_planner_graph(planner, out_png: str, show_best: bool = True):
+    """Planner graph figure: nodes, edges, and the best path — the headless
+    equivalent of the reference's ``RIG.draw_graph`` / 2D projection
+    (reference/GraceRIGV3.py:908-1063)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(6, 6 * (planner.WS[1][1]
+                                            / max(planner.WS[0][1], 1e-9))))
+    for (i, j) in planner.E:
+        if i in planner.V and j in planner.V:
+            a, b = planner.V[i].state, planner.V[j].state
+            ax.plot([a[0, 0], b[0, 0]], [a[1, 0], b[1, 0]],
+                    color="0.8", lw=0.8, zorder=1)
+    xs = [n.state[0, 0] for n in planner.V.values()]
+    ys = [n.state[1, 0] for n in planner.V.values()]
+    ax.scatter(xs, ys, s=14, color="C0", zorder=2)
+    root = planner.V.get(planner.root_idx)
+    if root is not None:
+        ax.scatter([root.state[0, 0]], [root.state[1, 0]], s=60,
+                   marker="*", color="C3", zorder=3, label="start")
+    if show_best and planner.best_path.segments:
+        pts = planner.best_path_points(dense=True)
+        if pts is not None and pts.shape[0]:
+            ax.plot(pts[:, 0], pts[:, 1], color="C1", lw=2, zorder=4,
+                    label=f"best (info {planner.best_path.info:.3g})")
+    ax.set_xlim(planner.WS[0])
+    ax.set_ylim(planner.WS[1])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.legend(loc="best")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
+def plot_path_3d(path_points: np.ndarray, out_png: str, max_depth=None):
+    """3D trajectory figure (depth axis inverted, diving down) — the
+    reference's ``draw_3D_path`` (reference/GraceRIGV3.py:988-1063)."""
+    plt = _plt()
+    fig = plt.figure(figsize=(7, 5))
+    ax = fig.add_subplot(projection="3d")
+    p = np.asarray(path_points)
+    ax.plot(p[:, 0], p[:, 1], p[:, 2], color="C0")
+    ax.scatter(p[0, 0], p[0, 1], p[0, 2], color="C3", marker="*", s=60)
+    ax.invert_zaxis()
+    if max_depth is not None:
+        ax.set_zlim(max_depth, 0)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_zlabel("depth")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
 def plot_csv(csv_path: str, out_png: str, x: str | int = 0,
              y: Sequence[str | int] = (1,), kind: str = "line",
              skiprows: int = 1):

@@ -160,3 +160,22 @@ def test_plot_csv_with_string_columns(tmp_path):
     p.write_text("filename,RMSE sf,T\nMSE_a.txt,1.5,0\nMSE_b.txt,2.5,1\n")
     out = plot_csv(str(p), str(tmp_path / "f.png"), x="T", y=["RMSE sf"])
     assert os.path.getsize(out) > 1000
+
+
+def test_planner_graph_figures(tmp_path):
+    """Headless planner drawing (reference draw_graph / draw_3D_path)."""
+    from mfgp_tpu.planning.primitives import AgentConfig
+    from mfgp_tpu.planning.rig import RIGPlanner
+    from mfgp_tpu.viz import plot_path_3d, plot_planner_graph
+
+    p = RIGPlanner(cfg=AgentConfig.sim_defaults(), delta=10, B=150,
+                   WS=np.array([[0, 10], [0, 20]]), R=1.25, Rd=5,
+                   same_node_distance=1, max_iter=25, seed=3,
+                   env=lambda pts: np.ones(len(pts)))
+    p.plan(np.array([[0.5], [0.5]]))
+    f1 = plot_planner_graph(p, str(tmp_path / "graph.png"))
+    assert os.path.getsize(f1) > 1000
+    pts = p.best_path_points(dense=True)
+    if pts is not None and pts.shape[0]:
+        f2 = plot_path_3d(pts, str(tmp_path / "p3d.png"), max_depth=10)
+        assert os.path.getsize(f2) > 1000
