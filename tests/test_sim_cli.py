@@ -147,3 +147,18 @@ def test_toy_dynamics_integrate():
     g0 = jnp.asarray([0.0, 10.0, 1.0, 0.0])
     g1 = rk4_step(glider_simple, g0, jnp.zeros(2), 0.1)
     assert float(g1[3]) < 0
+
+
+def test_plan_wallclock_stopwatch_wired():
+    """ExperimentConfig.plan_wallclock bounds each replan by wall-clock
+    (the reference's 45 s stopwatch, exploreExpSettings.py:214-215)."""
+    import time
+
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=False, B=10, BD=1,
+                           plan_wallclock=0.5)
+    t0 = time.time()
+    res = ExplorationSim(exp, seed=0, plan_iters=10**6).run(max_replans=1)
+    elapsed = time.time() - t0
+    # planning was stopped by the stopwatch, not the (huge) iteration cap
+    assert elapsed < 60.0
+    assert len(res.replans) <= 1
