@@ -42,15 +42,19 @@ def make_mesh(n_devices: int | None = None, mp: int | None = None,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        raise ValueError(
+            f"requested n_devices={n_devices} but only {len(devices)} "
+            f"devices are available ({devices!r}); provision virtual CPU "
+            "devices with XLA_FLAGS=--xla_force_host_platform_device_count "
+            "before JAX backend initialization, or use "
+            "__graft_entry__.dryrun_multichip which self-bootstraps")
     devices = devices[:n_devices]
     if mp is None:
+        # largest power of two <= sqrt(n) that divides n
         mp = 1
-        while mp * 2 <= int(math.isqrt(n_devices)) * 2 and (
-                n_devices % (mp * 2) == 0 and mp * 2 <= n_devices):
+        while mp * 2 <= math.isqrt(n_devices) and n_devices % (mp * 2) == 0:
             mp *= 2
-        # prefer mp <= sqrt(n)
-        while mp > 1 and mp * mp > n_devices:
-            mp //= 2
     if n_devices % mp:
         raise ValueError(f"mp={mp} does not divide n_devices={n_devices}")
     dp = n_devices // mp

@@ -32,6 +32,48 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts internally
 
 
+def test_dryrun_multichip_self_bootstraps_when_backend_initialized():
+    """The driver invokes dryrun_multichip directly in a process whose JAX
+    backend may already be initialized with a single device (the real TPU
+    chip through the tunnel). Simulate that: a child with ONE CPU device,
+    backend initialized, must still complete the 8-device dry run (via the
+    subprocess re-exec fallback). Regression for MULTICHIP_r01 ok=false."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    res = subprocess.run([sys.executable, "-c", code], cwd=repo_root,
+                         env=env, capture_output=True, text=True,
+                         timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_make_mesh_heuristic():
+    """mp = largest power of two <= sqrt(n) that divides n (VERDICT weak#2);
+    non-power-of-two counts must produce valid meshes."""
+    from mfgp_tpu.parallel.mesh import make_mesh
+
+    devs = jax.devices()
+    assert make_mesh(8).shape == {"dp": 4, "mp": 2}
+    assert make_mesh(4).shape == {"dp": 2, "mp": 2}
+    assert make_mesh(2).shape == {"dp": 2, "mp": 1}
+    assert make_mesh(1).shape == {"dp": 1, "mp": 1}
+    assert make_mesh(6).shape == {"dp": 3, "mp": 2}
+    assert make_mesh(3).shape == {"dp": 3, "mp": 1}
+    assert make_mesh(5).shape == {"dp": 5, "mp": 1}
+    assert make_mesh(7).shape == {"dp": 7, "mp": 1}
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(16, devices=devs)
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(8, mp=3)
+
+
 def test_bench_numpy_unit_smoke():
     from bench import run_numpy_unit
 
