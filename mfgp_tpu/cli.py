@@ -136,7 +136,7 @@ def cmd_explore(args):
                            ergodic=variant in ("MFEGP", "SFEGP"),
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
-                         plan_iters=args.plan_iters)
+                         plan_iters=args.plan_iters, flight=args.flight)
     if variant == "MANUAL":
         if args.waypoints:
             wp = np.loadtxt(args.waypoints, delimiter=",", ndmin=2)[:, :3]
@@ -156,11 +156,15 @@ def cmd_explore(args):
         res = sim.run(checkpoint_path=args.checkpoint,
                       resume_from=args.resume_from)
         name = exp.variant
-    print(json.dumps({
+    out = {
         "variant": name, "replans": len(res.replans),
         "n_data": int(res.gp_data.data.shape[0]),
         "budget_used": res.budget_used, "rmse": res.rmse,
-    }))
+    }
+    if args.flight == "dynamic" and res.replans:
+        out["tracking_rmse"] = [r.tracking_rmse for r in res.replans]
+        out["flown_budget"] = sum(r.flown_budget or 0.0 for r in res.replans)
+    print(json.dumps(out))
 
 
 def cmd_aggregate(args):
@@ -282,6 +286,10 @@ def build_parser():
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")
+    p.add_argument("--flight", default="kinematic",
+                   choices=["kinematic", "dynamic"],
+                   help="dynamic = fly plans through the full "
+                        "sense->estimate->control runtime (hw/runtime.py)")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

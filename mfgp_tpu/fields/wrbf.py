@@ -47,6 +47,21 @@ class WRBFField(NamedTuple):
         (reference/exploreSimSettings.py:82-86)."""
         return self(x)[:, None]
 
+    def point_fn(self):
+        """Host-side ``f(x, y, z) -> float`` closure in plain numpy — for
+        per-tick sensor reads in the robot runtime loop, where a device
+        round-trip per sample would be pure latency."""
+        p = np.asarray(self.p)
+        L, s = float(self.L), float(self.s)
+        w = np.asarray(self.w)
+        off = float(self.offset)
+
+        def f(x, y, z):
+            d = s * np.linalg.norm((np.array([x, y, z]) - p) * w, axis=1)
+            return float(np.sum(L * np.exp(-(d**2))) + off)
+
+        return f
+
 
 def default_sim_field(WS, max_depth, dtype=jnp.float64) -> WRBFField:
     """The fixed 5-source sim field (reference/exploreSimSettings.py:100-101)."""

@@ -12,6 +12,10 @@ from mfgp_tpu.hw.apriltag import (AprilFusion, AprilFusionConfig,
                                   TagDetection, load_tag_map, rp_to_tf,
                                   tf_to_vec, vec_to_tf, zyx_rotm)
 from mfgp_tpu.hw.geo import convert_gps_format, gps_bearing_distance
+from mfgp_tpu.hw.plant import GliderPlant, PlantParams, TailWave
+from mfgp_tpu.hw.runtime import (FlightLog, RobotRuntime, RuntimeConfig,
+                                 flight_plan, mass_spd_control,
+                                 pump_spd_control2, traj_point)
 from mfgp_tpu.hw.trajectories import (TRAJECTORIES, reference_trajectory,
                                       scale_to_workspace)
 from mfgp_tpu.hw import xbee  # noqa: F401

@@ -296,14 +296,20 @@ class RIGPlanner:
     def _terminal(self):
         self.cur_iter += 1
         if self.wallclock_limit is not None:
-            if self._t_start is None:
-                self._t_start = _time.time()
             return _time.time() - self._t_start < self.wallclock_limit
         return self.cur_iter < self.max_iter
 
     def plan(self, xstart):
         """Grow the graph from ``xstart`` until the iteration/wall-clock
-        budget is exhausted (reference/GraceRIGV3.py:1191-1362)."""
+        budget is exhausted (reference/GraceRIGV3.py:1191-1362).
+
+        The wall-clock stopwatch anchors HERE, at plan entry — like the
+        reference's ``agent.stopWatch`` which records its start time when
+        planning begins (reference/GraceRIGV3.py:51-56) — so graph/root
+        setup counts against the replan budget
+        (reference/PhysicalExperimentCode/exploreExpSettings.py:214-215).
+        """
+        self._t_start = _time.time()
         root = Node(self.root_idx, np.asarray(xstart, float).reshape(-1, 1))
         self.V = {root.idx: root}
         Vidx = {root.idx}

@@ -56,6 +56,10 @@ class ReplanRecord:
     path_points: np.ndarray  # (P, >=4) x,y,z,t
     nodes: int
     edges: int
+    fit_seconds: float = 0.0  # model-update wall-clock (online vs refit)
+    fit_mode: str = "refit"  # "refit" | "extend" (online bordered Cholesky)
+    tracking_rmse: Optional[float] = None  # dynamic flight only
+    flown_budget: Optional[float] = None  # energy integrated by the runtime
 
 
 @dataclass
@@ -78,7 +82,8 @@ class ExplorationSim:
 
     def __init__(self, exp: ExperimentConfig | None = None, seed: int = 0,
                  field_env: Optional[WRBFField] = None,
-                 out_dir: Optional[str] = None, plan_iters: int = 40):
+                 out_dir: Optional[str] = None, plan_iters: int = 40,
+                 flight: str = "kinematic", runtime_cfg=None):
         self.exp = exp or ExperimentConfig()
         self.cfg: SimConfig = self.exp.sim
         self.seed = seed
@@ -89,6 +94,16 @@ class ExplorationSim:
         self.plan_iters = plan_iters
         self.agent_cfg: AgentConfig = self.cfg.agent()
         self.kf_model = self.cfg.kf_model()
+        # flight="kinematic": planner waypoints are the flown path, KF noise
+        # only (the reference's offline-sim fidelity). flight="dynamic":
+        # plans are flown by the full sense->estimate->control runtime
+        # (hw.runtime) against the glider plant — tracking AND localization
+        # error, like the physical drivers (SURVEY §3.4).
+        if flight not in ("kinematic", "dynamic"):
+            raise ValueError(flight)
+        self.flight = flight
+        self._runtime_cfg = runtime_cfg
+        self._runtime = None
         # grid the EID / replanning posterior is evaluated on
         self.grid = np.asarray(eid_grid(
             [list(b) for b in self.cfg.WS], self.cfg.max_depth))
@@ -190,6 +205,45 @@ class ExplorationSim:
         rows = np.column_stack([tt, pos, xh, noisy, fid.astype(float)])
         return telemetry, rows, float(t[-1] - t[0])
 
+    def _ensure_runtime(self, x0):
+        if self._runtime is not None:
+            return self._runtime
+        from mfgp_tpu.hw.plant import GliderPlant, PlantParams
+        from mfgp_tpu.hw.runtime import RobotRuntime, RuntimeConfig
+
+        plant = GliderPlant(PlantParams.from_agent(self.agent_cfg),
+                            x=float(x0[0, 0]), y=float(x0[1, 0]))
+        cfg = self._runtime_cfg or RuntimeConfig(dt=0.1)
+        self._runtime = RobotRuntime(
+            self.agent_cfg, cfg, plant=plant, seed=self.seed,
+            field_fn=self.field.point_fn(), max_depth=self.cfg.max_depth)
+        return self._runtime
+
+    def _fly_dynamic(self, planner, x0):
+        """Fly the planner's best path through the full runtime control
+        stack. Returns (telemetry, GPData rows, time flown, FlightLog)."""
+        from mfgp_tpu.hw.runtime import flight_plan
+
+        way, legs = flight_plan(planner)
+        if way is None or way.shape[0] < 2:
+            return None, None, 0.0, None
+        rt = self._ensure_runtime(x0)
+        log = rt.fly(way, legs)
+        est = log.estimates
+        pos = log.truth[:, 1:4]
+        xh = est[:, 5:8]
+        telemetry = np.column_stack([est[:, 0], pos, xh, est[:, 11:14],
+                                     pos - xh])
+        rows = np.asarray(log.samples)
+        if rows.shape[0]:
+            rows = rows.copy()
+            rows[:, 7] = np.maximum(
+                0.0, rows[:, 7] + self.cfg.meas_noise
+                * self.rng.standard_normal(rows.shape[0]))
+        else:
+            rows = None
+        return telemetry, rows, float(way[-1, 3]), log
+
     # -- checkpointing (SURVEY §5: the reference's resume was a stub) -------
     def _checkpoint(self, path, plan_num, t_now, planned_budget, x0, model,
                     data_rows, key):
@@ -264,8 +318,13 @@ class ExplorationSim:
                 break
             planned_budget += best.budget
 
-            key, sub = jax.random.split(key)
-            telemetry, rows, t_flown = self._fly(pts, t_now, sub)
+            flog = None
+            if self.flight == "dynamic":
+                telemetry, rows, t_flown, flog = self._fly_dynamic(planner,
+                                                                   x0)
+            else:
+                key, sub = jax.random.split(key)
+                telemetry, rows, t_flown = self._fly(pts, t_now, sub)
             if rows is not None:
                 telemetry_all.append(telemetry)
                 data_rows.append(rows)
@@ -274,6 +333,9 @@ class ExplorationSim:
             # retrain on everything gathered so far; with frozen hyps the
             # new rows extend the conditioned state online (bordered
             # Cholesky block) instead of a full refit
+            import time as _time
+            fit_t0 = _time.perf_counter()
+            fit_mode = "refit"
             allrows = np.concatenate(data_rows) if data_rows else None
             if allrows is not None and allrows.shape[0] >= 4:
                 can_extend = (not self.exp.update_hyps and plan_num > 0
@@ -281,6 +343,7 @@ class ExplorationSim:
                               and hasattr(model, "extend_data")
                               and allrows.shape[0] > rows.shape[0])
                 if can_extend:
+                    fit_mode = "extend"
                     if isinstance(model, MFGP):
                         # fidLev {3,2,1} -> emukit index {0,1,2}
                         # (the [Xf3, Xf2, Xf1] stacking order)
@@ -295,11 +358,17 @@ class ExplorationSim:
                     fid = allrows[:, 8].astype(int)
                     model = self._make_model(X, fid, y)
                     self._fit(model)
+            fit_secs = _time.perf_counter() - fit_t0
 
             rec = ReplanRecord(plan_num, t_now, tranche, best.info,
-                               np.asarray(pts), *[
-                                   planner.graph_summary()["nodes"],
-                                   planner.graph_summary()["edges"]])
+                               np.asarray(pts),
+                               planner.graph_summary()["nodes"],
+                               planner.graph_summary()["edges"],
+                               fit_seconds=fit_secs, fit_mode=fit_mode,
+                               tracking_rmse=(flog.tracking_rmse if flog
+                                              else None),
+                               flown_budget=(flog.plan_budget if flog
+                                             else None))
             replans.append(rec)
             if self.out_dir:
                 np.savetxt(os.path.join(self.out_dir,
@@ -307,8 +376,16 @@ class ExplorationSim:
                            pts, delimiter=",")
                 np.savetxt(os.path.join(self.out_dir, f"EID{plan_num}.csv"),
                            np.column_stack([self.grid, eid]), delimiter=",")
-            # next plan starts where this path ended
-            x0 = np.asarray(pts[-1, :2], float).reshape(2, 1)
+                if flog is not None:  # reference telemetry CSV schemas
+                    flog.save(self.out_dir, suffix=str(plan_num))
+            # next plan starts where this path ended — in dynamic mode,
+            # where the robot BELIEVES it is (the reference replans from
+            # the live estimate, reference/...MFEGP.py:428-439)
+            if self.flight == "dynamic" and self._runtime is not None:
+                x0 = np.asarray(self._runtime.xhat[:2, 0],
+                                float).reshape(2, 1)
+            else:
+                x0 = np.asarray(pts[-1, :2], float).reshape(2, 1)
             plan_num += 1
             if checkpoint_path is not None:
                 self._checkpoint(checkpoint_path, plan_num, t_now,

@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from mfgp_tpu.data.studies import grid_samples, training_size_study
+from mfgp_tpu.data.study import grid_samples, training_size_study
 from mfgp_tpu.hw import xbee
 from mfgp_tpu.utils.configs import SimConfig
 
