@@ -39,6 +39,9 @@ import numpy as np
 #   python -c "from bench import *; print(run_numpy_unit(N_TRAIN, M_GRID))"
 # Overridden by --baseline-seconds.
 BASELINE_CPU_SECONDS = 2764.3
+# NLML value of that same measured f64 baseline run (the cross-check that
+# makes the speedup provably same-answer: the TPU unit must reproduce it).
+BASELINE_CPU_NLML = 6969.5
 
 N_TRAIN = 20_000
 M_GRID = 10_571
@@ -113,13 +116,37 @@ def run_tpu(N, M, repeats=3):
         jax.block_until_ready((val, g, mu, var))
         return float(val)
 
-    unit()  # compile + warm
+    nlml_tpu = unit()  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         unit()
         times.append(time.perf_counter() - t0)
-    return min(times)
+
+    # tracked sub-metrics (BASELINE.md): N=20k Cholesky time, posterior
+    # grid points/sec (measured on the same warm executables)
+    from mfgp_tpu.models.mfgp import _assemble_noisy_cov
+    from mfgp_tpu.ops import linalg as _la
+
+    chol_fn = jax.jit(
+        lambda p: _la.chol(_assemble_noisy_cov(p, Xj, fj, 1e-6, "rbf")))
+    jax.block_until_ready(chol_fn(params))
+    t0 = time.perf_counter()
+    jax.block_until_ready(chol_fn(params))
+    chol_s = time.perf_counter() - t0
+
+    _, _, state = vgs(params)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    jax.block_until_ready(post(params, state))
+    post_s = time.perf_counter() - t0
+
+    return {
+        "seconds": min(times),
+        "nlml_tpu": nlml_tpu,
+        "chol_seconds": chol_s,
+        "grid_points_per_sec": M / post_s,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -241,13 +268,25 @@ def main():
 
     baseline = (args.baseline_seconds if args.baseline_seconds is not None
                 else BASELINE_CPU_SECONDS)
-    value = run_tpu(args.n, args.m, args.repeats)
-    print(json.dumps({
+    stats = run_tpu(args.n, args.m, args.repeats)
+    value = stats["seconds"]
+    out = {
         "metric": "mfgp_n20k_train_step_plus_grid_wallclock",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(baseline / value, 2),
-    }))
+        "chol_seconds": round(stats["chol_seconds"], 4),
+        "grid_points_per_sec": round(stats["grid_points_per_sec"], 1),
+    }
+    if args.n == N_TRAIN:
+        # same-answer proof: the TPU f32 unit reproduces the measured f64
+        # NumPy baseline's NLML (the 4-sig-fig recorded value)
+        out["nlml_tpu"] = round(stats["nlml_tpu"], 2)
+        out["nlml_numpy_f64"] = BASELINE_CPU_NLML
+        out["nlml_rel_err"] = round(
+            abs(stats["nlml_tpu"] - BASELINE_CPU_NLML)
+            / abs(BASELINE_CPU_NLML), 6)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -17,13 +17,18 @@ Per-chip memory is O(N^2 / n_mp); comms are N/b panel broadcasts of
 (N x b) over ICI (= one matrix pass total). The panel loop is a static
 Python loop (shapes fixed per step), so XLA sees N/b small jitted stages.
 
-1D block-column layout (not block-cyclic): the trailing update shrinks
-toward the last chips, so late panels idle early chips — acceptable at the
-panel counts used here; cyclic layout is the standard refinement if this
-becomes the bottleneck (ROADMAP).
+Column layouts: the default 1D block layout gives chip c the contiguous
+columns [c*Nc, (c+1)*Nc) — simple, but the trailing update shrinks toward
+the last chips, so late panels idle early chips. ``layout="cyclic"``
+(block-cyclic) assigns panel p to chip p % n_mp, keeping every chip active
+until the final n_mp panels (see ``panel_utilization`` for the measured
+balance win). The cyclic path permutes the global column order outside the
+shard body, so one sweep kernel serves both layouts.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -35,17 +40,68 @@ from mfgp_tpu.parallel.mesh import MP_AXIS
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def _chol_cols_body(A, idx, n, nc, block, axis):
+def _owner_and_slot(k, nc, block, n_mp, layout):
+    """(owner chip, local column offset) of the panel starting at global
+    column k — static Python ints (k is static in the panel loops)."""
+    if layout == "block":
+        return k // nc, k % nc
+    p = k // block  # global panel index
+    return p % n_mp, (p // n_mp) * block
+
+
+def _local_to_global_cols(idx, n, nc, block, n_mp, layout):
+    """Global column indices of this chip's nc local columns (traced idx)."""
+    j = jnp.arange(nc)
+    if layout == "block":
+        return idx * nc + j
+    return ((j // block) * n_mp + idx) * block + (j % block)
+
+
+def cyclic_permutation(n: int, n_mp: int, block: int) -> np.ndarray:
+    """Global-column permutation gathering each chip's cyclic panels into a
+    contiguous shard: perm[c*nc + j] = global column of chip c's local j."""
+    cols = []
+    npan = n // block
+    for c in range(n_mp):
+        for p in range(c, npan, n_mp):
+            cols.extend(range(p * block, (p + 1) * block))
+    return np.asarray(cols, np.int32)
+
+
+def panel_utilization(n: int, n_mp: int, block: int, layout: str) -> float:
+    """Mean trailing-update load balance over the panel sweep.
+
+    For each panel step, each chip updates its local columns with global
+    index past the panel; utilization = mean_k (mean_c active_c / max_c
+    active_c) over steps with any trailing work. 1.0 = perfectly balanced.
+    """
+    nc = n // n_mp
+    ratios = []
+    for k in range(0, n, block):
+        active = []
+        for c in range(n_mp):
+            if layout == "block":
+                cols = np.arange(c * nc, (c + 1) * nc)
+            else:
+                j = np.arange(nc)
+                cols = ((j // block) * n_mp + c) * block + (j % block)
+            active.append(int(np.sum(cols >= k + block)))
+        if max(active):
+            ratios.append(np.mean(active) / max(active))
+    return float(np.mean(ratios))
+
+
+def _chol_cols_body(A, idx, n, nc, block, axis, layout="block", n_mp=None):
     """In-shard right-looking Cholesky sweep (see module docstring).
 
     A: (n, nc) this chip's columns; idx: this chip's mesh index along
     ``axis``. Returns this chip's columns of L (strict upper zeroed).
     Usable inside any shard_map (make_sharded_cholesky wraps it; the fully
     sharded gradient composes it with the solve sweeps)."""
-    col0 = idx * nc
+    n_mp = n_mp or (n // nc)
+    my_cols = _local_to_global_cols(idx, n, nc, block, n_mp, layout)
     for k in range(0, n, block):
-        owner = k // nc  # static
-        k_local = k % nc  # static
+        owner, k_local = _owner_and_slot(k, nc, block, n_mp, layout)
         pan_cols = jax.lax.dynamic_slice(A, (0, k_local), (n, block))
         diag = jax.lax.dynamic_slice(pan_cols, (k, 0), (block, block))
         Lkk = _la.chol(diag)
@@ -64,13 +120,11 @@ def _chol_cols_body(A, idx, n, nc, block, axis):
             is_owner,
             jax.lax.dynamic_update_slice(A, panel, (0, k_local)),
             A)
-        my_cols = col0 + jnp.arange(nc)
         pj = panel[my_cols]
         upd = jnp.dot(panel, pj.T, precision=_HIGHEST)
         col_active = (my_cols >= k + block)[None, :]
         row_active = (jnp.arange(n) >= k + block)[:, None]
         A = A - jnp.where(col_active & row_active, upd, 0.0)
-    my_cols = col0 + jnp.arange(nc)
     tril = jnp.arange(n)[:, None] >= my_cols[None, :]
     return jnp.where(tril, A, 0.0)
 
@@ -124,14 +178,23 @@ def _tri_solve_upper_body(L_cols, Y_cols, idx, n, nc, block, axis):
     return X
 
 
-def make_sharded_cholesky(mesh: Mesh, n: int, block: int = 256):
+def make_sharded_cholesky(mesh: Mesh, n: int, block: int = 256,
+                          layout: str = "block"):
     """Build ``f(K) -> L`` for (n, n) SPD inputs, column-sharded over mp.
 
     ``n`` must be divisible by ``n_mp * block`` (static panel layout).
     The returned function accepts a replicated or sharded K and returns L
     with the same sharding semantics as its input partitioning under jit
     (callers keep it sharded by passing a sharded K).
+
+    ``layout="cyclic"`` uses the block-cyclic column assignment (panel p ->
+    chip p % n_mp): the trailing-update work stays balanced across chips
+    through the whole sweep (panel_utilization measures the win). The
+    global column order is permuted into cyclic shards on the way in and
+    restored on the way out, so the caller-facing contract is identical.
     """
+    if layout not in ("block", "cyclic"):
+        raise ValueError(layout)
     n_mp = mesh.shape[MP_AXIS]
     if n % n_mp:
         raise ValueError(f"n={n} not divisible by mp={n_mp}")
@@ -141,13 +204,22 @@ def make_sharded_cholesky(mesh: Mesh, n: int, block: int = 256):
 
     def shard_body(K_cols):
         idx = jax.lax.axis_index(MP_AXIS)
-        return _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS)
+        return _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS,
+                               layout=layout, n_mp=n_mp)
 
     smapped = jax.shard_map(shard_body, mesh=mesh,
                             in_specs=P(None, MP_AXIS),
                             out_specs=P(None, MP_AXIS))
+    if layout == "block":
+        return jax.jit(smapped)
 
-    return jax.jit(smapped)
+    perm = jnp.asarray(cyclic_permutation(n, n_mp, block))
+    inv = jnp.asarray(np.argsort(cyclic_permutation(n, n_mp, block)))
+
+    def cyclic_fn(K):
+        return smapped(K[:, perm])[:, inv]
+
+    return jax.jit(cyclic_fn)
 
 
 def make_sharded_tri_solves(mesh: Mesh, n: int, ncols: int,

@@ -5,29 +5,145 @@ The production surface of a trained field model: load a checkpoint
 answer batched posterior queries. Endpoints:
 
   GET  /health            -> {"status": "ok", "model": <kind>, "n": N}
+  GET  /models            -> {"models": [name, ...]}   (router only)
   POST /predict           body {"points": [[x,y,z], ...],
                                 "full_cov": false, "include_noise": true}
                           -> {"mean": [...], "var": [...]}
   POST /eid               body {"points": [...], "alpha": 1/11}
                           -> {"eid": [...]}  (Expected Information Density)
+  POST /models/<name>/predict|eid   routed to the named model
 
-Queries of the same batch shape reuse the jitted executable; ragged sizes
-are padded to the next power of two so the compile cache stays small.
+Concurrent requests are coalesced by a batching queue: requests arriving
+within the batching window are concatenated into ONE padded device launch
+and the results split back per caller — the device sees large MXU-shaped
+batches instead of one launch per HTTP connection. Queries of the same
+padded shape reuse the jitted executable; ragged sizes are padded to the
+next power of two so the compile cache stays small.
 """
 
 from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
+class _Pending:
+    __slots__ = ("pts", "include_noise", "event", "mu", "var", "err")
+
+    def __init__(self, pts, include_noise):
+        self.pts = pts
+        self.include_noise = include_noise
+        self.event = threading.Event()
+        self.mu = self.var = self.err = None
+
+
+class BatchingQueue:
+    """Coalesces concurrent predict calls into single device launches.
+
+    ``submit`` blocks the calling (HTTP handler) thread until its slice of
+    a batched launch returns. The dispatcher thread drains the queue after
+    a short batching window (``max_wait`` seconds), concatenates all
+    same-flag requests up to ``max_batch`` rows, runs ONE ``predict_fn``
+    call, and distributes the row slices back.
+
+    Observability: ``launches`` counts device launches, ``batched_requests``
+    counts requests served, ``max_requests_per_launch`` the best coalesce.
+    """
+
+    def __init__(self, predict_fn, max_batch: int = 4096,
+                 max_wait: float = 0.005):
+        self.predict_fn = predict_fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait
+        self._queue: list[_Pending] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self.launches = 0
+        self.batched_requests = 0
+        self.max_requests_per_launch = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, pts: np.ndarray, include_noise: bool = True):
+        p = _Pending(np.atleast_2d(np.asarray(pts, np.float64)),
+                     bool(include_noise))
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("queue closed")
+            self._queue.append(p)
+            self._cv.notify()
+        p.event.wait()
+        if p.err is not None:
+            raise p.err
+        return p.mu, p.var
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    # -- dispatcher ----------------------------------------------------------
+    def _take_batch(self) -> list[_Pending]:
+        with self._cv:
+            while not self._queue and not self._stop:
+                self._cv.wait(timeout=0.1)
+            if self._stop and not self._queue:
+                return []
+        # batching window: let concurrent callers join the launch
+        time.sleep(self.max_wait)
+        with self._cv:
+            if not self._queue:
+                return []
+            flag = self._queue[0].include_noise
+            batch, rows, rest = [], 0, []
+            for p in self._queue:
+                if p.include_noise == flag and rows + p.pts.shape[0] \
+                        <= self.max_batch:
+                    batch.append(p)
+                    rows += p.pts.shape[0]
+                else:
+                    rest.append(p)
+            self._queue = rest
+            return batch
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                if self._stop:
+                    return
+                continue
+            try:
+                pts = np.concatenate([p.pts for p in batch], axis=0)
+                mu, var = self.predict_fn(
+                    pts, include_noise=batch[0].include_noise)
+                self.launches += 1
+                self.batched_requests += len(batch)
+                self.max_requests_per_launch = max(
+                    self.max_requests_per_launch, len(batch))
+                off = 0
+                for p in batch:
+                    n = p.pts.shape[0]
+                    p.mu = mu[off:off + n]
+                    p.var = var[off:off + n]
+                    off += n
+            except Exception as e:  # noqa: BLE001 — delivered to callers
+                for p in batch:
+                    p.err = e
+            for p in batch:
+                p.event.set()
+
+
 class ModelServer:
     """Wraps a restored model for query serving."""
 
-    def __init__(self, model, prior_sig: float | None = None):
+    def __init__(self, model, prior_sig: float | None = None,
+                 batch_wait: float = 0.005):
         self.model = model
         self.n_train = int(np.asarray(model.X).shape[0]) if hasattr(
             model, "X") else int(np.asarray(model.X_train_).shape[0])
@@ -36,14 +152,16 @@ class ModelServer:
             prior_sig = float(pa[0] + pa[-1])
         self.prior_sig = prior_sig
         self._lock = threading.Lock()
-        _ = self._predict(np.zeros((1, self._dim()), np.float64))  # warm
+        self.batcher = BatchingQueue(self._predict_device,
+                                     max_wait=batch_wait)
+        _ = self._predict_device(np.zeros((1, self._dim())))  # warm
 
     @classmethod
-    def from_checkpoint(cls, path: str):
+    def from_checkpoint(cls, path: str, **kw):
         from mfgp_tpu.utils.checkpoint import load_checkpoint
 
         ck = load_checkpoint(path)
-        return cls(ck.model.restore())
+        return cls(ck.model.restore(), **kw)
 
     def _dim(self):
         X = getattr(self.model, "X", None)
@@ -61,17 +179,25 @@ class ModelServer:
             return pts, n
         return np.vstack([pts, np.repeat(pts[-1:], cap - n, axis=0)]), n
 
-    def _predict(self, pts, include_noise: bool = True):
+    def _predict_device(self, pts, include_noise: bool = True):
+        """One padded device launch (called from the batcher thread)."""
         padded, n = self._pad(np.atleast_2d(np.asarray(pts, np.float64)))
         with self._lock:
             mu, var = self.model.predict(padded,
                                          include_noise=include_noise)
         return np.asarray(mu).reshape(-1)[:n], np.asarray(var).reshape(-1)[:n]
 
+    def _predict(self, pts, include_noise: bool = True):
+        return self.batcher.submit(pts, include_noise=include_noise)
+
     def handle(self, route: str, payload: dict) -> dict:
         if route == "/health":
             return {"status": "ok",
-                    "model": type(self.model).__name__, "n": self.n_train}
+                    "model": type(self.model).__name__, "n": self.n_train,
+                    "launches": self.batcher.launches,
+                    "batched_requests": self.batcher.batched_requests,
+                    "max_requests_per_launch":
+                        self.batcher.max_requests_per_launch}
         pts = np.asarray(payload.get("points", []), np.float64)
         if pts.size == 0:
             raise ValueError("no points")
@@ -89,11 +215,44 @@ class ModelServer:
             return {"eid": np.asarray(eid).tolist()}
         raise KeyError(route)
 
+    def close(self):
+        self.batcher.close()
 
-def make_http_server(server: ModelServer, host: str = "127.0.0.1",
+
+class ModelRouter:
+    """Routes requests across multiple named models.
+
+    ``/models`` lists them; ``/models/<name>/<op>`` targets one; bare
+    ``/predict``/``/eid``/``/health`` hit the default model (the first).
+    """
+
+    def __init__(self, servers: dict[str, ModelServer],
+                 default: str | None = None):
+        if not servers:
+            raise ValueError("no models")
+        self.servers = dict(servers)
+        self.default = default or next(iter(self.servers))
+
+    def handle(self, route: str, payload: dict) -> dict:
+        if route == "/models":
+            return {"models": sorted(self.servers),
+                    "default": self.default}
+        if route.startswith("/models/"):
+            parts = route.split("/", 3)  # '', 'models', name, op
+            if len(parts) != 4 or parts[2] not in self.servers:
+                raise KeyError(route)
+            return self.servers[parts[2]].handle("/" + parts[3], payload)
+        return self.servers[self.default].handle(route, payload)
+
+    def close(self):
+        for s in self.servers.values():
+            s.close()
+
+
+def make_http_server(server, host: str = "127.0.0.1",
                      port: int = 0) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP server; ``.server_address`` has the bound
-    port when port=0."""
+    """Build (not start) the HTTP server around a ModelServer or a
+    ModelRouter; ``.server_address`` has the bound port when port=0."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -108,17 +267,23 @@ def make_http_server(server: ModelServer, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/health":
-                self._send(200, server.handle("/health", {}))
-            else:
-                self._send(404, {"error": "unknown route"})
+            try:
+                if self.path in ("/health", "/models") or \
+                        self.path.startswith("/models/"):
+                    self._send(200, server.handle(self.path, {}))
+                else:
+                    self._send(404, {"error": "unknown route"})
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
 
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 self._send(200, server.handle(self.path, payload))
-            except (KeyError, ValueError) as e:
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+            except ValueError as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._send(500, {"error": str(e)})
@@ -130,4 +295,14 @@ def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080):
     """Blocking entry point: load checkpoint, serve forever."""
     srv = make_http_server(ModelServer.from_checkpoint(path), host, port)
     print(f"serving on {srv.server_address}")
+    srv.serve_forever()
+
+
+def serve_checkpoints(paths: dict[str, str], host: str = "127.0.0.1",
+                      port: int = 8080):
+    """Blocking multi-model entry point: {name: checkpoint path}."""
+    router = ModelRouter({name: ModelServer.from_checkpoint(p)
+                          for name, p in paths.items()})
+    srv = make_http_server(router, host, port)
+    print(f"serving {sorted(router.servers)} on {srv.server_address}")
     srv.serve_forever()

@@ -86,8 +86,10 @@ def test_bench_tpu_unit_smoke_on_cpu():
     """The 'TPU' unit is platform-generic jitted JAX; exercise it tiny."""
     from bench import run_tpu
 
-    secs = run_tpu(120, 64, repeats=1)
-    assert secs > 0
+    stats = run_tpu(120, 64, repeats=1)
+    assert stats["seconds"] > 0 and stats["chol_seconds"] > 0
+    assert np.isfinite(stats["nlml_tpu"])
+    assert stats["grid_points_per_sec"] > 0
 
 
 def test_bench_units_agree():

@@ -59,7 +59,76 @@ def test_bad_requests(server_addr):
     code, out = _req(server_addr, "POST", "/predict", {"points": []})
     assert code == 400
     code, out = _req(server_addr, "POST", "/nope", {"points": [[0, 0, 0]]})
-    assert code == 400
+    assert code == 404
+
+
+def test_concurrent_requests_batch_into_one_launch(rng_module):
+    """>=4 concurrent predict calls coalesce into ONE device launch
+    (the batching queue, VERDICT r1 item 9)."""
+    X = rng_module.uniform(0, 10, (25, 3))
+    y = np.sin(X[:, 0])
+    srv = ModelServer(GP(X, y, jitter=1e-8), batch_wait=0.25)
+    try:
+        launches0 = srv.batcher.launches
+        n_clients = 6
+        barrier = threading.Barrier(n_clients)
+        results = [None] * n_clients
+        pts = [rng_module.uniform(0, 10, (2 + i, 3))
+               for i in range(n_clients)]
+
+        def client(i):
+            barrier.wait()
+            results[i] = srv._predict(pts[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert srv.batcher.max_requests_per_launch >= 4
+        assert srv.batcher.launches - launches0 <= 2
+        # every caller got ITS slice, identical to a solo launch
+        for i in range(n_clients):
+            mu, var = results[i]
+            assert mu.shape == (2 + i,)
+            mu_solo, var_solo = srv._predict_device(pts[i])
+            np.testing.assert_allclose(mu, mu_solo, rtol=1e-9)
+            np.testing.assert_allclose(var, var_solo, rtol=1e-9)
+    finally:
+        srv.close()
+
+
+def test_multi_model_routing(rng_module):
+    """ModelRouter: named-model routes + default + listing."""
+    from mfgp_tpu.serve import ModelRouter
+
+    X = rng_module.uniform(0, 10, (20, 3))
+    srv_a = ModelServer(GP(X, np.sin(X[:, 0]), jitter=1e-8))
+    srv_b = ModelServer(GP(X, np.cos(X[:, 1]), jitter=1e-8))
+    router = ModelRouter({"sin": srv_a, "cos": srv_b})
+    http_srv = make_http_server(router, port=0)
+    t = threading.Thread(target=http_srv.serve_forever, daemon=True)
+    t.start()
+    addr = http_srv.server_address
+    try:
+        code, out = _req(addr, "GET", "/models")
+        assert code == 200 and out["models"] == ["cos", "sin"]
+        assert out["default"] == "sin"
+        p = X[:3].tolist()
+        code, oa = _req(addr, "POST", "/models/sin/predict", {"points": p})
+        assert code == 200
+        code, ob = _req(addr, "POST", "/models/cos/predict", {"points": p})
+        assert code == 200
+        assert not np.allclose(oa["mean"], ob["mean"])
+        # bare /predict hits the default model
+        code, od = _req(addr, "POST", "/predict", {"points": p})
+        assert code == 200 and np.allclose(od["mean"], oa["mean"])
+        code, _ = _req(addr, "POST", "/models/nope/predict", {"points": p})
+        assert code == 404
+    finally:
+        http_srv.shutdown()
+        router.close()
 
 
 def test_server_from_checkpoint(tmp_path, rng_module):

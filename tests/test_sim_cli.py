@@ -113,14 +113,39 @@ def test_manual_variant_collects_and_trains(tmp_path):
     assert np.isfinite(np.asarray(mu)).all()
 
 
-def test_frozen_hyps_online_extension_runs():
+def test_frozen_hyps_online_extension_runs(tmp_path):
     """update_hyps=False uses the online bordered-block extension across
-    replans (BASELINE config 4's online GP update)."""
+    replans (BASELINE config 4's online GP update): later replans must take
+    the ``extend`` path, its posterior must equal a from-scratch
+    recondition of the same data, and the fit stats must be logged in the
+    sim artifacts (reference replan: set_data + re-optimize,
+    reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:385-397)."""
     exp = ExperimentConfig(multi_fidelity=True, ergodic=False, B=20, BD=2,
                            update_hyps=False)
-    res = ExplorationSim(exp, seed=1, plan_iters=8).run()
+    sim = ExplorationSim(exp, seed=1, plan_iters=8, out_dir=str(tmp_path))
+    res = sim.run()
     assert len(res.replans) >= 1
     assert res.rmse is None or np.isfinite(res.rmse)
+    modes = [r.fit_mode for r in res.replans]
+    assert modes[0] == "refit"
+    if len(modes) > 1:
+        assert "extend" in modes[1:]
+        # posterior equality: the online-extended model vs a fresh model
+        # reconditioned from scratch on the same data + same hyps
+        rows = res.gp_data.data
+        fresh = sim._make_model(rows[:, 4:7], rows[:, 8].astype(int),
+                                rows[:, 7])
+        tp = sim.cfg.test_points()[::17]
+        mu_o, var_o = res.model.predict(tp)
+        mu_f, var_f = fresh.predict(tp)
+        np.testing.assert_allclose(np.asarray(mu_o), np.asarray(mu_f),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var_o), np.asarray(var_f),
+                                   rtol=1e-6, atol=1e-8)
+    # replan fit stats land in the artifact set
+    txt = (tmp_path / "replans.csv").read_text().splitlines()
+    assert txt[0].startswith("planNum,") and "fitMode" in txt[0]
+    assert len(txt) == 1 + len(res.replans)
 
 
 def test_toy_dynamics_integrate():
