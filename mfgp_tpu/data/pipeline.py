@@ -181,7 +181,8 @@ def write_run_settings(path: str, cfg: SimConfig, origin: str = ""):
 
 def run_pipeline(traj: Table, cfg: SimConfig, out_dir: str | None = None,
                  traj_name: str | None = None, field: WRBFField | None = None,
-                 field_rng: np.random.Generator | None = None):
+                 field_rng: np.random.Generator | None = None,
+                 est: Table | None = None):
     """Full stage 1-3 sweep for one ground-truth trajectory.
 
     Returns (estimates, measurements, gp_data, field). When ``out_dir`` is
@@ -189,9 +190,14 @@ def run_pipeline(traj: Table, cfg: SimConfig, out_dir: str | None = None,
     ``T<seed>_<vmn>.csv``, ``FieldData/fieldMeas_<seed>_<name>.csv``,
     ``FieldData/FieldSettings<seed>.txt``,
     ``GPDataSets/GPData_<rate>_fieldMeas_<seed>_<name>.csv``.
+
+    ``est`` short-circuits stage 1 with precomputed estimates (the study
+    driver batches the whole sweep's KFs in one vmapped launch,
+    generate_estimates_batch).
     """
     name = traj_name or f"T{cfg.seed}_{cfg.vmn:g}"
-    est = generate_estimates(traj, cfg)
+    if est is None:
+        est = generate_estimates(traj, cfg)
     if field is None:
         rng = field_rng or np.random.default_rng(cfg.seed)
         xmax = max(10.0, est.col("x").max())

@@ -136,20 +136,26 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
     res_dir = os.path.join(out_dir, "GPResults")
     os.makedirs(res_dir, exist_ok=True)
 
+    from mfgp_tpu.data.pipeline import generate_estimates_batch
+
     for fseed in field_seeds:
         frng = np.random.default_rng(1000 + fseed)
         field = random_field(frng, base_cfg.WS, base_cfg.max_depth)
-        for tseed in traj_seeds:
-            traj_cfg = SimConfig(seed=fseed, vmn=0.0)
-            traj = (closed_loop_trajectory(tseed, traj_cfg)
-                    if closed_loop
-                    else scripted_trajectory(tseed, traj_cfg,
-                                             duration=duration))
-            for vmn in vmn_levels:
-                run_cfg = SimConfig(seed=fseed, vmn=vmn)
+        traj_cfg = SimConfig(seed=fseed, vmn=0.0)
+        trajs = [(closed_loop_trajectory(tseed, traj_cfg)
+                  if closed_loop
+                  else scripted_trajectory(tseed, traj_cfg,
+                                           duration=duration))
+                 for tseed in traj_seeds]
+        for vmn in vmn_levels:
+            run_cfg = SimConfig(seed=fseed, vmn=vmn)
+            # stage 1 for the whole trajectory sweep in ONE vmapped launch
+            ests = generate_estimates_batch(
+                trajs, run_cfg, seeds=[fseed] * len(trajs))
+            for tseed, traj, est in zip(traj_seeds, trajs, ests):
                 name = f"T{tseed}_{vmn:g}"
                 run_pipeline(traj, run_cfg, out_dir=out_dir, traj_name=name,
-                             field=field,
+                             field=field, est=est,
                              field_rng=np.random.default_rng(
                                  7 * tseed + fseed))
                 ds_name = (f"GPData_{run_cfg.meas_rate:g}_fieldMeas_"

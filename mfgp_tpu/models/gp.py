@@ -179,8 +179,13 @@ def nlml_value_grad_state(params: GPParams, X, y, extra_noise_diag=0.0,
 @partial(jax.jit, static_argnames=("kernel",))
 def condition(params: GPParams, X, y, extra_noise_diag=0.0,
               kernel: str = "rbf", jitter: float = 0.0) -> GPState:
-    L = _la.chol(_assemble_noisy_cov(params, X, extra_noise_diag, jitter,
-                                     kernel))
+    from mfgp_tpu.ops import covariance as _cc
+
+    # forward-only path: fused Pallas assembly is the default on TPU
+    Kn = _cc.sf_train_cov(params.variance, params.lengthscales,
+                          params.noise + extra_noise_diag + jitter, X,
+                          kernel)
+    L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     return GPState(X, y, L, alpha)
 
@@ -195,11 +200,15 @@ def predict(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
     its info-gain scorers and WMSE metric (reference/GraceRIGV3.py:455,
     reference/GPTrainers.py:116-117).
     """
-    Kxs = _cov(params, Xs, state.X, kernel)
+    from mfgp_tpu.ops import covariance as _cc
+
+    Kxs = _cc.sf_cross_cov(params.variance, params.lengthscales, Xs,
+                           state.X, kernel)
     mean = _la.posterior_mean(Kxs, state.alpha)
     noise = params.noise if include_noise else 0.0
     if full_cov:
-        Kss = _cov(params, Xs, Xs, kernel)
+        Kss = _cc.sf_cross_cov(params.variance, params.lengthscales, Xs,
+                               Xs, kernel)
         cov = _la.posterior_cov(Kss, Kxs, state.L)
         cov = cov + noise * jnp.eye(Xs.shape[0], dtype=cov.dtype)
         return mean, cov
@@ -227,8 +236,11 @@ def predict_blocked(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
         nb, block_size, Xs.shape[1])
     noise = params.noise if include_noise else 0.0
 
+    from mfgp_tpu.ops import covariance as _cc
+
     def one(xb):
-        Kxs = _cov(params, xb, state.X, kernel)
+        Kxs = _cc.sf_cross_cov(params.variance, params.lengthscales, xb,
+                               state.X, kernel)
         mean = _la.posterior_mean(Kxs, state.alpha)
         kss = jnp.broadcast_to(params.variance, (xb.shape[0],))
         var = _la.posterior_var(kss, Kxs, state.L) + noise

@@ -254,7 +254,12 @@ def nlml_value_grad_state(params: MFGPParams, X, fid, y,
 @partial(jax.jit, static_argnames=("kernel",))
 def condition(params: MFGPParams, X, fid, y, kernel: str = "rbf",
               jitter: float = 0.0) -> MFGPState:
-    Kn = _assemble_noisy_cov(params, X, fid, jitter, kernel)
+    from mfgp_tpu.ops import covariance as _cov
+
+    # forward-only path: the fused Pallas assembly is the default on TPU
+    Kn = _cov.mf_train_cov(params.variances, params.lengthscales,
+                           params.rhos, params.noises, X, fid, jitter,
+                           kernel)
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
     return MFGPState(X, fid, y, L, alpha)
@@ -270,13 +275,16 @@ def predict(params: MFGPParams, state: MFGPState, Xs, fid_s,
     emukit's wrapper ``predict``/``predict_covariance``
     (reference/GPTrainers.py:119-120).
     """
-    Kxs = _k.ar1_cov(Xs, fid_s, state.X, state.fid, params.variances,
-                     params.lengthscales, params.rhos, kernel)
+    from mfgp_tpu.ops import covariance as _cov
+
+    Kxs = _cov.mf_cross_cov(params.variances, params.lengthscales,
+                            params.rhos, Xs, fid_s, state.X, state.fid,
+                            kernel)
     mean = _la.posterior_mean(Kxs, state.alpha)
     noise = _k.mf_noise_diag(fid_s, params.noises) if include_noise else 0.0
     if full_cov:
-        Kss = _k.ar1_cov(Xs, fid_s, Xs, fid_s, params.variances,
-                         params.lengthscales, params.rhos, kernel)
+        Kss = _cov.mf_cross_cov(params.variances, params.lengthscales,
+                                params.rhos, Xs, fid_s, Xs, fid_s, kernel)
         cov = _la.posterior_cov(Kss, Kxs, state.L)
         cov = cov + jnp.diag(jnp.broadcast_to(noise, (Xs.shape[0],)).astype(cov.dtype))
         return mean, cov
@@ -305,10 +313,13 @@ def predict_blocked(params: MFGPParams, state: MFGPState, Xs, fid_s,
     fid_pad = jnp.pad(fid_s, (0, pad)).reshape(nb, block_size)
     W = _k.ar1_fidelity_weights(params.rhos, params.variances.shape[0])
 
+    from mfgp_tpu.ops import covariance as _cov
+
     def one(args):
         xb, fb = args
-        Kxs = _k.ar1_cov(xb, fb, state.X, state.fid, params.variances,
-                         params.lengthscales, params.rhos, kernel)
+        Kxs = _cov.mf_cross_cov(params.variances, params.lengthscales,
+                                params.rhos, xb, fb, state.X, state.fid,
+                                kernel)
         mean = _la.posterior_mean(Kxs, state.alpha)
         kss = jnp.sum((W[:, fb] ** 2) * params.variances[:, None], axis=0)
         var = _la.posterior_var(kss, Kxs, state.L)

@@ -100,6 +100,29 @@ def chol_solve_blocked(L: jax.Array, B: jax.Array, block: int = 2048
     return xrev[::-1] if xrev.ndim == 1 else xrev[::-1, :]
 
 
+def tri_inv_recursive(L: jax.Array, base: int = 1024,
+                      precision=_HIGHEST) -> jax.Array:
+    """Lower-triangular inverse by divide and conquer.
+
+    ``inv([[A, 0], [B, C]]) = [[Ai, 0], [-Ci B Ai, Ci]]`` applied
+    recursively: log2(N/base) levels, each one pair of HALF-SIZE dense
+    matmuls — the dependency chain is O(log N) instead of O(N/block)
+    (tri_inv_blocked's sequential row recurrence), and the top-level
+    matmuls are (N/2)-square, exactly what the MXU wants. ~N^3/3 FLOPs.
+    """
+    n = L.shape[0]
+    if n <= base:
+        return tri_solve(L, jnp.eye(n, dtype=L.dtype))
+    h = n // 2
+    Ai = tri_inv_recursive(L[:h, :h], base, precision)
+    Ci = tri_inv_recursive(L[h:, h:], base, precision)
+    BAi = jnp.dot(L[h:, :h], Ai, precision=precision)
+    lower_left = -jnp.dot(Ci, BAi, precision=precision)
+    top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([lower_left, Ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
 def tri_inv_blocked(L: jax.Array, block: int = 2048) -> jax.Array:
     """Explicit inverse of a lower-triangular matrix, blocked.
 

@@ -220,3 +220,21 @@ def test_study_driver_end_to_end(tmp_path):
     assert (tmp_path / "GPDataSets" /
             "GPData_0.2_fieldMeas_0_T0_0.1.csv").exists()
     assert (tmp_path / "T0_0.1Settings.txt").exists()
+
+
+def test_batched_estimates_match_per_file(synth_traj):
+    """generate_estimates_batch (one vmapped scan over the sweep) equals
+    the per-file filter row for row, including ragged lengths."""
+    from mfgp_tpu.data.pipeline import (generate_estimates,
+                                        generate_estimates_batch)
+
+    cfg = SimConfig(seed=3, vmn=0.1)
+    short = Table(synth_traj.headers,
+                  synth_traj.data[: synth_traj.data.shape[0] // 2])
+    batch = generate_estimates_batch([synth_traj, short], cfg,
+                                     seeds=[3, 11])
+    singles = [generate_estimates(synth_traj, cfg, seed=3),
+               generate_estimates(short, cfg, seed=11)]
+    for b, s in zip(batch, singles):
+        assert b.data.shape == s.data.shape
+        np.testing.assert_allclose(b.data, s.data, rtol=1e-12, atol=1e-12)
