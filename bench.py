@@ -101,14 +101,17 @@ def run_tpu(N, M, repeats=3):
     gfj = jnp.asarray(grid_fid)
 
     # analytic trace-identity gradient + conditioned state from ONE
-    # factorization (the NumPy baseline also factorizes once; see
-    # models/mfgp.nlml_value_grad_state). Kept as TWO launches: fusing
-    # them into one jit makes XLA hold the gradient's inverse alongside
-    # the posterior buffers — 15.76G/15.75G HBM, an OOM by 16 MB.
+    # factorization (the NumPy baseline also factorizes once). The state
+    # carries the explicit inverse factor L^-1 (computed for the gradient's
+    # K^-1 anyway), so the posterior's substitutions become pure MXU
+    # matmuls — see models/mfgp.nlml_value_grad_state_inv /
+    # predict_blocked_inv. Kept as TWO launches: fusing them into one jit
+    # makes XLA hold the gradient's inverse alongside the posterior
+    # buffers — an HBM OOM at N=20k on one v5e.
     vgs = jax.jit(
-        lambda p: mf.nlml_value_grad_state(p, Xj, fj, yj, jitter=1e-6))
+        lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj, jitter=1e-6))
     post = jax.jit(
-        lambda p, s: mf.predict_blocked(p, s, gj, gfj))
+        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj))
 
     def unit():
         val, g, state = vgs(params)

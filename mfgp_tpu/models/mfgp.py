@@ -100,6 +100,24 @@ class MFGPState(NamedTuple):
     alpha: jax.Array
 
 
+class MFGPStateInv(NamedTuple):
+    """Conditioned state carrying the explicit inverse factor L^-1.
+
+    The fast posterior path: with ``Linv`` resident, the predictive
+    variance's triangular substitution becomes one MXU matmul
+    (``V = Linv K*^T``) — measured 310 ms vs 390 ms (HIGHEST) and 171 ms
+    (HIGH) for the 10571-point robot grid at N=20k on one v5e. Produced by
+    ``nlml_value_grad_state_inv`` where ``Linv`` is computed anyway for the
+    gradient's K^-1.
+    """
+
+    X: jax.Array  # (N, D)
+    fid: jax.Array  # (N,) int32
+    y: jax.Array  # (N,)
+    Linv: jax.Array  # (N, N) inverse lower Cholesky factor
+    alpha: jax.Array
+
+
 def split_augmented(X_aug: jax.Array):
     """Split ``[X | fid]`` augmented inputs (emukit convention)."""
     return X_aug[:, :-1], X_aug[:, -1].astype(jnp.int32)
@@ -120,9 +138,15 @@ def _assemble_noisy_cov(params: MFGPParams, X, fid, jitter, kernel: str):
     recomputes the assembly in the backward sweep (extra MXU matmuls, far
     cheaper than the O(N^3) Cholesky either way) so the live set is just
     K, L, and the incoming cotangent.
+
+    On TPU/f32/rbf the assembly dispatches to the Pallas fused kernel with
+    a custom VJP (ops.covariance.ar1_cov_diff): one tile pass forward,
+    closed-form contractions backward — the autodiff NLML rides Pallas too.
     """
-    K = _k.ar1_cov(X, fid, X, fid, params.variances, params.lengthscales,
-                   params.rhos, kernel)
+    from mfgp_tpu.ops import covariance as _cov
+
+    K = _cov.ar1_cov_diff(params.variances, params.lengthscales,
+                          params.rhos, X, fid, kernel)
     return _la.diag_add(K, _k.mf_noise_diag(fid, params.noises) + jitter)
 
 
@@ -164,13 +188,27 @@ def nlml_value_and_grad(params: MFGPParams, X, fid, y, kernel: str = "rbf",
     matvec contraction applies with ``A' = W o (3 v w w^T e^{-sqrt(3) r})``
     and the variance term keeps ``A = W o T``.
     """
-    val, grad, _, _ = _nlml_vg_core(params, X, fid, y, kernel, jitter)
+    val, grad, _, _, _ = _nlml_vg_core(params, X, fid, y, kernel, jitter)
     return val, grad
 
 
+_PRECISIONS = {"high": jax.lax.Precision.HIGH,
+               "highest": jax.lax.Precision.HIGHEST}
+
+
 def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
-                  jitter: float):
-    """Shared implementation: returns (val, grad, L, alpha)."""
+                  jitter: float, inv_mode: str | None = None):
+    """Shared implementation: returns (val, grad, L, alpha, Linv).
+
+    ``inv_mode=None`` computes the gradient's K^-1 with two blocked
+    triangular solves (2 N^3 substitution FLOPs, backward-stable;
+    Linv=None). ``inv_mode="high"|"highest"`` computes the explicit
+    inverse factor ``Linv = L^-1`` (tri_inv_recursive, HIGHEST) and
+    ``K^-1 = Linv^T Linv`` as one matmul at the given precision —
+    N^3/3 + N^3 FLOPs on pure MXU shapes. Measured at N=20k f32 on v5e:
+    667 ms (solves) vs 226+298 = 524 ms ("high" syrk, max entry delta
+    5.6e-4 on K^-1 — gradient-quality only, the NLML value path is
+    untouched) vs 226+550 ms ("highest", delta 4.0e-5)."""
     if kernel not in ("rbf", "matern32"):
         raise NotImplementedError(f"analytic gradient: {kernel}")
     N, D = X.shape
@@ -196,8 +234,13 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
            + 0.5 * _la.logdet_from_chol(L)
            + 0.5 * N * _LOG2PI)
 
-    eye = jnp.eye(N, dtype=X.dtype)
-    Kinv = _la.chol_solve_blocked(L, eye)
+    if inv_mode is None:
+        eye = jnp.eye(N, dtype=X.dtype)
+        Kinv = _la.chol_solve_blocked(L, eye)
+        Linv = None
+    else:
+        Linv = _la.tri_inv_recursive(L)
+        Kinv = jnp.dot(Linv.T, Linv, precision=_PRECISIONS[inv_mode])
     Wm = Kinv - alpha[:, None] * alpha[None, :]
 
     g_logvar = []
@@ -233,7 +276,7 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
     grad = MFGPParams(
         jnp.stack(g_logvar), jnp.stack(g_logls),
         jnp.zeros_like(params.rhos), g_lognoise)
-    return val, grad, L, alpha
+    return val, grad, L, alpha, Linv
 
 
 @partial(jax.jit, static_argnames=("kernel",))
@@ -247,8 +290,28 @@ def nlml_value_grad_state(params: MFGPParams, X, fid, y,
     Cholesky (the NumPy reference-equivalent unit in bench.py also
     factorizes once, so this keeps the benchmark apples-to-apples).
     """
-    val, grad, L, alpha = _nlml_vg_core(params, X, fid, y, kernel, jitter)
+    val, grad, L, alpha, _ = _nlml_vg_core(params, X, fid, y, kernel, jitter)
     return val, grad, MFGPState(X, jnp.asarray(fid, jnp.int32), y, L, alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel", "inv_mode"))
+def nlml_value_grad_state_inv(params: MFGPParams, X, fid, y,
+                              kernel: str = "rbf", jitter: float = 0.0,
+                              inv_mode: str = "high"):
+    """Fast-path variant of nlml_value_grad_state returning MFGPStateInv.
+
+    The gradient's K^-1 comes from the explicit inverse factor (see
+    _nlml_vg_core inv_mode), and that factor is returned in the state so
+    the posterior runs as pure matmuls (predict_blocked_inv). Same
+    mathematics; at f32 the syrk precision is selectable ("high" trades
+    ~5e-4 max K^-1 entry error — gradient-only — for ~1.8x on the syrk).
+    NLML value, alpha, and logdet are computed exactly as in
+    nlml_value_grad_state.
+    """
+    val, grad, _, alpha, Linv = _nlml_vg_core(params, X, fid, y, kernel,
+                                              jitter, inv_mode=inv_mode)
+    return val, grad, MFGPStateInv(X, jnp.asarray(fid, jnp.int32), y,
+                                   Linv, alpha)
 
 
 @partial(jax.jit, static_argnames=("kernel",))
@@ -323,6 +386,45 @@ def predict_blocked(params: MFGPParams, state: MFGPState, Xs, fid_s,
         mean = _la.posterior_mean(Kxs, state.alpha)
         kss = jnp.sum((W[:, fb] ** 2) * params.variances[:, None], axis=0)
         var = _la.posterior_var(kss, Kxs, state.L)
+        if include_noise:
+            var = var + _k.mf_noise_diag(fb, params.noises)
+        return mean, var
+
+    means, variances = jax.lax.map(one, (Xs_pad, fid_pad))
+    return means.reshape(-1)[:M], variances.reshape(-1)[:M]
+
+
+@partial(jax.jit, static_argnames=("kernel", "include_noise", "block_size",
+                                   "precision"))
+def predict_blocked_inv(params: MFGPParams, state: MFGPStateInv, Xs, fid_s,
+                        kernel: str = "rbf", include_noise: bool = True,
+                        block_size: int = 1024, precision: str = "high"):
+    """Blocked posterior mean/variance from an MFGPStateInv.
+
+    Identical contract to predict_blocked, but the variance's triangular
+    substitution is replaced by ``V = Linv K*^T`` — one MXU matmul per
+    block (measured 171 ms at "high" / 310 ms at "highest" vs 390 ms
+    substitution for the 10571-pt grid at N=20k f32 on v5e)."""
+    from mfgp_tpu.ops import covariance as _cov
+
+    prec = _PRECISIONS[precision]
+    M = Xs.shape[0]
+    nb = -(-M // block_size)
+    pad = nb * block_size - M
+    Xs_pad = jnp.pad(Xs, ((0, pad), (0, 0))).reshape(
+        nb, block_size, Xs.shape[1])
+    fid_pad = jnp.pad(fid_s, (0, pad)).reshape(nb, block_size)
+    W = _k.ar1_fidelity_weights(params.rhos, params.variances.shape[0])
+
+    def one(args):
+        xb, fb = args
+        Kxs = _cov.mf_cross_cov(params.variances, params.lengthscales,
+                                params.rhos, xb, fb, state.X, state.fid,
+                                kernel)
+        mean = _la.posterior_mean(Kxs, state.alpha)
+        V = jnp.dot(state.Linv, Kxs.T, precision=prec)
+        kss = jnp.sum((W[:, fb] ** 2) * params.variances[:, None], axis=0)
+        var = kss - jnp.sum(V * V, axis=0)
         if include_noise:
             var = var + _k.mf_noise_diag(fb, params.noises)
         return mean, var

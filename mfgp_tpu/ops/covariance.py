@@ -63,6 +63,109 @@ def mf_cross_cov(variances, lengthscales, rhos, X1, fid1, X2, fid2,
                       kernel)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable fused training covariance (custom VJP around the Pallas
+# forward). The autodiff NLML path (``models.mfgp.nlml`` under jax.grad —
+# the fallback when no analytic gradient exists) then rides the fused
+# kernel too: forward = one Pallas pass, backward = closed-form
+# contractions of the cotangent with the per-fidelity terms (two matvecs
+# per fidelity, O(F N^2 D) — no base-kernel residuals, no unfused
+# elementwise backward chains).
+# ---------------------------------------------------------------------------
+
+
+def _ar1_terms(variances, lengthscales, rhos, X, fid, F):
+    """w weights (F, N) and per-fidelity scaled kernels K_m (lazily)."""
+    W = _k.ar1_fidelity_weights(rhos, F)
+    return W, W[:, fid]
+
+
+@jax.custom_vjp
+def _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid):
+    from mfgp_tpu.ops.pallas_kernels import ar1_cov_fused
+
+    # interpret mode keeps this callable (and testable) off-TPU; the
+    # dispatcher only routes here on TPU, so interpret is test-only
+    return ar1_cov_fused(X, fid, X, fid, variances, lengthscales, rhos,
+                         interpret=jax.default_backend() != "tpu")
+
+
+def _ar1_fwd(variances, lengthscales, rhos, X, fid):
+    K = _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid)
+    return K, (variances, lengthscales, rhos, X, fid)
+
+
+def _ar1_bwd(res, Ct):
+    """Cotangents of (variances, lengthscales, rhos); X/fid non-diff.
+
+    With T_m = v_m (w_m w_m^T) o K_m and general (possibly asymmetric)
+    cotangent Ct:
+
+      v_bar_m   = sum(Ct o T_m) / v_m
+      l_bar_{m,d} = sum((Ct o T_m) o (x_d - x'_d)^2) / l_{m,d}^3
+                  = (x_d^2 . r + c . x_d^2 - 2 x_d^T A x_d) / l^3,
+                    A = Ct o T_m, r = A 1, c = A^T 1
+      rho_bar_l = sum_m sum_ij (Ct o v_m K_m)_ij (g_i w_j + w_i g_j),
+                    g_i = dW[m, fid_i]/drho_l  (product form, no division)
+    """
+    variances, lengthscales, rhos, X, fid = res
+    F, D = lengthscales.shape
+    N = X.shape[0]
+    Wfid, w = _ar1_terms(variances, lengthscales, rhos, X, fid, F)
+    inv_ls = 1.0 / lengthscales
+    _H = jax.lax.Precision.HIGHEST
+
+    v_bar, l_bar = [], []
+    rho_bar = jnp.zeros_like(rhos)
+    for m in range(F):
+        Km = _k.KERNELS["rbf"](X, X, 1.0, lengthscales[m])
+        B = Ct * (variances[m] * Km)  # Ct o v_m K_m
+        A = B * (w[m][:, None] * w[m][None, :])  # Ct o T_m
+        onesX = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
+        rA = jnp.dot(A, onesX, precision=_H)  # [A1 | A X]
+        cA = jnp.dot(A.T, onesX, precision=_H)  # [A^T 1 | A^T X]
+        v_bar.append(jnp.sum(rA[:, 0]) / variances[m])
+        quad = (jnp.sum((X**2) * (rA[:, :1] + cA[:, :1]), axis=0)
+                - jnp.sum(X * (rA[:, 1:] + cA[:, 1:]), axis=0))
+        l_bar.append(quad * inv_ls[m] ** 3)  # v_m already inside A
+        # rho cotangent: product-form dW, two matvecs against w
+        if F > 1:
+            Bw = jnp.dot(B, w[m], precision=_H)
+            Btw = jnp.dot(B.T, w[m], precision=_H)
+            for l in range(F - 1):
+                # dW[m, f]/drho_{l} = prod_{k in (m, f], k != l+1} rho_k
+                # when m < l+1 <= f else 0 (rho_l couples fidelity l -> l+1)
+                dW = []
+                for f in range(F):
+                    if m < l + 1 <= f:
+                        p = jnp.ones((), rhos.dtype)
+                        for kk in range(m + 1, f + 1):
+                            if kk != l + 1:
+                                p = p * rhos[kk - 1]
+                        dW.append(p)
+                    else:
+                        dW.append(jnp.zeros((), rhos.dtype))
+                g = jnp.stack(dW)[fid]  # (N,)
+                rho_bar = rho_bar.at[l].add(
+                    jnp.dot(g, Bw) + jnp.dot(g, Btw))
+    return (jnp.stack(v_bar), jnp.stack(l_bar), rho_bar, None, None)
+
+
+_ar1_train_cov_fused.defvjp(_ar1_fwd, _ar1_bwd)
+
+
+def ar1_cov_diff(variances, lengthscales, rhos, X, fid,
+                 kernel: str) -> jax.Array:
+    """Differentiable AR1 training covariance with fused-forward dispatch.
+
+    On TPU/f32/rbf the forward is the Pallas kernel and the backward the
+    closed-form contractions above; elsewhere the plain XLA composition
+    (fully autodiff, incl. matern32)."""
+    if use_pallas(X.dtype, kernel):
+        return _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid)
+    return _k.ar1_cov(X, fid, X, fid, variances, lengthscales, rhos, kernel)
+
+
 def sf_train_cov(variance, lengthscales, noise_diag, X,
                  kernel: str) -> jax.Array:
     """Single-fidelity training covariance + noise diagonal (forward)."""

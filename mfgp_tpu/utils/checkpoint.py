@@ -154,32 +154,77 @@ def _jsonify(o):
     return o
 
 
-def save_checkpoint(path: str, ck: ExplorationCheckpoint):
-    """Write an .npz checkpoint (atomic rename)."""
+def save_checkpoint(path: str, ck: ExplorationCheckpoint,
+                    backend: str = "npz"):
+    """Write a checkpoint.
+
+    ``backend="npz"``: single-file .npz (atomic rename) — the default,
+    dependency-free. ``backend="orbax"``: an orbax PyTree checkpoint
+    directory ``<path>.orbax`` (tensor data via orbax's async-capable
+    TypeHandlers; the JSON-able meta rides alongside as ``meta.json``) —
+    the production choice for large states on multi-host filesystems.
+    """
+    if backend == "orbax":
+        flat = _to_npz_dict(ck)
+        meta_json = str(flat.pop("meta_json"))
+        strings = {"model_kind": str(flat.pop("model_kind")),
+                   "model_kernel": str(flat.pop("model_kernel"))}
+        import orbax.checkpoint as ocp
+
+        target = os.path.abspath(path) + ".orbax"
+        tree_dir = os.path.join(target, "tree")
+        if os.path.exists(tree_dir):
+            import shutil
+
+            shutil.rmtree(tree_dir)
+        os.makedirs(target, exist_ok=True)
+        ocp.PyTreeCheckpointer().save(tree_dir, dict(flat))
+        with open(os.path.join(target, "meta.json"), "w") as f:
+            json.dump({"meta_json": meta_json, **strings}, f)
+        return
+    if backend != "npz":
+        raise ValueError(backend)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **_to_npz_dict(ck))
     os.replace(tmp, path if path.endswith(".npz") else path + ".npz")
 
 
-def load_checkpoint(path: str) -> ExplorationCheckpoint:
-    if not path.endswith(".npz"):
-        path = path + ".npz"
-    z = np.load(path, allow_pickle=False)
-    meta = json.loads(str(z["meta_json"]))
+def _from_flat(z, meta, kind: str, kernel: str) -> ExplorationCheckpoint:
     model = ModelCheckpoint(
-        kind=str(z["model_kind"]), kernel=str(z["model_kernel"]),
-        param_array=z["model_params"], X=z["model_X"], y=z["model_y"],
-        fid=z["model_fid"] if "model_fid" in z else None,
+        kind=kind, kernel=kernel,
+        param_array=np.asarray(z["model_params"]), X=np.asarray(z["model_X"]),
+        y=np.asarray(z["model_y"]),
+        fid=np.asarray(z["model_fid"]) if "model_fid" in z else None,
         extra=meta.get("model_extra", {}),
     )
     return ExplorationCheckpoint(
         plan_num=int(z["plan_num"]), t_now=float(z["t_now"]),
-        planned_budget=float(z["planned_budget"]), x0=z["x0"],
-        model=model, data_rows=z["data_rows"],
-        rng_state=meta["rng_state"], jax_key_data=z["jax_key_data"],
+        planned_budget=float(z["planned_budget"]), x0=np.asarray(z["x0"]),
+        model=model, data_rows=np.asarray(z["data_rows"]),
+        rng_state=meta["rng_state"],
+        jax_key_data=np.asarray(z["jax_key_data"]),
         graph_nodes=meta.get("graph_nodes", {}),
         graph_edges=meta.get("graph_edges", {}),
     )
+
+
+def load_checkpoint(path: str) -> ExplorationCheckpoint:
+    """Load a checkpoint, autodetecting the backend (.orbax dir or .npz)."""
+    orbax_dir = (path if path.endswith(".orbax") else path + ".orbax")
+    if os.path.isdir(orbax_dir):
+        import orbax.checkpoint as ocp
+
+        z = ocp.PyTreeCheckpointer().restore(
+            os.path.join(orbax_dir, "tree"))
+        with open(os.path.join(orbax_dir, "meta.json")) as f:
+            side = json.load(f)
+        meta = json.loads(side["meta_json"])
+        return _from_flat(z, meta, side["model_kind"], side["model_kernel"])
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta_json"]))
+    return _from_flat(z, meta, str(z["model_kind"]), str(z["model_kernel"]))
 
 
 def save_hyp_history(path: str, param_array, plan_num: int):

@@ -1,5 +1,6 @@
 """Multi-fidelity AR1 GP tests: oracle parity + MF behavior properties."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -188,3 +189,38 @@ def test_mfgp_extend_data_matches_full_recondition(rng):
     mu2, var2 = m2.predict(Xs)
     np.testing.assert_allclose(mu1, mu2, rtol=1e-9)
     np.testing.assert_allclose(var1, var2, rtol=1e-8, atol=1e-10)
+
+
+def test_inv_state_path_matches_standard(rng):
+    """nlml_value_grad_state_inv + predict_blocked_inv (the explicit-inverse
+    fast path the bench rides) match the substitution path at f64."""
+    import jax.numpy as jnp
+
+    N, D, M = 60, 3, 37
+    X = rng.normal(size=(N, D))
+    y = np.sin(X.sum(axis=1))
+    fid = rng.integers(0, 3, N)
+    grid = rng.normal(size=(M, D))
+    gfid = np.full(M, 2)
+    params = mf.MFGPParams.default(3, D, jnp.float64)
+
+    v0, g0, s0 = mf.nlml_value_grad_state(params, jnp.asarray(X),
+                                          jnp.asarray(fid), jnp.asarray(y),
+                                          jitter=1e-10)
+    for mode in ("high", "highest"):
+        v1, g1, s1 = mf.nlml_value_grad_state_inv(
+            params, jnp.asarray(X), jnp.asarray(fid), jnp.asarray(y),
+            jitter=1e-10, inv_mode=mode)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-8, atol=1e-10)
+        mu0, var0 = mf.predict_blocked(params, s0, jnp.asarray(grid),
+                                       jnp.asarray(gfid), block_size=16)
+        mu1, var1 = mf.predict_blocked_inv(params, s1, jnp.asarray(grid),
+                                           jnp.asarray(gfid), block_size=16,
+                                           precision=mode)
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var0),
+                                   rtol=1e-8, atol=1e-10)

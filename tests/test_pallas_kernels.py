@@ -109,3 +109,40 @@ def test_covariance_dispatch(rng, monkeypatch):
         np.asarray(C), np.asarray(_k.KERNELS["matern32"](X, X[:5], 2.0,
                                                          jnp.ones(3))),
         rtol=1e-12)
+
+
+def test_ar1_custom_vjp_gradients_match_autodiff(rng):
+    """The fused covariance's custom VJP (Pallas forward in interpret mode
+    here, closed-form contraction backward) matches plain autodiff through
+    the XLA composition for ALL parameters — variances, lengthscales, AND
+    rhos (which even the analytic NLML path treats as fixed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops import covariance as cov
+    from mfgp_tpu.ops import kernels as _k
+
+    N, D, F = 23, 3, 3
+    X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    fid = jnp.asarray(rng.integers(0, F, N), jnp.int32)
+    R = jnp.asarray(rng.normal(size=(N, N)), jnp.float32)  # asymmetric Ct
+    v = jnp.asarray([1.5, 0.9, 0.4], jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.8, 2.0, (F, D)), jnp.float32)
+    rhos = jnp.asarray([0.9, 0.7], jnp.float32)
+
+    def loss_fused(v, ls, rhos):
+        return jnp.sum(R * cov._ar1_train_cov_fused(v, ls, rhos, X, fid))
+
+    def loss_xla(v, ls, rhos):
+        return jnp.sum(R * _k.ar1_cov(X, fid, X, fid, v, ls, rhos, "rbf"))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(v, ls, rhos)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(v, ls, rhos)
+    for a, b, name in zip(g1, g2, ("variances", "lengthscales", "rhos")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+    # values agree too
+    np.testing.assert_allclose(
+        np.asarray(cov._ar1_train_cov_fused(v, ls, rhos, X, fid)),
+        np.asarray(_k.ar1_cov(X, fid, X, fid, v, ls, rhos, "rbf")),
+        rtol=1e-5, atol=1e-5)

@@ -187,3 +187,42 @@ def test_plan_wallclock_stopwatch_wired():
     # planning was stopped by the stopwatch, not the (huge) iteration cap
     assert elapsed < 60.0
     assert len(res.replans) <= 1
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """The orbax backend (SURVEY §5 'orbax-style' checkpointing) restores
+    an identical ExplorationCheckpoint, autodetected at load."""
+    import jax
+    import numpy as np
+
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.utils import checkpoint as ckpt
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 5, (12, 3))
+    gp = GP(X, np.cos(X[:, 1]), jitter=1e-8)
+    ck = ckpt.ExplorationCheckpoint(
+        plan_num=3, t_now=12.5, planned_budget=7.25,
+        x0=np.ones((2, 1)), model=ckpt.capture_model(gp),
+        data_rows=rng.normal(size=(5, 9)),
+        rng_state=rng.bit_generator.state,
+        jax_key_data=np.asarray(jax.random.key_data(jax.random.key(4))),
+        graph_nodes={"0": [0.0, 1.0]}, graph_edges={"0": [0, 1]})
+    for backend in ("npz", "orbax"):
+        p = str(tmp_path / f"ck_{backend}")
+        ckpt.save_checkpoint(p, ck, backend=backend)
+        back = ckpt.load_checkpoint(p)
+        assert back.plan_num == 3 and back.t_now == 12.5
+        np.testing.assert_array_equal(back.data_rows, ck.data_rows)
+        np.testing.assert_array_equal(back.model.X, ck.model.X)
+        assert back.model.kind == "gp" and back.model.kernel == gp.kernel
+        assert back.graph_nodes == ck.graph_nodes
+        assert back.rng_state == ck.rng_state
+        m = back.model.restore()
+        # rtol bounded by the param_array log/exp roundtrip, not the
+        # serialization (same as test_server_from_checkpoint)
+        np.testing.assert_allclose(np.asarray(m.predict(X[:3])[0]),
+                                   np.asarray(gp.predict(X[:3])[0]),
+                                   rtol=1e-4)
+    # overwrite is safe (second save to the same orbax path)
+    ckpt.save_checkpoint(str(tmp_path / "ck_orbax"), ck, backend="orbax")
