@@ -220,11 +220,21 @@ def cmd_study(args):
 
 
 def cmd_serve(args):
-    """Serve a trained model checkpoint over HTTP (posterior + EID)."""
-    _cpu(args)
-    from mfgp_tpu.serve import serve_checkpoint
+    """Serve trained model checkpoint(s) over HTTP (posterior + EID).
 
-    serve_checkpoint(args.checkpoint, host=args.host, port=args.port)
+    One positional checkpoint serves single-model; repeat ``name=path``
+    pairs route multiple models (/models/<name>/predict)."""
+    _cpu(args)
+    from mfgp_tpu.serve import serve_checkpoint, serve_checkpoints
+
+    if all("=" in c for c in args.checkpoint) and len(args.checkpoint) >= 1 \
+            and "=" in args.checkpoint[0]:
+        paths = dict(c.split("=", 1) for c in args.checkpoint)
+        serve_checkpoints(paths, host=args.host, port=args.port)
+    else:
+        if len(args.checkpoint) != 1:
+            raise SystemExit("either ONE checkpoint or name=path pairs")
+        serve_checkpoint(args.checkpoint[0], host=args.host, port=args.port)
 
 
 def cmd_plot(args):
@@ -307,7 +317,9 @@ def build_parser():
     p.add_argument("--duration", type=float, default=1200.0)
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
-    p.add_argument("checkpoint")
+    p.add_argument("checkpoint", nargs="+",
+                   help="one checkpoint path, or name=path pairs for "
+                        "multi-model routing")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
 

@@ -94,9 +94,12 @@ def _assemble_noisy_cov(params: GPParams, X, extra_noise_diag, jitter,
                         kernel: str):
     """K + noise diag, rematerialised so the NLML backward pass doesn't keep
     the kernel matrix + clamp masks alive (HBM OOM at N=20k otherwise; see
-    mfgp._assemble_noisy_cov)."""
+    mfgp._assemble_noisy_cov). On TPU/f32/rbf the assembly rides the fused
+    Pallas kernel with its custom VJP (ops.covariance.sf_cov_diff)."""
+    from mfgp_tpu.ops import covariance as _cc
+
     N = X.shape[0]
-    K = _cov(params, X, X, kernel)
+    K = _cc.sf_cov_diff(params.variance, params.lengthscales, X, kernel)
     obs = params.noise + extra_noise_diag + jitter
     return _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
 
@@ -122,11 +125,13 @@ def nlml(params: GPParams, X, y, extra_noise_diag=0.0, kernel: str = "rbf",
 
 
 def _gp_vg_core(params: GPParams, X, y, extra_noise_diag=0.0,
-                kernel: str = "rbf", jitter: float = 0.0):
+                kernel: str = "rbf", jitter: float = 0.0,
+                inv_mode: str | None = None):
     """NLML + analytic gradient (RBF/Matern32): the F=1 case of the
     trace-identity shortcut in models/mfgp.nlml_value_and_grad — ~2.5x
     faster than the Cholesky-VJP backward at large N.
-    Returns (value, GPParams-grad, L, alpha)."""
+    Returns (value, GPParams-grad, L, alpha, Linv); ``inv_mode`` selects
+    the explicit-inverse K^-1 (see mfgp._nlml_vg_core)."""
     if kernel not in ("rbf", "matern32"):
         raise NotImplementedError(f"analytic gradient: {kernel}")
     N, D = X.shape
@@ -139,7 +144,14 @@ def _gp_vg_core(params: GPParams, X, y, extra_noise_diag=0.0,
            + 0.5 * _la.logdet_from_chol(L)
            + 0.5 * N * _LOG2PI)
 
-    Kinv = _la.chol_solve_blocked(L, jnp.eye(N, dtype=X.dtype))
+    if inv_mode is None:
+        Kinv = _la.chol_solve_blocked(L, jnp.eye(N, dtype=X.dtype))
+        Linv = None
+    else:
+        from mfgp_tpu.models.mfgp import _PRECISIONS
+
+        Linv = _la.tri_inv_recursive(L)
+        Kinv = _la.syrk_tri_lower(Linv, precision=_PRECISIONS[inv_mode])
     W = Kinv - alpha[:, None] * alpha[None, :]
     A = W * K  # == W o (dK/dlog variance)
     ones_x = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
@@ -154,14 +166,14 @@ def _gp_vg_core(params: GPParams, X, y, extra_noise_diag=0.0,
     g_logls = (jnp.sum((X**2) * s[:, None], axis=0)
                - jnp.sum(X * Ax, axis=0)) / (params.lengthscales**2)
     g_lognoise = 0.5 * params.noise * jnp.sum(jnp.diagonal(W))
-    return val, GPParams(g_logvar, g_logls, g_lognoise), L, alpha
+    return val, GPParams(g_logvar, g_logls, g_lognoise), L, alpha, Linv
 
 
 @partial(jax.jit, static_argnames=("kernel",))
 def nlml_value_and_grad(params: GPParams, X, y, extra_noise_diag=0.0,
                         kernel: str = "rbf", jitter: float = 0.0):  # noqa: F811
     """Public (value, grad) wrapper over the shared core."""
-    val, grad, _, _ = _gp_vg_core(params, X, y, extra_noise_diag, kernel,
+    val, grad, _, _, _ = _gp_vg_core(params, X, y, extra_noise_diag, kernel,
                                   jitter)
     return val, grad
 
@@ -171,9 +183,62 @@ def nlml_value_grad_state(params: GPParams, X, y, extra_noise_diag=0.0,
                           kernel: str = "rbf", jitter: float = 0.0):
     """(value, grad, conditioned GPState) sharing one factorization — the
     single-fidelity counterpart of mfgp.nlml_value_grad_state."""
-    val, grad, L, alpha = _gp_vg_core(params, X, y, extra_noise_diag,
-                                      kernel, jitter)
+    val, grad, L, alpha, _ = _gp_vg_core(params, X, y, extra_noise_diag,
+                                         kernel, jitter)
     return val, grad, GPState(X, y, L, alpha)
+
+
+class GPStateInv(NamedTuple):
+    """Conditioned single-fidelity state carrying L^-1 (see
+    mfgp.MFGPStateInv for the rationale and measurements)."""
+
+    X: jax.Array
+    y: jax.Array
+    Linv: jax.Array
+    alpha: jax.Array
+
+
+@partial(jax.jit, static_argnames=("kernel", "inv_mode"))
+def nlml_value_grad_state_inv(params: GPParams, X, y, extra_noise_diag=0.0,
+                              kernel: str = "rbf", jitter: float = 0.0,
+                              inv_mode: str = "highest"):
+    """Fast-path (value, grad, GPStateInv): the single-fidelity
+    counterpart of mfgp.nlml_value_grad_state_inv."""
+    val, grad, _, alpha, Linv = _gp_vg_core(params, X, y, extra_noise_diag,
+                                            kernel, jitter,
+                                            inv_mode=inv_mode)
+    return val, grad, GPStateInv(X, y, Linv, alpha)
+
+
+@partial(jax.jit, static_argnames=("kernel", "include_noise", "block_size",
+                                   "precision"))
+def predict_blocked_inv(params: GPParams, state: GPStateInv, Xs,
+                        kernel: str = "rbf", include_noise: bool = True,
+                        block_size: int = 1024, precision: str = "highest"):
+    """Blocked posterior from a GPStateInv: variance substitutions as
+    triangular MXU matmuls (see mfgp.predict_blocked_inv)."""
+    from mfgp_tpu.models.mfgp import _PRECISIONS
+    from mfgp_tpu.ops import covariance as _cc
+
+    prec = _PRECISIONS[precision]
+    M = Xs.shape[0]
+    nb = -(-M // block_size)
+    pad = nb * block_size - M
+    Xs_pad = jnp.pad(Xs, ((0, pad), (0, 0))).reshape(
+        nb, block_size, Xs.shape[1])
+    noise = params.noise if include_noise else 0.0
+
+    def one(xb):
+        Kxs = _cc.sf_cross_cov(params.variance, params.lengthscales, xb,
+                               state.X, kernel)
+        mean = _la.posterior_mean(Kxs, state.alpha)
+        V = _la.tri_lower_matmul(state.Linv, Kxs.T, precision=prec)
+        kss = jnp.broadcast_to(params.variance, (xb.shape[0],))
+        var = kss - jnp.sum(V * V, axis=0) + noise
+        return mean, var
+
+    means, variances = jax.lax.map(one, Xs_pad)
+    return means.reshape(-1)[:M], variances.reshape(-1)[:M]
 
 
 @partial(jax.jit, static_argnames=("kernel",))

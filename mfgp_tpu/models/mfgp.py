@@ -240,7 +240,8 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
         Linv = None
     else:
         Linv = _la.tri_inv_recursive(L)
-        Kinv = jnp.dot(Linv.T, Linv, precision=_PRECISIONS[inv_mode])
+        Kinv = _la.syrk_tri_lower(Linv,
+                                  precision=_PRECISIONS[inv_mode])
     Wm = Kinv - alpha[:, None] * alpha[None, :]
 
     g_logvar = []
@@ -297,7 +298,7 @@ def nlml_value_grad_state(params: MFGPParams, X, fid, y,
 @partial(jax.jit, static_argnames=("kernel", "inv_mode"))
 def nlml_value_grad_state_inv(params: MFGPParams, X, fid, y,
                               kernel: str = "rbf", jitter: float = 0.0,
-                              inv_mode: str = "high"):
+                              inv_mode: str = "highest"):
     """Fast-path variant of nlml_value_grad_state returning MFGPStateInv.
 
     The gradient's K^-1 comes from the explicit inverse factor (see
@@ -398,7 +399,8 @@ def predict_blocked(params: MFGPParams, state: MFGPState, Xs, fid_s,
                                    "precision"))
 def predict_blocked_inv(params: MFGPParams, state: MFGPStateInv, Xs, fid_s,
                         kernel: str = "rbf", include_noise: bool = True,
-                        block_size: int = 1024, precision: str = "high"):
+                        block_size: int = 1024,
+                        precision: str = "highest"):
     """Blocked posterior mean/variance from an MFGPStateInv.
 
     Identical contract to predict_blocked, but the variance's triangular
@@ -422,7 +424,7 @@ def predict_blocked_inv(params: MFGPParams, state: MFGPStateInv, Xs, fid_s,
                                 params.rhos, xb, fb, state.X, state.fid,
                                 kernel)
         mean = _la.posterior_mean(Kxs, state.alpha)
-        V = jnp.dot(state.Linv, Kxs.T, precision=prec)
+        V = _la.tri_lower_matmul(state.Linv, Kxs.T, precision=prec)
         kss = jnp.sum((W[:, fb] ** 2) * params.variances[:, None], axis=0)
         var = kss - jnp.sum(V * V, axis=0)
         if include_noise:

@@ -166,6 +166,19 @@ def ar1_cov_diff(variances, lengthscales, rhos, X, fid,
     return _k.ar1_cov(X, fid, X, fid, variances, lengthscales, rhos, kernel)
 
 
+def sf_cov_diff(variance, lengthscales, X, kernel: str) -> jax.Array:
+    """Differentiable single-fidelity training covariance: the F=1 case of
+    ar1_cov_diff (shared custom VJP; rho slot empty). Serves the autodiff
+    NLML paths of models/gp and the NIGP fits."""
+    if use_pallas(X.dtype, kernel):
+        v = jnp.reshape(jnp.asarray(variance, X.dtype), (1,))
+        ls = jnp.asarray(lengthscales, X.dtype).reshape(1, -1)
+        rhos = jnp.zeros((0,), X.dtype)
+        fid = jnp.zeros((X.shape[0],), jnp.int32)
+        return _ar1_train_cov_fused(v, ls, rhos, X, fid)
+    return _k.KERNELS[kernel](X, X, variance, lengthscales)
+
+
 def sf_train_cov(variance, lengthscales, noise_diag, X,
                  kernel: str) -> jax.Array:
     """Single-fidelity training covariance + noise diagonal (forward)."""

@@ -105,10 +105,12 @@ def tri_inv_recursive(L: jax.Array, base: int = 1024,
     """Lower-triangular inverse by divide and conquer.
 
     ``inv([[A, 0], [B, C]]) = [[Ai, 0], [-Ci B Ai, Ci]]`` applied
-    recursively: log2(N/base) levels, each one pair of HALF-SIZE dense
-    matmuls — the dependency chain is O(log N) instead of O(N/block)
+    recursively: log2(N/base) levels, each one pair of HALF-SIZE matmuls —
+    the dependency chain is O(log N) instead of O(N/block)
     (tri_inv_blocked's sequential row recurrence), and the top-level
-    matmuls are (N/2)-square, exactly what the MXU wants. ~N^3/3 FLOPs.
+    matmuls are (N/2)-square, exactly what the MXU wants. Both per-level
+    products exploit the triangularity of Ai / Ci (half their dense
+    FLOPs); ~N^3/4 multiplies total.
     """
     n = L.shape[0]
     if n <= base:
@@ -116,8 +118,9 @@ def tri_inv_recursive(L: jax.Array, base: int = 1024,
     h = n // 2
     Ai = tri_inv_recursive(L[:h, :h], base, precision)
     Ci = tri_inv_recursive(L[h:, h:], base, precision)
-    BAi = jnp.dot(L[h:, :h], Ai, precision=precision)
-    lower_left = -jnp.dot(Ci, BAi, precision=precision)
+    BAi = tri_lower_matmul_right(L[h:, :h], Ai, block=base,
+                                 precision=precision)
+    lower_left = -tri_lower_matmul(Ci, BAi, block=base, precision=precision)
     top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
     bot = jnp.concatenate([lower_left, Ci], axis=1)
     return jnp.concatenate([top, bot], axis=0)
@@ -169,17 +172,76 @@ def tri_inv_blocked(L: jax.Array, block: int = 2048) -> jax.Array:
     return jnp.concatenate(full_rows, axis=0)
 
 
-def chol_inverse(L: jax.Array, block: int = 2048) -> jax.Array:
+def tri_lower_matmul(L: jax.Array, B: jax.Array, block: int = 2048,
+                     precision=_HIGHEST) -> jax.Array:
+    """``L @ B`` exploiting lower-triangular L: row block i only multiplies
+    the first (i+1) column blocks — half the dense matmul FLOPs, as a short
+    static sequence of INDEPENDENT MXU matmuls (no substitution chain)."""
+    n = L.shape[0]
+    if n <= block:
+        return jnp.dot(L, B, precision=precision)
+    nb = -(-n // block)
+    outs = []
+    for i in range(nb):
+        lo, hi = i * block, min(n, (i + 1) * block)
+        outs.append(jnp.dot(L[lo:hi, :hi], B[:hi], precision=precision))
+    return jnp.concatenate(outs, axis=0)
+
+
+def tri_lower_matmul_right(B: jax.Array, L: jax.Array, block: int = 2048,
+                           precision=_HIGHEST) -> jax.Array:
+    """``B @ L`` exploiting lower-triangular L: column block j of the
+    output only consumes B's columns >= j — half the dense FLOPs."""
+    n = L.shape[0]
+    if n <= block:
+        return jnp.dot(B, L, precision=precision)
+    nb = -(-n // block)
+    outs = []
+    for j in range(nb):
+        lo, hi = j * block, min(n, (j + 1) * block)
+        outs.append(jnp.dot(B[:, lo:], L[lo:, lo:hi], precision=precision))
+    return jnp.concatenate(outs, axis=1)
+
+
+def syrk_tri_lower(A: jax.Array, block: int = 2048,
+                   precision=_HIGHEST) -> jax.Array:
+    """``A^T A`` for lower-triangular A, exploiting structure + symmetry.
+
+    Output block (i, j) with i >= j sums only row blocks k >= i (rows above
+    are zero in both operands); the strict upper triangle is the mirrored
+    transpose. ~N^3/6 multiplies vs the dense syrk's N^3 — this is what
+    makes the explicit ``K^-1 = L^-T L^-1`` in the NLML gradient cheaper
+    than two dense-RHS triangular solves at FULL (HIGHEST) precision.
+    """
+    n = A.shape[0]
+    if n <= block:
+        return jnp.dot(A.T, A, precision=precision)
+    nb = -(-n // block)
+    blocks = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        ilo, ihi = i * block, min(n, (i + 1) * block)
+        for j in range(i + 1):
+            jlo, jhi = j * block, min(n, (j + 1) * block)
+            b = jnp.dot(A[ilo:, ilo:ihi].T, A[ilo:, jlo:jhi],
+                        precision=precision)
+            blocks[i][j] = b
+            if i != j:
+                blocks[j][i] = b.T
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in blocks], axis=0)
+
+
+def chol_inverse(L: jax.Array, block: int = 2048,
+                 precision=_HIGHEST) -> jax.Array:
     """``(L L^T)^-1`` as ``L^-T L^-1`` via the blocked triangular inverse.
 
     The trace-identity NLML gradient needs the explicit ``K^-1``
     (models/mfgp._nlml_vg_core). Two dense-RHS triangular solves cost
-    2 N^3 FLOPs of substitution; the explicit inverse is N^3/3 (tri_inv)
-    + N^3 (one symmetric matmul), all MXU-friendly — measured ~2.4x
-    faster at N=20k on one v5e chip with identical results to ~1e-6.
+    2 N^3 substitution FLOPs; this is N^3/3 (tri_inv_recursive) + N^3/3
+    (structure-aware syrk), all MXU-shaped matmuls.
     """
-    Linv = tri_inv_blocked(L, block)
-    return jnp.dot(Linv.T, Linv, precision=_HIGHEST)
+    Linv = tri_inv_recursive(L, precision=precision)
+    return syrk_tri_lower(Linv, block, precision=precision)
 
 
 def logdet_from_chol(L: jax.Array) -> jax.Array:

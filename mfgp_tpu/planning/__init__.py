@@ -8,3 +8,4 @@ from mfgp_tpu.planning.scoring import (  # noqa: F401
     MFBatchLogDetCost,
 )
 from mfgp_tpu.planning.rig import RIGPlanner, Node, PathSegment  # noqa: F401
+from mfgp_tpu.planning.rig_device import DeviceRIG  # noqa: F401

@@ -1,0 +1,370 @@
+"""Fully on-device RIG planner (ergodic-KL scoring).
+
+The host planner (planning/rig.py) keeps the graph bookkeeping in Python
+and batches only the scoring onto the device — the right split at the
+reference's scale (~100 nodes, 45 s replan budget). This module is the
+scale-up variant: the ENTIRE planning loop — sampling, expansion-ring
+nearest, steering, node merging, candidate-edge synthesis
+(primitives_device), feasibility filtering, the path-set dynamic program,
+ergodic-KL scoring, and best-path tracking — runs inside one jitted
+``lax.fori_loop`` over padded buffers. One device launch per ``plan()``;
+planner throughput is then bounded by MXU/VPU arithmetic instead of
+host-device round trips.
+
+Design notes (divergences from the host planner, all capacity-bounded
+analogues of its unbounded structures):
+
+* Path sets are a BEAM: each node keeps its top ``max_paths`` extensions
+  (ranked by score, budget as tie-break) instead of the host's unbounded
+  path list. Accepted paths live in an append-only arena so backpointer
+  chains stay valid under eviction.
+* The near-phase extends only the single closest near node per iteration
+  (the host extends every node within R).
+* Ergodic statistics are ADDITIVE over edges: each edge's unnormalized
+  time-integral of the Gaussian-sensor density over the grid is computed
+  once (trapezoid over ``samples_per_edge`` uniform-in-time points); a
+  path's statistics are the running sum — the algebraic identity the host
+  planner recomputes from scratch per candidate
+  (reference/GraceRIGV3.py:581-596 via ergodicKLDivergence.py:46-61).
+  Flooring/normalization match metrics.ergodic semantics exactly.
+
+Reference semantics retained: expansion-ring nearest ((Rd - d)^2 argmin,
+reference/GraceRIGV3.py:801), same-node merging, workspace box test,
+underwater-time feasibility filter, the -10000 sentinel below the
+budget-cutoff fraction (reference/GraceRIGV3.py:1157-1170), and
+best-by-info with lower-budget tie-break.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfgp_tpu.metrics.ergodic import gaussian_sensor
+from mfgp_tpu.planning.primitives import AgentConfig
+from mfgp_tpu.planning.primitives_device import (
+    evaluate_trajectory_device, generate_trajectory_device)
+
+SENTINEL = -10000.0
+NEG = -1e30
+
+
+@dataclass
+class DevicePlanResult:
+    info: float
+    budget: float
+    time: float
+    points: np.ndarray  # (P, 4) x, y, z, t waypoints of the best path
+    n_nodes: int
+    node_states: np.ndarray  # (n_nodes, 2)
+
+
+class DeviceRIG:
+    """One-launch RIG planner. See module docstring.
+
+    >>> planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=ws, R=3.0, Rd=2.0,
+    ...                     eid=eid, grid=grid, max_iter=40)
+    >>> result = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    """
+
+    def __init__(self, cfg: AgentConfig, *, delta: float, B: float, WS,
+                 R: float, Rd: float = 0.0, same_node_distance: float = 0.0,
+                 budget_cutoff: float = 0.9, max_iter: int = 40,
+                 eid=None, grid=None, sigma_diag=None,
+                 max_nodes: int = 64, max_paths: int = 8,
+                 samples_per_edge: int = 24, dtype=jnp.float32):
+        self.cfg = cfg
+        self.delta = float(delta)
+        self.B = float(B)
+        self.WS = np.asarray(WS, float).reshape(2, 2)
+        self.R = float(R)
+        self.Rd = float(Rd)
+        self.snd = float(same_node_distance)
+        self.budget_cutoff = float(budget_cutoff)
+        self.max_iter = int(max_iter)
+        self.max_nodes = int(max_nodes)
+        self.max_paths = int(max_paths)
+        self.S = int(samples_per_edge)
+        self.dtype = dtype
+        grid = np.asarray(grid, float)
+        self.grid = jnp.asarray(grid, dtype)
+        if sigma_diag is None:
+            sigma_diag = 0.25 * np.ones(grid.shape[1])
+        self.sigma_diag = jnp.asarray(sigma_diag, dtype)
+        p = jnp.asarray(np.asarray(eid, float).reshape(-1), dtype)
+        floor = jnp.minimum(jnp.min(jnp.where(p > 0, p, jnp.inf)),
+                            jnp.asarray(1e-15, dtype))
+        self._p = jnp.where(jnp.any(p == 0), p + floor, p)
+        self._plan_jit = jax.jit(self._plan_impl)
+
+    # -- per-edge geometry + ergodic statistics -----------------------------
+    def _edge_stats(self, prims, src_xy, dst_xy):
+        """(feasible, budget, time, q (G,), pts (S, 4)) of one edge."""
+        cfg = self.cfg
+        t_e, dist_e, tuw, wpts, budget = evaluate_trajectory_device(
+            prims, cfg)
+        # bearing from src to dst (host edge_points_to_traj_points)
+        dxy = dst_xy - src_xy
+        b = jnp.arctan2(dxy[1], dxy[0])
+        ts = jnp.linspace(0.0, t_e, self.S)
+        d = jnp.interp(ts, wpts[:, 2], wpts[:, 0])
+        z = jnp.interp(ts, wpts[:, 2], wpts[:, 1])
+        xyz = jnp.stack([src_xy[0] + d * jnp.cos(b),
+                         src_xy[1] + d * jnp.sin(b), z], axis=1)
+        # unnormalized time-integral of the sensor density per grid cell
+        dens = jax.vmap(lambda s: gaussian_sensor(xyz, s, self.sigma_diag)
+                        )(self.grid)  # (G, S)
+        dt = ts[1:] - ts[:-1]
+        w = jnp.zeros_like(ts).at[:-1].add(0.5 * dt).at[1:].add(0.5 * dt)
+        q = dens @ w
+        feasible = tuw <= cfg.underwater_time_limit
+        pts = jnp.concatenate([xyz, ts[:, None]], axis=1)
+        return feasible, budget, t_e, q, pts
+
+    def _score(self, q, T):
+        """Host _ergodic_one semantics on additive stats (floor + KL)."""
+        qn = q / jnp.maximum(T, 1e-30)
+        floor = jnp.minimum(jnp.min(jnp.where(qn > 0, qn, jnp.inf)),
+                            jnp.asarray(1e-15, self.dtype))
+        qn = jnp.where(jnp.any(qn == 0), qn + floor, qn)
+        p = qn / jnp.sum(qn)
+        r = self._p / jnp.sum(self._p)
+        return -jnp.sum(jnp.where(p > 0, p * (jnp.log(p) - jnp.log(r)),
+                                  0.0))
+
+    # -- the jitted loop -----------------------------------------------------
+    def _plan_impl(self, x0, key):
+        cfg = self.cfg
+        dt = self.dtype
+        MAXN, MAXP, E = self.max_nodes, self.max_paths, cfg.traj_count
+        G = self.grid.shape[0]
+        S = self.S
+        ARENA = 1 + 2 * self.max_iter * MAXP  # slot 0 = root trivial path
+        MAXE = 2 * self.max_iter * E
+        lo = jnp.asarray(self.WS[:, 0], dt)
+        hi = jnp.asarray(self.WS[:, 1], dt)
+
+        state = dict(
+            nodes=jnp.zeros((MAXN, 2), dt).at[0].set(jnp.asarray(x0, dt)),
+            n_nodes=jnp.asarray(1, jnp.int32),
+            # per-node beam: arena indices, -1 = empty
+            node_paths=jnp.full((MAXN, MAXP), -1, jnp.int32),
+            # arena (append-only): slot 0 is the root's trivial path
+            a_q=jnp.zeros((ARENA, G), dt),
+            a_budget=jnp.zeros((ARENA,), dt),
+            a_time=jnp.zeros((ARENA,), dt),
+            a_score=jnp.full((ARENA,), SENTINEL, dt),
+            a_prev=jnp.full((ARENA,), -1, jnp.int32),
+            a_edge=jnp.full((ARENA,), -1, jnp.int32),
+            a_node=jnp.zeros((ARENA,), jnp.int32),
+            edge_pts=jnp.zeros((MAXE, S, 4), dt),
+            best_score=jnp.asarray(NEG, dt),
+            best_budget=jnp.asarray(jnp.inf, dt),
+            best_arena=jnp.asarray(-1, jnp.int32),
+            key=key,
+        )
+        state["node_paths"] = state["node_paths"].at[0, 0].set(0)
+
+        def extend(state, src_idx, dst_xy, phase, it):
+            """Synthesize E candidate edges src->dst, run the DP update."""
+            key, k_edges = jax.random.split(state["key"])
+            state = dict(state, key=key)
+            nodes, n_nodes = state["nodes"], state["n_nodes"]
+            src_xy = nodes[src_idx]
+
+            # merge into an existing node, else allocate a new slot
+            d_all = jnp.linalg.norm(nodes - dst_xy[None, :], axis=1)
+            d_all = jnp.where(jnp.arange(MAXN) < n_nodes, d_all, jnp.inf)
+            j_min = jnp.argmin(d_all)
+            merge = d_all[j_min] < self.snd
+            have_room = n_nodes < MAXN
+            dst_idx = jnp.where(merge, j_min,
+                                jnp.where(have_room, n_nodes,
+                                          j_min)).astype(jnp.int32)
+            dst_xy = jnp.where(merge, nodes[dst_idx], dst_xy)
+            in_ws = jnp.all((dst_xy >= lo) & (dst_xy <= hi))
+            active = in_ws & (merge | have_room) & (dst_idx != src_idx)
+
+            # candidate edges: vmapped synthesis + stats
+            distance = jnp.linalg.norm(dst_xy - src_xy)
+            probs = jnp.asarray(list(cfg.leg_probs), dt)
+            ek = jax.random.split(k_edges, E + 1)
+            choices = jax.random.categorical(ek[0], jnp.log(probs),
+                                             shape=(E, cfg.num_legs))
+
+            def one_edge(k, ch):
+                prims = generate_trajectory_device(k, ch, distance, cfg,
+                                                   num_legs=cfg.num_legs)
+                return self._edge_stats(prims, src_xy, dst_xy)
+
+            feas, e_budget, e_time, e_q, e_pts = jax.vmap(one_edge)(
+                ek[1:], choices)
+            feas = feas & active
+            ebase = (2 * it + phase) * E
+            state = dict(state, edge_pts=jax.lax.dynamic_update_slice(
+                state["edge_pts"], e_pts, (ebase, 0, 0)))
+
+            # DP: extend every source path slot by every feasible edge
+            src_slots = state["node_paths"][src_idx]  # (MAXP,) arena idx
+            src_valid = src_slots >= 0
+            sb = state["a_budget"][src_slots]
+            st = state["a_time"][src_slots]
+            sq = state["a_q"][src_slots]
+            xb = sb[:, None] + e_budget[None, :]  # (MAXP, E)
+            xt = st[:, None] + e_time[None, :]
+            ok = (src_valid[:, None] & feas[None, :]
+                  & (xb < self.B))
+            xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, G, E)
+            xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, G)
+            xb = xb.reshape(-1)
+            xt = xt.reshape(-1)
+            ok = ok.reshape(-1)
+            scored = ok & (xb > self.budget_cutoff * self.B)
+            scores = jax.vmap(self._score)(xq, xt)
+            scores = jnp.where(scored, scores,
+                               jnp.where(ok, SENTINEL, NEG))
+
+            # beam: top-MAXP new extensions -> arena block for this phase
+            # (infeasible entries can carry NaNs from masked-out synthesis
+            # branches — force them below every real key)
+            key_rank = jnp.where(ok, scores - 1e-6 * xb, NEG)
+            top = jax.lax.top_k(key_rank, MAXP)[1]
+            abase = 1 + (2 * it + phase) * MAXP
+            sel_ok = ok[top]
+            prev = src_slots[top // E]
+            edge_ids = ebase + (top % E)
+            state = dict(
+                state,
+                a_q=jax.lax.dynamic_update_slice(
+                    state["a_q"], xq[top], (abase, 0)),
+                a_budget=jax.lax.dynamic_update_slice(
+                    state["a_budget"], xb[top], (abase,)),
+                a_time=jax.lax.dynamic_update_slice(
+                    state["a_time"], xt[top], (abase,)),
+                a_score=jax.lax.dynamic_update_slice(
+                    state["a_score"], jnp.where(sel_ok, scores[top], NEG),
+                    (abase,)),
+                a_prev=jax.lax.dynamic_update_slice(
+                    state["a_prev"],
+                    jnp.where(sel_ok, prev, -1).astype(jnp.int32),
+                    (abase,)),
+                a_edge=jax.lax.dynamic_update_slice(
+                    state["a_edge"],
+                    jnp.where(sel_ok, edge_ids, -1).astype(jnp.int32),
+                    (abase,)),
+                a_node=jax.lax.dynamic_update_slice(
+                    state["a_node"],
+                    jnp.where(sel_ok, dst_idx, 0).astype(jnp.int32),
+                    (abase,)),
+            )
+
+            # merge the new block into dst's beam
+            new_idx = (abase + jnp.arange(MAXP)).astype(jnp.int32)
+            new_idx = jnp.where(sel_ok, new_idx, -1)
+            old_idx = state["node_paths"][dst_idx]
+            cand = jnp.concatenate([old_idx, new_idx])
+            ck = jnp.where(cand >= 0,
+                           state["a_score"][cand]
+                           - 1e-6 * state["a_budget"][cand], NEG)
+            keep = jax.lax.top_k(ck, MAXP)[1]
+            beam = jnp.where(ck[keep] > NEG, cand[keep], -1).astype(jnp.int32)
+            admitted = jnp.any(beam >= 0) & active
+            state = dict(
+                state,
+                node_paths=state["node_paths"].at[dst_idx].set(
+                    jnp.where(active, beam, old_idx)),
+                nodes=state["nodes"].at[dst_idx].set(
+                    jnp.where(active, dst_xy, state["nodes"][dst_idx])),
+                n_nodes=jnp.where(admitted & ~merge & have_room,
+                                  n_nodes + 1, n_nodes).astype(jnp.int32),
+            )
+
+            # global best (scored extensions only; lower budget tie-break).
+            # the best SCORED extension always ranks inside the arena block
+            # (sentinel/NEG entries sort below every real score), so its
+            # arena index is abase + its position within the block.
+            blk_scores = jnp.where(scored[top] & sel_ok, scores[top], NEG)
+            blk_budget = xb[top]
+            pos = jnp.argmax(blk_scores - 1e-9 * blk_budget)
+            cand_s, cand_b = blk_scores[pos], blk_budget[pos]
+            better = ((cand_s > state["best_score"])
+                      | ((cand_s == state["best_score"])
+                         & (cand_b < state["best_budget"])))
+            better = better & (cand_s > NEG)
+            state = dict(
+                state,
+                best_score=jnp.where(better, cand_s, state["best_score"]),
+                best_budget=jnp.where(better, cand_b,
+                                      state["best_budget"]),
+                best_arena=jnp.where(better, abase + pos,
+                                     state["best_arena"]).astype(jnp.int32),
+            )
+            return state
+
+        def body(it, state):
+            key, k1 = jax.random.split(state["key"])
+            state = dict(state, key=key)
+            xsamp = lo + (hi - lo) * jax.random.uniform(k1, (2,), dt)
+            nodes, n_nodes = state["nodes"], state["n_nodes"]
+            d = jnp.linalg.norm(nodes - xsamp[None, :], axis=1)
+            valid = jnp.arange(MAXN) < n_nodes
+            ring = jnp.where(valid, (self.Rd - d) ** 2, jnp.inf)
+            i_near = jnp.argmin(ring)
+            # steer
+            v = xsamp - nodes[i_near]
+            dist = jnp.linalg.norm(v)
+            step = jnp.minimum(dist, self.delta)
+            xfeas = nodes[i_near] + jnp.where(dist > 0, step / dist, 0.0) * v
+            state = extend(state, i_near, xfeas, 0, it)
+            # near phase: closest OTHER node within R steers toward xfeas
+            d2 = jnp.linalg.norm(state["nodes"] - xfeas[None, :], axis=1)
+            d2 = jnp.where((jnp.arange(MAXN) < state["n_nodes"])
+                           & (jnp.arange(MAXN) != i_near), d2, jnp.inf)
+            j = jnp.argmin(d2)
+            has_near = d2[j] <= self.R
+            v2 = xfeas - state["nodes"][j]
+            dist2 = jnp.linalg.norm(v2)
+            step2 = jnp.minimum(dist2, self.delta)
+            x2 = state["nodes"][j] + jnp.where(dist2 > 0, step2 / dist2,
+                                               0.0) * v2
+            x2 = jnp.where(has_near, x2, lo - 1.0)  # out of WS -> inactive
+            state = extend(state, j, x2, 1, it)
+            return state
+
+        state = jax.lax.fori_loop(0, self.max_iter, body, state)
+        return state
+
+    def plan(self, x0, key) -> DevicePlanResult:
+        """Run the on-device loop, extract the best path on host."""
+        st = self._plan_jit(jnp.asarray(np.asarray(x0, float).reshape(-1),
+                                        self.dtype), key)
+        best = int(st["best_arena"])
+        n_nodes = int(st["n_nodes"])
+        nodes = np.asarray(st["nodes"])[:n_nodes]
+        if best < 0:
+            return DevicePlanResult(-np.inf, 0.0, 0.0, np.zeros((0, 4)),
+                                    n_nodes, nodes)
+        a_prev = np.asarray(st["a_prev"])
+        a_edge = np.asarray(st["a_edge"])
+        edge_pts = np.asarray(st["edge_pts"])
+        chain = []
+        i = best
+        while i > 0:
+            chain.append(int(a_edge[i]))
+            i = int(a_prev[i])
+        chain.reverse()
+        rows, t_off = [], 0.0
+        for e in chain:
+            pts = edge_pts[e].copy()
+            pts[:, 3] += t_off
+            t_off = pts[-1, 3]
+            rows.append(pts)
+        points = np.concatenate(rows, axis=0) if rows else np.zeros((0, 4))
+        return DevicePlanResult(
+            float(st["best_score"]), float(st["a_budget"][best]),
+            float(st["a_time"][best]), points, n_nodes, nodes)

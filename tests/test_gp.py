@@ -178,3 +178,32 @@ def test_gp_value_grad_state_shares_factorization(rng):
     v2, g2 = g.nlml_value_and_grad(p, jnp.asarray(X), jnp.asarray(y),
                                    jitter=1e-8)
     np.testing.assert_allclose(float(v), float(v2), rtol=1e-14)
+
+
+def test_gp_inv_state_path_matches_standard(rng):
+    """GP explicit-inverse fast path (nlml_value_grad_state_inv +
+    predict_blocked_inv) matches the substitution path at f64."""
+    import jax
+
+    from mfgp_tpu.models import gp as gpm
+
+    N, D, M = 50, 3, 23
+    X = rng.normal(size=(N, D))
+    y = np.sin(X.sum(axis=1))
+    grid = rng.normal(size=(M, D))
+    params = gpm.GPParams.default(D, jnp.float64)
+    v0, g0, s0 = gpm.nlml_value_grad_state(params, jnp.asarray(X),
+                                           jnp.asarray(y), jitter=1e-10)
+    v1, g1, s1 = gpm.nlml_value_grad_state_inv(params, jnp.asarray(X),
+                                               jnp.asarray(y), jitter=1e-10)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-8, atol=1e-10)
+    mu0, var0 = gpm.predict_blocked(params, s0, jnp.asarray(grid),
+                                    block_size=8)
+    mu1, var1 = gpm.predict_blocked_inv(params, s1, jnp.asarray(grid),
+                                        block_size=8)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu0), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var0),
+                               rtol=1e-8, atol=1e-10)

@@ -117,3 +117,36 @@ def test_tri_inv_blocked_matches_dense(rng):
         Sinv = np.asarray(chol_inverse(jnp.asarray(L), block=b))
         np.testing.assert_allclose(Sinv, np.linalg.inv(S),
                                    rtol=1e-7, atol=1e-9)
+
+
+def test_structure_aware_triangular_kernels(rng):
+    """tri_inv_recursive / tri_lower_matmul(+right) / syrk_tri_lower /
+    chol_inverse: the structure-aware MXU kernels behind the bench's
+    explicit-inverse fast path, vs dense references."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops.linalg import (chol, chol_inverse, syrk_tri_lower,
+                                     tri_inv_recursive, tri_lower_matmul,
+                                     tri_lower_matmul_right)
+
+    for n in (96, 250):  # even and ragged vs the block sizes below
+        A = rng.normal(size=(n, n))
+        S = A @ A.T + n * np.eye(n)
+        L = np.asarray(chol(jnp.asarray(S)))
+        Linv = np.asarray(tri_inv_recursive(jnp.asarray(L), base=32))
+        np.testing.assert_allclose(Linv, np.linalg.inv(L), rtol=1e-8,
+                                   atol=1e-10)
+        B = rng.normal(size=(n, 13))
+        np.testing.assert_allclose(
+            np.asarray(tri_lower_matmul(jnp.asarray(L), jnp.asarray(B),
+                                        block=32)), L @ B, rtol=1e-10)
+        C = rng.normal(size=(7, n))
+        np.testing.assert_allclose(
+            np.asarray(tri_lower_matmul_right(jnp.asarray(C),
+                                              jnp.asarray(L), block=32)),
+            C @ L, rtol=1e-10)
+        K1 = np.asarray(syrk_tri_lower(jnp.asarray(Linv), block=32))
+        np.testing.assert_allclose(K1, Linv.T @ Linv, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(
+            np.asarray(chol_inverse(jnp.asarray(L), block=32)),
+            np.linalg.inv(S), rtol=1e-7, atol=1e-9)

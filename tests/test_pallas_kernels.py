@@ -146,3 +146,31 @@ def test_ar1_custom_vjp_gradients_match_autodiff(rng):
         np.asarray(cov._ar1_train_cov_fused(v, ls, rhos, X, fid)),
         np.asarray(_k.ar1_cov(X, fid, X, fid, v, ls, rhos, "rbf")),
         rtol=1e-5, atol=1e-5)
+
+
+def test_sf_cov_diff_gradients(rng, monkeypatch):
+    """Single-fidelity custom-VJP path (F=1 reuse) matches autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfgp_tpu.ops import covariance as cov
+    from mfgp_tpu.ops import kernels as _k
+
+    X = jnp.asarray(rng.normal(size=(19, 3)), jnp.float32)
+    R = jnp.asarray(rng.normal(size=(19, 19)), jnp.float32)
+    ls = jnp.asarray([1.1, 0.9, 1.4], jnp.float32)
+
+    # force the fused branch off-TPU (interpret mode handles execution)
+    monkeypatch.setattr(cov, "use_pallas", lambda *a: True)
+
+    def loss_fused(v, ls):
+        return jnp.sum(R * cov.sf_cov_diff(v, ls, X, "rbf"))
+
+    def loss_xla(v, ls):
+        return jnp.sum(R * _k.KERNELS["rbf"](X, X, v, ls))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(jnp.float32(1.7), ls)
+    g2 = jax.grad(loss_xla, argnums=(0, 1))(jnp.float32(1.7), ls)
+    np.testing.assert_allclose(float(g1[0]), float(g2[0]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]).reshape(-1),
+                               np.asarray(g2[1]), rtol=2e-4, atol=2e-4)

@@ -1,0 +1,74 @@
+"""Fully on-device RIG planner (planning/rig_device)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfgp_tpu.metrics.eid import eid_grid
+from mfgp_tpu.planning.primitives import AgentConfig
+from mfgp_tpu.planning.rig_device import DeviceRIG
+from mfgp_tpu.planning.scoring import ErgodicCost
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = AgentConfig.sim_defaults()
+    cfg.traj_count = 8
+    WS = np.array([[0.0, 10.0], [0.0, 20.0]])
+    grid = np.asarray(eid_grid([[0, 10], [0, 20]], 5.0))
+    rng = np.random.default_rng(0)
+    eid = rng.random(grid.shape[0])
+    eid = eid / eid.sum()
+    planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=16, eid=eid, grid=grid, max_nodes=48,
+                        max_paths=6)
+    return cfg, WS, grid, eid, planner
+
+
+def test_device_plan_finds_feasible_best(setup):
+    cfg, WS, grid, eid, planner = setup
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    assert res.n_nodes > 1
+    assert np.isfinite(res.info)
+    assert 0.5 * 20.0 < res.budget < 20.0  # scored => above cutoff, < B
+    assert res.points.shape[0] > 0 and res.points.shape[1] == 4
+    # waypoints inside the workspace (xy) and start at the root
+    np.testing.assert_allclose(res.points[0, :2], [1.0, 1.0], atol=1e-5)
+    # time strictly increasing along the stitched path
+    assert np.all(np.diff(res.points[:, 3]) >= -1e-6)
+
+
+def test_device_plan_deterministic(setup):
+    _, _, _, _, planner = setup
+    r1 = planner.plan(np.array([1.0, 1.0]), jax.random.key(3))
+    r2 = planner.plan(np.array([1.0, 1.0]), jax.random.key(3))
+    assert r1.info == r2.info and r1.budget == r2.budget
+    np.testing.assert_array_equal(r1.points, r2.points)
+
+
+def test_device_score_matches_host_cost(setup):
+    """The additive-statistics ergodic score equals the host ErgodicCost
+    evaluated on the SAME extracted waypoints (same trapezoid math,
+    per-edge decomposition is exact)."""
+    cfg, WS, grid, eid, planner = setup
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(1))
+    assert res.points.shape[0] > 0
+    cost = ErgodicCost(eid=eid, grid=grid)
+    pts = np.column_stack([res.points[:, :3], res.points[:, 3]])
+    host_score = cost(pts)
+    # f32 device stats vs f64 host on identical points; the additive
+    # decomposition itself is exact, tolerance covers dtype + the
+    # duplicated junction sample (zero-length trapezoid interval)
+    np.testing.assert_allclose(res.info, host_score, rtol=5e-3, atol=5e-3)
+
+
+def test_device_plan_no_feasible_when_budget_zero(setup):
+    cfg, WS, grid, eid, _ = setup
+    planner = DeviceRIG(cfg, delta=2.0, B=1e-6, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=4, eid=eid, grid=grid, max_nodes=16,
+                        max_paths=4)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    assert res.points.shape[0] == 0 and res.info == -np.inf
