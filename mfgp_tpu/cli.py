@@ -136,7 +136,8 @@ def cmd_explore(args):
                            ergodic=variant in ("MFEGP", "SFEGP"),
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
-                         plan_iters=args.plan_iters, flight=args.flight)
+                         plan_iters=args.plan_iters, flight=args.flight,
+                         planner_backend=args.planner)
     if variant == "MANUAL":
         if args.waypoints:
             wp = np.loadtxt(args.waypoints, delimiter=",", ndmin=2)[:, :3]
@@ -293,6 +294,9 @@ def build_parser():
     p.add_argument("--plan-iters", type=int, default=40)
     p.add_argument("--checkpoint", help="write a checkpoint after each replan")
     p.add_argument("--resume-from", help="resume from a checkpoint file")
+    p.add_argument("--planner", default="host", choices=["host", "device"],
+                   help="device = whole RIG loop as one jitted launch "
+                        "(ergodic variants, kinematic flight)")
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")

@@ -96,10 +96,11 @@ class DeviceRIG:
         if sigma_diag is None:
             sigma_diag = 0.25 * np.ones(grid.shape[1])
         self.sigma_diag = jnp.asarray(sigma_diag, dtype)
-        p = jnp.asarray(np.asarray(eid, float).reshape(-1), dtype)
-        floor = jnp.minimum(jnp.min(jnp.where(p > 0, p, jnp.inf)),
-                            jnp.asarray(1e-15, dtype))
-        self._p = jnp.where(jnp.any(p == 0), p + floor, p)
+        self._eid = (None if eid is None
+                     else jnp.asarray(np.asarray(eid, float).reshape(-1),
+                                      dtype))
+        # B and the EID are TRACED arguments: one compiled plan() serves
+        # every replan (varying budget tranche + refreshed EID)
         self._plan_jit = jax.jit(self._plan_impl)
 
     # -- per-edge geometry + ergodic statistics -----------------------------
@@ -126,21 +127,25 @@ class DeviceRIG:
         pts = jnp.concatenate([xyz, ts[:, None]], axis=1)
         return feasible, budget, t_e, q, pts
 
-    def _score(self, q, T):
-        """Host _ergodic_one semantics on additive stats (floor + KL)."""
+    def _score(self, q, T, r):
+        """Host _ergodic_one semantics on additive stats (floor + KL);
+        ``r`` is the pre-floored, normalized EID."""
         qn = q / jnp.maximum(T, 1e-30)
         floor = jnp.minimum(jnp.min(jnp.where(qn > 0, qn, jnp.inf)),
                             jnp.asarray(1e-15, self.dtype))
         qn = jnp.where(jnp.any(qn == 0), qn + floor, qn)
         p = qn / jnp.sum(qn)
-        r = self._p / jnp.sum(self._p)
         return -jnp.sum(jnp.where(p > 0, p * (jnp.log(p) - jnp.log(r)),
                                   0.0))
 
     # -- the jitted loop -----------------------------------------------------
-    def _plan_impl(self, x0, key):
+    def _plan_impl(self, x0, key, B, eid):
         cfg = self.cfg
         dt = self.dtype
+        floor = jnp.minimum(jnp.min(jnp.where(eid > 0, eid, jnp.inf)),
+                            jnp.asarray(1e-15, dt))
+        p_eid = jnp.where(jnp.any(eid == 0), eid + floor, eid)
+        p_eid = p_eid / jnp.sum(p_eid)
         MAXN, MAXP, E = self.max_nodes, self.max_paths, cfg.traj_count
         G = self.grid.shape[0]
         S = self.S
@@ -218,14 +223,14 @@ class DeviceRIG:
             xb = sb[:, None] + e_budget[None, :]  # (MAXP, E)
             xt = st[:, None] + e_time[None, :]
             ok = (src_valid[:, None] & feas[None, :]
-                  & (xb < self.B))
+                  & (xb < B))
             xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, G, E)
             xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, G)
             xb = xb.reshape(-1)
             xt = xt.reshape(-1)
             ok = ok.reshape(-1)
-            scored = ok & (xb > self.budget_cutoff * self.B)
-            scores = jax.vmap(self._score)(xq, xt)
+            scored = ok & (xb > self.budget_cutoff * B)
+            scores = jax.vmap(lambda q, T: self._score(q, T, p_eid))(xq, xt)
             scores = jnp.where(scored, scores,
                                jnp.where(ok, SENTINEL, NEG))
 
@@ -339,10 +344,19 @@ class DeviceRIG:
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         return state
 
-    def plan(self, x0, key) -> DevicePlanResult:
-        """Run the on-device loop, extract the best path on host."""
+    def plan(self, x0, key, B=None, eid=None) -> DevicePlanResult:
+        """Run the on-device loop, extract the best path on host.
+
+        ``B`` (budget) and ``eid`` override the constructor defaults
+        WITHOUT recompiling — they are traced arguments, so one compiled
+        executable serves every replan of an exploration run."""
+        eid_arr = (self._eid if eid is None
+                   else jnp.asarray(np.asarray(eid, float).reshape(-1),
+                                    self.dtype))
         st = self._plan_jit(jnp.asarray(np.asarray(x0, float).reshape(-1),
-                                        self.dtype), key)
+                                        self.dtype), key,
+                            jnp.asarray(B if B is not None else self.B,
+                                        self.dtype), eid_arr)
         best = int(st["best_arena"])
         n_nodes = int(st["n_nodes"])
         nodes = np.asarray(st["nodes"])[:n_nodes]
@@ -368,3 +382,42 @@ class DeviceRIG:
         return DevicePlanResult(
             float(st["best_score"]), float(st["a_budget"][best]),
             float(st["a_time"][best]), points, n_nodes, nodes)
+
+
+class DeviceRIGAdapter:
+    """Drop-in shim exposing the host RIGPlanner's sim-facing surface
+    (``plan(x0)`` / ``best_path_points`` / ``graph_summary``) over a
+    DeviceRIG, so ``sim.ExplorationSim(planner_backend="device")`` swaps
+    the whole planning loop onto the device without touching the sim.
+    One instance serves every replan: budget tranche, EID, and seed are
+    per-plan arguments, not compile-time constants."""
+
+    def __init__(self, seed: int = 0, **kw):
+        self._planner = DeviceRIG(**kw)
+        self._seed = seed
+        self._res: Optional[DevicePlanResult] = None
+
+    def plan(self, x0, seed: int | None = None, B=None, eid=None):
+        key = jax.random.key(self._seed if seed is None else seed)
+        self._res = self._planner.plan(np.asarray(x0, float).reshape(-1),
+                                       key, B=B, eid=eid)
+        r = self._res
+
+        class _Best:
+            info = r.info
+            budget = r.budget
+            segments = r.points if r.points.shape[0] else None
+
+        return _Best()
+
+    def best_path_points(self, dense: bool = True):
+        if self._res is None or self._res.points.shape[0] == 0:
+            return None
+        return self._res.points  # (P, 4) x, y, z, t — the sim's schema
+
+    def graph_summary(self):
+        return {"nodes": self._res.n_nodes if self._res else 0,
+                "edges": 2 * self._planner.max_iter
+                * self._planner.cfg.traj_count,
+                "best_info": self._res.info if self._res else -np.inf,
+                "best_budget": self._res.budget if self._res else 0.0}

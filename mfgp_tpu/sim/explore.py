@@ -83,7 +83,8 @@ class ExplorationSim:
     def __init__(self, exp: ExperimentConfig | None = None, seed: int = 0,
                  field_env: Optional[WRBFField] = None,
                  out_dir: Optional[str] = None, plan_iters: int = 40,
-                 flight: str = "kinematic", runtime_cfg=None):
+                 flight: str = "kinematic", runtime_cfg=None,
+                 planner_backend: str = "host"):
         self.exp = exp or ExperimentConfig()
         self.cfg: SimConfig = self.exp.sim
         self.seed = seed
@@ -102,6 +103,17 @@ class ExplorationSim:
         if flight not in ("kinematic", "dynamic"):
             raise ValueError(flight)
         self.flight = flight
+        # planner_backend="device": the whole RIG loop runs as ONE jitted
+        # device launch (planning.rig_device) — ergodic-KL variants only;
+        # dynamic flight needs the host planner's primitive graph.
+        if planner_backend not in ("host", "device"):
+            raise ValueError(planner_backend)
+        if planner_backend == "device" and (flight == "dynamic"
+                                            or not self.exp.ergodic):
+            raise ValueError("device planner supports ergodic scoring with "
+                             "kinematic flight")
+        self.planner_backend = planner_backend
+        self._device_planner = None
         self._runtime_cfg = runtime_cfg
         self._runtime = None
         # grid the EID / replanning posterior is evaluated on
@@ -302,17 +314,36 @@ class ExplorationSim:
         while plan_num < max_replans and (B - planned_budget) > 0.5 * B / BD:
             tranche = min(B / BD, B - planned_budget)
             eid = self._eid(model)
-            cost = self._make_cost(model, eid)
-            planner = RIGPlanner(
-                cfg=self.agent_cfg, delta=cfg.step_size, B=tranche,
-                WS=np.asarray(cfg.WS, float), R=cfg.near_rad, Rd=cfg.Rd,
-                same_node_distance=cfg.same_node_distance,
-                budget_cutoff=0.9, max_iter=self.plan_iters,
-                wallclock_limit=exp.plan_wallclock,
-                seed=self.seed + plan_num, cost=cost,
-                env=lambda pts: np.asarray(self.field(jnp.asarray(pts))),
-            )
-            best = planner.plan(x0)
+            if self.planner_backend == "device":
+                from mfgp_tpu.planning.rig_device import DeviceRIGAdapter
+
+                if self._device_planner is None:
+                    # ONE compiled planner serves every replan (B/EID/seed
+                    # are traced per-plan arguments)
+                    self._device_planner = DeviceRIGAdapter(
+                        cfg=self.agent_cfg, delta=cfg.step_size, B=exp.B,
+                        WS=np.asarray(cfg.WS, float), R=cfg.near_rad,
+                        Rd=cfg.Rd,
+                        same_node_distance=cfg.same_node_distance,
+                        budget_cutoff=0.9, max_iter=self.plan_iters,
+                        grid=self.grid)
+                planner = self._device_planner
+            else:
+                cost = self._make_cost(model, eid)
+                planner = RIGPlanner(
+                    cfg=self.agent_cfg, delta=cfg.step_size, B=tranche,
+                    WS=np.asarray(cfg.WS, float), R=cfg.near_rad, Rd=cfg.Rd,
+                    same_node_distance=cfg.same_node_distance,
+                    budget_cutoff=0.9, max_iter=self.plan_iters,
+                    wallclock_limit=exp.plan_wallclock,
+                    seed=self.seed + plan_num, cost=cost,
+                    env=lambda pts: np.asarray(self.field(jnp.asarray(pts))),
+                )
+            if self.planner_backend == "device":
+                best = planner.plan(x0, seed=self.seed + plan_num,
+                                    B=tranche, eid=eid)
+            else:
+                best = planner.plan(x0)
             pts = planner.best_path_points(dense=True)
             if pts is None or best.segments is None:
                 break

@@ -72,3 +72,28 @@ def test_device_plan_no_feasible_when_budget_zero(setup):
                         max_paths=4)
     res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
     assert res.points.shape[0] == 0 and res.info == -np.inf
+
+
+def test_sim_device_planner_backend():
+    """ExplorationSim(planner_backend="device"): the closed loop runs with
+    the one-launch planner, gathers data within budget, and reuses ONE
+    compiled executable across replans (B/EID are traced arguments)."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    # the device planner explores less per iteration than the host (single
+    # near-node phase, beam-capped path sets), so give it more iterations —
+    # device iterations are what it makes cheap
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=True, B=16, BD=2)
+    sim = ExplorationSim(exp, seed=0, plan_iters=32,
+                         planner_backend="device")
+    res = sim.run()
+    assert res.budget_used <= 16.0 + 1e-6
+    assert len(res.replans) >= 1
+    assert res.gp_data.data.shape[0] > 0
+    if len(res.replans) > 1:  # second replan hit the jit cache
+        assert sim._device_planner is not None
+
+    with pytest.raises(ValueError):
+        ExplorationSim(ExperimentConfig(ergodic=False), seed=0,
+                       planner_backend="device")
