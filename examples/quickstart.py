@@ -101,9 +101,53 @@ def example_sharded():
           round(float(np.min(np.asarray(losses))), 2))
 
 
+# 6. One-launch on-device planner (planning/rig_device) ---------------------
+def example_device_planner():
+    import jax
+
+    from mfgp_tpu.metrics.eid import eid_grid
+    from mfgp_tpu.planning.primitives import AgentConfig
+    from mfgp_tpu.planning.rig_device import DeviceRIG
+
+    grid = np.asarray(eid_grid([[0, 10], [0, 20]], 5.0))
+    eid = np.ones(grid.shape[0]) / grid.shape[0]
+    planner = DeviceRIG(AgentConfig.sim_defaults(), delta=2.0, B=20.0,
+                        WS=[[0, 10], [0, 20]], R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=24, eid=eid, grid=grid)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    print("device planner:", res.n_nodes, "nodes, best info",
+          round(res.info, 3), "budget", round(res.budget, 2))
+
+
+# 7. Serving: batched HTTP posterior queries, multi-model routing ------------
+def example_serving():
+    import json
+    import http.client
+    import threading
+
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.serve import ModelRouter, ModelServer, make_http_server
+
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 10, (30, 3))
+    router = ModelRouter({"sin": ModelServer(GP(X, np.sin(X[:, 0]),
+                                                jitter=1e-8))})
+    srv = make_http_server(router, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    conn = http.client.HTTPConnection(*srv.server_address)
+    conn.request("POST", "/models/sin/predict",
+                 body=json.dumps({"points": X[:2].tolist()}))
+    print("serving:", conn.getresponse().status,
+          "(concurrent requests coalesce into one device launch)")
+    srv.shutdown()
+
+
 if __name__ == "__main__":
     example_sfgp()
     example_mfgp()
     example_pipeline()
     example_explore()
     example_sharded()
+    example_device_planner()
+    example_serving()
