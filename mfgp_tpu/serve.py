@@ -202,6 +202,15 @@ class ModelServer:
         if pts.size == 0:
             raise ValueError("no points")
         if route == "/predict":
+            if payload.get("full_cov", False):
+                # full covariance bypasses the batching queue (row-slice
+                # splitting does not compose across requests)
+                with self._lock:
+                    mu, cov = self.model.predict(
+                        np.atleast_2d(pts), full_cov=True,
+                        include_noise=payload.get("include_noise", True))
+                return {"mean": np.asarray(mu).reshape(-1).tolist(),
+                        "cov": np.asarray(cov).tolist()}
             mu, var = self._predict(
                 pts, include_noise=payload.get("include_noise", True))
             return {"mean": mu.tolist(), "var": var.tolist()}

@@ -149,3 +149,18 @@ def test_server_from_checkpoint(tmp_path, rng_module):
     out = srv.handle("/predict", {"points": X[:3].tolist()})
     np.testing.assert_allclose(out["mean"],
                                np.asarray(gp.predict(X[:3])[0]), rtol=1e-6)
+
+
+def test_predict_full_cov(server_addr, rng_module):
+    pts = rng_module.uniform(0, 10, (5, 3)).tolist()
+    code, out = _req(server_addr, "POST", "/predict",
+                     {"points": pts, "full_cov": True})
+    assert code == 200
+    cov = np.asarray(out["cov"])
+    assert cov.shape == (5, 5)
+    # SPD-ish: symmetric with positive diagonal
+    np.testing.assert_allclose(cov, cov.T, rtol=1e-8, atol=1e-10)
+    assert np.all(np.diag(cov) > 0)
+    # marginals equal the var route
+    code, out2 = _req(server_addr, "POST", "/predict", {"points": pts})
+    np.testing.assert_allclose(np.diag(cov), out2["var"], rtol=1e-6)
