@@ -174,6 +174,11 @@ class DeviceRIG:
             key=key,
         )
         state["node_paths"] = state["node_paths"].at[0, 0].set(0)
+        # the root's trivial path must never be evicted from node 0's beam
+        # (every path starts by extending it): give it a beam-ranking score
+        # above any real one (ergodic scores are -KL <= 0; never read as a
+        # best-path candidate, which only considers scored extensions)
+        state["a_score"] = state["a_score"].at[0].set(1.0)
 
         def extend(state, src_idx, dst_xy, phase, it):
             """Synthesize E candidate edges src->dst, run the DP update."""
@@ -293,9 +298,14 @@ class DeviceRIG:
             # the best SCORED extension always ranks inside the arena block
             # (sentinel/NEG entries sort below every real score), so its
             # arena index is abase + its position within the block.
-            blk_scores = jnp.where(scored[top] & sel_ok, scores[top], NEG)
+            blk_mask = scored[top] & sel_ok
+            blk_scores = jnp.where(blk_mask, scores[top], NEG)
             blk_budget = xb[top]
-            pos = jnp.argmax(blk_scores - 1e-9 * blk_budget)
+            # mask the key too: budgets of infeasible rows can be NaN, and
+            # argmax treats NaN as maximal
+            blk_key = jnp.where(blk_mask, blk_scores - 1e-9 * blk_budget,
+                                NEG)
+            pos = jnp.argmax(blk_key)
             cand_s, cand_b = blk_scores[pos], blk_budget[pos]
             better = ((cand_s > state["best_score"])
                       | ((cand_s == state["best_score"])
