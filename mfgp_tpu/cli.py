@@ -228,8 +228,13 @@ def cmd_serve(args):
     _cpu(args)
     from mfgp_tpu.serve import serve_checkpoint, serve_checkpoints
 
-    if all("=" in c for c in args.checkpoint) and len(args.checkpoint) >= 1 \
-            and "=" in args.checkpoint[0]:
+    def is_pair(c):
+        # name=path where the name is a bare identifier — a lone path that
+        # merely CONTAINS '=' (e.g. /data/run=3/ck.npz) is not a pair
+        name, sep, _ = c.partition("=")
+        return bool(sep) and name.isidentifier()
+
+    if all(is_pair(c) for c in args.checkpoint):
         paths = dict(c.split("=", 1) for c in args.checkpoint)
         serve_checkpoints(paths, host=args.host, port=args.port)
     else:

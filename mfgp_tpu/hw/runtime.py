@@ -414,7 +414,7 @@ class RobotRuntime:
                 # compares radians to 573; here the gate does what was
                 # intended — exclude swim legs and large tail transients.
                 use_vel = (not np.isnan(self.vb_est).any()
-                           and ddelta < math.radians(45)
+                           and abs(ddelta) < math.radians(45)
                            and (prim is None or prim[0] != Leg.SWIM))
             else:
                 vel_obs = np.zeros((3, 1))

@@ -106,9 +106,9 @@ def tri_inv_recursive(L: jax.Array, base: int = 1024,
 
     ``inv([[A, 0], [B, C]]) = [[Ai, 0], [-Ci B Ai, Ci]]`` applied
     recursively: log2(N/base) levels, each one pair of HALF-SIZE matmuls —
-    the dependency chain is O(log N) instead of O(N/block)
-    (tri_inv_blocked's sequential row recurrence), and the top-level
-    matmuls are (N/2)-square, exactly what the MXU wants. Both per-level
+    the dependency chain is O(log N) instead of a sequential O(N/block)
+    row recurrence, and the top-level matmuls are (N/2)-square, exactly
+    what the MXU wants. Both per-level
     products exploit the triangularity of Ai / Ci (half their dense
     FLOPs); ~N^3/4 multiplies total.
     """
@@ -124,52 +124,6 @@ def tri_inv_recursive(L: jax.Array, base: int = 1024,
     top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
     bot = jnp.concatenate([lower_left, Ci], axis=1)
     return jnp.concatenate([top, bot], axis=0)
-
-
-def tri_inv_blocked(L: jax.Array, block: int = 2048) -> jax.Array:
-    """Explicit inverse of a lower-triangular matrix, blocked.
-
-    ``M = L^-1`` via the block recurrence ``M_ii = L_ii^-1``,
-    ``M_ij = -L_ii^-1 (sum_{j<=k<i} L_ik M_kj)`` — N/b small dense
-    inversions plus MXU matmuls, ~N^3/3 FLOPs total. Feeds
-    ``chol_inverse`` (see there for why this beats triangular solves
-    against identity on TPU).
-    """
-    n = L.shape[0]
-    if n <= block:
-        return tri_solve(L, jnp.eye(n, dtype=L.dtype))
-    nb = -(-n // block)
-    bounds = [(i * block, min(n, (i + 1) * block)) for i in range(nb)]
-    eye = jnp.eye(block, dtype=L.dtype)
-    inv_diag = [
-        tri_solve(L[lo:hi, lo:hi], eye[: hi - lo, : hi - lo])
-        for lo, hi in bounds
-    ]
-    rows = [[None] * nb for _ in range(nb)]
-    for i in range(nb):
-        ilo, ihi = bounds[i]
-        rows[i][i] = inv_diag[i]
-        for j in range(i):
-            acc = None
-            for k in range(j, i):
-                klo, khi = bounds[k]
-                term = jnp.dot(L[ilo:ihi, klo:khi], rows[k][j],
-                               precision=_HIGHEST)
-                acc = term if acc is None else acc + term
-            rows[i][j] = -jnp.dot(inv_diag[i], acc, precision=_HIGHEST)
-    zero = jnp.zeros((block, block), L.dtype)
-    full_rows = []
-    for i in range(nb):
-        ilo, ihi = bounds[i]
-        blocks = []
-        for j in range(nb):
-            jlo, jhi = bounds[j]
-            b = rows[i][j]
-            if b is None:
-                b = zero[: ihi - ilo, : jhi - jlo]
-            blocks.append(b)
-        full_rows.append(jnp.concatenate(blocks, axis=1))
-    return jnp.concatenate(full_rows, axis=0)
 
 
 def tri_lower_matmul(L: jax.Array, B: jax.Array, block: int = 2048,

@@ -102,8 +102,12 @@ class BatchingQueue:
             flag = self._queue[0].include_noise
             batch, rows, rest = [], 0, []
             for p in self._queue:
-                if p.include_noise == flag and rows + p.pts.shape[0] \
-                        <= self.max_batch:
+                # the head request is always taken, even when larger than
+                # max_batch (an oversized request runs as its own launch —
+                # otherwise it would starve forever)
+                if not batch or (p.include_noise == flag
+                                 and rows + p.pts.shape[0]
+                                 <= self.max_batch):
                     batch.append(p)
                     rows += p.pts.shape[0]
                 else:
@@ -148,10 +152,20 @@ class ModelServer:
         self.n_train = int(np.asarray(model.X).shape[0]) if hasattr(
             model, "X") else int(np.asarray(model.X_train_).shape[0])
         if prior_sig is None:
-            pa = np.asarray(model.param_array)
-            prior_sig = float(pa[0] + pa[-1])
+            if hasattr(model, "param_array"):
+                pa = np.asarray(model.param_array)
+                prior_sig = float(pa[0] + pa[-1])
+            else:  # NIGP layout [sigma_x (D), sigma_f, sigma_y, ls (D)]
+                pa = np.asarray(model.get_params())
+                D = int(np.asarray(model.X_train_).shape[1])
+                prior_sig = float(pa[D] ** 2 + pa[D + 1] ** 2)
         self.prior_sig = prior_sig
         self._lock = threading.Lock()
+        import inspect
+
+        self._takes_noise_kwarg = ("include_noise" in
+                                   inspect.signature(
+                                       model.predict).parameters)
         self.batcher = BatchingQueue(self._predict_device,
                                      max_wait=batch_wait)
         _ = self._predict_device(np.zeros((1, self._dim())))  # warm
@@ -183,8 +197,11 @@ class ModelServer:
         """One padded device launch (called from the batcher thread)."""
         padded, n = self._pad(np.atleast_2d(np.asarray(pts, np.float64)))
         with self._lock:
-            mu, var = self.model.predict(padded,
-                                         include_noise=include_noise)
+            if self._takes_noise_kwarg:
+                mu, var = self.model.predict(padded,
+                                             include_noise=include_noise)
+            else:  # NIGP: no likelihood-noise switch in its predict
+                mu, var = self.model.predict(padded)
         return np.asarray(mu).reshape(-1)[:n], np.asarray(var).reshape(-1)[:n]
 
     def _predict(self, pts, include_noise: bool = True):
@@ -206,9 +223,14 @@ class ModelServer:
                 # full covariance bypasses the batching queue (row-slice
                 # splitting does not compose across requests)
                 with self._lock:
-                    mu, cov = self.model.predict(
-                        np.atleast_2d(pts), full_cov=True,
-                        include_noise=payload.get("include_noise", True))
+                    if self._takes_noise_kwarg:
+                        mu, cov = self.model.predict(
+                            np.atleast_2d(pts), full_cov=True,
+                            include_noise=payload.get("include_noise",
+                                                      True))
+                    else:  # NIGP spells it return_cov
+                        mu, cov = self.model.predict(np.atleast_2d(pts),
+                                                     return_cov=True)
                 return {"mean": np.asarray(mu).reshape(-1).tolist(),
                         "cov": np.asarray(cov).tolist()}
             mu, var = self._predict(
@@ -284,6 +306,10 @@ def make_http_server(server, host: str = "127.0.0.1",
                     self._send(404, {"error": "unknown route"})
             except KeyError as e:
                 self._send(404, {"error": str(e)})
+            except ValueError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                self._send(500, {"error": str(e)})
 
         def do_POST(self):
             try:

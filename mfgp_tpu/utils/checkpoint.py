@@ -209,9 +209,18 @@ def _from_flat(z, meta, kind: str, kernel: str) -> ExplorationCheckpoint:
 
 
 def load_checkpoint(path: str) -> ExplorationCheckpoint:
-    """Load a checkpoint, autodetecting the backend (.orbax dir or .npz)."""
+    """Load a checkpoint, autodetecting the backend (.orbax dir or .npz).
+
+    When BOTH artifacts exist for the same path, the most recently written
+    one wins (a later default-backend save must not be shadowed by an old
+    orbax directory).
+    """
     orbax_dir = (path if path.endswith(".orbax") else path + ".orbax")
-    if os.path.isdir(orbax_dir):
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if os.path.isdir(orbax_dir) and os.path.exists(npz_path):
+        if os.path.getmtime(npz_path) > os.path.getmtime(orbax_dir):
+            orbax_dir = ""  # npz is newer
+    if orbax_dir and os.path.isdir(orbax_dir):
         import orbax.checkpoint as ocp
 
         z = ocp.PyTreeCheckpointer().restore(

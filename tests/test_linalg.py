@@ -100,25 +100,6 @@ def test_chol_solve_blocked_matches_dense(rng):
     np.testing.assert_allclose(y2, y1, rtol=1e-10, atol=1e-12)
 
 
-def test_tri_inv_blocked_matches_dense(rng):
-    import jax.numpy as jnp
-
-    from mfgp_tpu.ops.linalg import chol, chol_inverse, tri_inv_blocked
-
-    for n, b in [(60, 100), (300, 64), (250, 64)]:  # small, even, ragged
-        A = rng.normal(size=(n, n))
-        S = A @ A.T + n * np.eye(n)
-        L = np.asarray(chol(jnp.asarray(S)))
-        Minv = np.asarray(tri_inv_blocked(jnp.asarray(L), block=b))
-        np.testing.assert_allclose(Minv, np.linalg.inv(L),
-                                   rtol=1e-8, atol=1e-10)
-        # strictly lower-triangular output
-        assert np.all(np.triu(Minv, 1) == 0.0)
-        Sinv = np.asarray(chol_inverse(jnp.asarray(L), block=b))
-        np.testing.assert_allclose(Sinv, np.linalg.inv(S),
-                                   rtol=1e-7, atol=1e-9)
-
-
 def test_structure_aware_triangular_kernels(rng):
     """tri_inv_recursive / tri_lower_matmul(+right) / syrk_tri_lower /
     chol_inverse: the structure-aware MXU kernels behind the bench's

@@ -164,3 +164,25 @@ def test_predict_full_cov(server_addr, rng_module):
     # marginals equal the var route
     code, out2 = _req(server_addr, "POST", "/predict", {"points": pts})
     np.testing.assert_allclose(np.diag(cov), out2["var"], rtol=1e-6)
+
+
+def test_nigp_checkpoint_serves(rng_module):
+    """NIGP checkpoints serve too (its predict lacks include_noise /
+    full_cov kwargs — spelled return_cov there)."""
+    from mfgp_tpu.models.nigp import NIGP
+    from mfgp_tpu.utils import checkpoint as ckpt
+
+    X = rng_module.uniform(0, 5, (25, 2))
+    y = np.sin(X[:, 0])
+    m = NIGP(iters=1, n_restarts=1)
+    m.fit(X, y)
+    srv = ModelServer(m)
+    try:
+        out = srv.handle("/predict", {"points": X[:4].tolist()})
+        assert len(out["mean"]) == 4
+        out = srv.handle("/predict", {"points": X[:3].tolist(),
+                                      "full_cov": True})
+        cov = np.asarray(out["cov"])
+        assert cov.shape == (3, 3)
+    finally:
+        srv.close()

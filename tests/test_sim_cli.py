@@ -226,3 +226,11 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                                    rtol=1e-4)
     # overwrite is safe (second save to the same orbax path)
     ckpt.save_checkpoint(str(tmp_path / "ck_orbax"), ck, backend="orbax")
+    # when BOTH backends exist at one path, the newer write wins
+    import dataclasses
+    import time
+    p = str(tmp_path / "both")
+    ckpt.save_checkpoint(p, ck, backend="orbax")
+    time.sleep(0.05)
+    ckpt.save_checkpoint(p, dataclasses.replace(ck, plan_num=9))
+    assert ckpt.load_checkpoint(p).plan_num == 9
