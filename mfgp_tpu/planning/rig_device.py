@@ -354,19 +354,42 @@ class DeviceRIG:
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         return state
 
+    def _args(self, x0, B, eid):
+        eid_arr = (self._eid if eid is None
+                   else jnp.asarray(np.asarray(eid, float).reshape(-1),
+                                    self.dtype))
+        return (jnp.asarray(np.asarray(x0, float).reshape(-1), self.dtype),
+                jnp.asarray(B if B is not None else self.B, self.dtype),
+                eid_arr)
+
     def plan(self, x0, key, B=None, eid=None) -> DevicePlanResult:
         """Run the on-device loop, extract the best path on host.
 
         ``B`` (budget) and ``eid`` override the constructor defaults
         WITHOUT recompiling — they are traced arguments, so one compiled
         executable serves every replan of an exploration run."""
-        eid_arr = (self._eid if eid is None
-                   else jnp.asarray(np.asarray(eid, float).reshape(-1),
-                                    self.dtype))
-        st = self._plan_jit(jnp.asarray(np.asarray(x0, float).reshape(-1),
-                                        self.dtype), key,
-                            jnp.asarray(B if B is not None else self.B,
-                                        self.dtype), eid_arr)
+        x0j, Bj, eidj = self._args(x0, B, eid)
+        st = self._plan_jit(x0j, key, Bj, eidj)
+        return self._extract(st)
+
+    def plan_ensemble(self, x0, key, n_plans: int = 8, B=None,
+                      eid=None) -> DevicePlanResult:
+        """K independent planner instances in ONE vmapped launch.
+
+        RIG is a random algorithm; running an ensemble and keeping the
+        best-scoring plan trades arithmetic (abundant on the MXU/VPU) for
+        plan quality — the per-instance work is identical, so the batch
+        dimension is pure utilization. Ties break toward lower budget.
+        """
+        x0j, Bj, eidj = self._args(x0, B, eid)
+        keys = jax.random.split(key, n_plans)
+        sts = jax.vmap(lambda k: self._plan_impl(x0j, k, Bj, eidj))(keys)
+        scores = np.asarray(sts["best_score"])
+        budgets = np.asarray(sts["best_budget"])
+        i = int(np.lexsort((budgets, -scores))[0])
+        return self._extract(jax.tree.map(lambda a: a[i], sts))
+
+    def _extract(self, st) -> DevicePlanResult:
         best = int(st["best_arena"])
         n_nodes = int(st["n_nodes"])
         nodes = np.asarray(st["nodes"])[:n_nodes]

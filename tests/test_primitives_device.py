@@ -91,3 +91,20 @@ def test_determinism(cfg):
     a = generate_trajectories_batch(jax.random.key(7), choices, dists, cfg)
     b = generate_trajectories_batch(jax.random.key(7), choices, dists, cfg)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_synthesis_invariants_spiral_surfacing(rng):
+    """surface_by_spiral=True exercises the spiral surfacing branch
+    (reference/GraceRIGV3.py:217-227's other arm)."""
+    cfg2 = AgentConfig.sim_defaults()
+    cfg2.surface_by_spiral = True
+    B, n = 60, cfg2.num_legs
+    choices = jnp.asarray(rng.integers(0, 4, (B, n)), jnp.int32)
+    dists = jnp.asarray(rng.uniform(0.5, 6.0, B))
+    prims = generate_trajectories_batch(jax.random.key(2), choices, dists,
+                                        cfg2)
+    for b in range(B):
+        seq = _to_host_prims(prims[b])
+        t, dist, tuw, pts, budget = host.evaluate_trajectory(seq, cfg2)
+        assert abs(dist - float(dists[b])) < 1e-3
+        assert abs(pts[-1, 1]) < 0.011

@@ -97,3 +97,16 @@ def test_sim_device_planner_backend():
     with pytest.raises(ValueError):
         ExplorationSim(ExperimentConfig(ergodic=False), seed=0,
                        planner_backend="device")
+
+
+def test_plan_ensemble_beats_or_matches_single(setup):
+    """plan_ensemble: K vmapped planner instances, best plan wins — never
+    worse than the single plan sharing the ensemble's first key."""
+    _, _, _, _, planner = setup
+    key = jax.random.key(11)
+    single = planner.plan(np.array([1.0, 1.0]),
+                          jax.random.split(key, 4)[0])
+    ens = planner.plan_ensemble(np.array([1.0, 1.0]), key, n_plans=4)
+    assert ens.info >= single.info
+    assert np.isfinite(ens.info)
+    assert ens.points.shape[0] > 0
