@@ -137,7 +137,8 @@ def cmd_explore(args):
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
                          plan_iters=args.plan_iters, flight=args.flight,
-                         planner_backend=args.planner)
+                         planner_backend=args.planner,
+                         plan_ensemble=args.plan_ensemble)
     if variant == "MANUAL":
         if args.waypoints:
             wp = np.loadtxt(args.waypoints, delimiter=",", ndmin=2)[:, :3]
@@ -302,6 +303,9 @@ def build_parser():
     p.add_argument("--planner", default="host", choices=["host", "device"],
                    help="device = whole RIG loop as one jitted launch "
                         "(ergodic variants, kinematic flight)")
+    p.add_argument("--plan-ensemble", type=int, default=1,
+                   help="device planner: vmapped instances per replan, "
+                        "best plan wins")
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")

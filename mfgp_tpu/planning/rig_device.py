@@ -102,6 +102,7 @@ class DeviceRIG:
         # B and the EID are TRACED arguments: one compiled plan() serves
         # every replan (varying budget tranche + refreshed EID)
         self._plan_jit = jax.jit(self._plan_impl)
+        self._ensemble_jit = None
 
     # -- per-edge geometry + ergodic statistics -----------------------------
     def _edge_stats(self, prims, src_xy, dst_xy):
@@ -373,21 +374,36 @@ class DeviceRIG:
         return self._extract(st)
 
     def plan_ensemble(self, x0, key, n_plans: int = 8, B=None,
-                      eid=None) -> DevicePlanResult:
+                      eid=None, mesh=None) -> DevicePlanResult:
         """K independent planner instances in ONE vmapped launch.
 
         RIG is a random algorithm; running an ensemble and keeping the
         best-scoring plan trades arithmetic (abundant on the MXU/VPU) for
         plan quality — the per-instance work is identical, so the batch
         dimension is pure utilization. Ties break toward lower budget.
+
+        ``mesh``: optional ``jax.sharding.Mesh`` — the ensemble axis is
+        sharded over its dp dimension (instances are independent, so the
+        partitioned program needs zero collectives; planning scales
+        linearly with chips). ``n_plans`` must divide by the dp extent.
         """
         x0j, Bj, eidj = self._args(x0, B, eid)
         keys = jax.random.split(key, n_plans)
-        sts = jax.vmap(lambda k: self._plan_impl(x0j, k, Bj, eidj))(keys)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfgp_tpu.parallel.mesh import DP_AXIS
+
+            keys = jax.device_put(keys, NamedSharding(mesh, P(DP_AXIS)))
+        if self._ensemble_jit is None:
+            self._ensemble_jit = jax.jit(jax.vmap(
+                self._plan_impl, in_axes=(None, 0, None, None)))
+        sts = dict(self._ensemble_jit(x0j, keys, Bj, eidj))
+        sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
         scores = np.asarray(sts["best_score"])
         budgets = np.asarray(sts["best_budget"])
         i = int(np.lexsort((budgets, -scores))[0])
-        return self._extract(jax.tree.map(lambda a: a[i], sts))
+        return self._extract(jax.tree.map(lambda a: np.asarray(a)[i], sts))
 
     def _extract(self, st) -> DevicePlanResult:
         best = int(st["best_arena"])
@@ -425,15 +441,20 @@ class DeviceRIGAdapter:
     One instance serves every replan: budget tranche, EID, and seed are
     per-plan arguments, not compile-time constants."""
 
-    def __init__(self, seed: int = 0, **kw):
+    def __init__(self, seed: int = 0, n_plans: int = 1, **kw):
         self._planner = DeviceRIG(**kw)
         self._seed = seed
+        self._n_plans = int(n_plans)
         self._res: Optional[DevicePlanResult] = None
 
     def plan(self, x0, seed: int | None = None, B=None, eid=None):
         key = jax.random.key(self._seed if seed is None else seed)
-        self._res = self._planner.plan(np.asarray(x0, float).reshape(-1),
-                                       key, B=B, eid=eid)
+        x0r = np.asarray(x0, float).reshape(-1)
+        if self._n_plans > 1:
+            self._res = self._planner.plan_ensemble(
+                x0r, key, n_plans=self._n_plans, B=B, eid=eid)
+        else:
+            self._res = self._planner.plan(x0r, key, B=B, eid=eid)
         r = self._res
 
         class _Best:

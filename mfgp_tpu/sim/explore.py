@@ -84,7 +84,7 @@ class ExplorationSim:
                  field_env: Optional[WRBFField] = None,
                  out_dir: Optional[str] = None, plan_iters: int = 40,
                  flight: str = "kinematic", runtime_cfg=None,
-                 planner_backend: str = "host"):
+                 planner_backend: str = "host", plan_ensemble: int = 1):
         self.exp = exp or ExperimentConfig()
         self.cfg: SimConfig = self.exp.sim
         self.seed = seed
@@ -113,6 +113,7 @@ class ExplorationSim:
             raise ValueError("device planner supports ergodic scoring with "
                              "kinematic flight")
         self.planner_backend = planner_backend
+        self.plan_ensemble = int(plan_ensemble)
         self._device_planner = None
         self._runtime_cfg = runtime_cfg
         self._runtime = None
@@ -321,6 +322,7 @@ class ExplorationSim:
                     # ONE compiled planner serves every replan (B/EID/seed
                     # are traced per-plan arguments)
                     self._device_planner = DeviceRIGAdapter(
+                        n_plans=self.plan_ensemble,
                         cfg=self.agent_cfg, delta=cfg.step_size, B=exp.B,
                         WS=np.asarray(cfg.WS, float), R=cfg.near_rad,
                         Rd=cfg.Rd,

@@ -110,3 +110,19 @@ def test_plan_ensemble_beats_or_matches_single(setup):
     assert ens.info >= single.info
     assert np.isfinite(ens.info)
     assert ens.points.shape[0] > 0
+
+
+def test_plan_ensemble_sharded_over_mesh(setup):
+    """The ensemble axis shards over the mesh's dp dimension with zero
+    collectives (independent instances) — identical result to the
+    unsharded ensemble for the same keys."""
+    from mfgp_tpu.parallel import make_mesh
+
+    _, _, _, _, planner = setup
+    mesh = make_mesh(8)
+    key = jax.random.key(21)
+    a = planner.plan_ensemble(np.array([1.0, 1.0]), key, n_plans=8)
+    b = planner.plan_ensemble(np.array([1.0, 1.0]), key, n_plans=8,
+                              mesh=mesh)
+    assert a.info == b.info and a.budget == b.budget
+    np.testing.assert_array_equal(a.points, b.points)
