@@ -77,7 +77,8 @@ class DeviceRIG:
                  budget_cutoff: float = 0.9, max_iter: int = 40,
                  eid=None, grid=None, sigma_diag=None,
                  max_nodes: int = 64, max_paths: int = 8,
-                 samples_per_edge: int = 24, dtype=jnp.float32):
+                 samples_per_edge: int = 24, near_neighbors: int = 1,
+                 dtype=jnp.float32):
         self.cfg = cfg
         self.delta = float(delta)
         self.B = float(B)
@@ -90,6 +91,7 @@ class DeviceRIG:
         self.max_nodes = int(max_nodes)
         self.max_paths = int(max_paths)
         self.S = int(samples_per_edge)
+        self.K = int(near_neighbors)  # near-phase extensions per iteration
         self.dtype = dtype
         grid = np.asarray(grid, float)
         self.grid = jnp.asarray(grid, dtype)
@@ -150,8 +152,9 @@ class DeviceRIG:
         MAXN, MAXP, E = self.max_nodes, self.max_paths, cfg.traj_count
         G = self.grid.shape[0]
         S = self.S
-        ARENA = 1 + 2 * self.max_iter * MAXP  # slot 0 = root trivial path
-        MAXE = 2 * self.max_iter * E
+        PH = 1 + self.K  # phases per iteration: nearest + K near-nodes
+        ARENA = 1 + PH * self.max_iter * MAXP  # slot 0 = root trivial path
+        MAXE = PH * self.max_iter * E
         lo = jnp.asarray(self.WS[:, 0], dt)
         hi = jnp.asarray(self.WS[:, 1], dt)
 
@@ -216,7 +219,7 @@ class DeviceRIG:
             feas, e_budget, e_time, e_q, e_pts = jax.vmap(one_edge)(
                 ek[1:], choices)
             feas = feas & active
-            ebase = (2 * it + phase) * E
+            ebase = (PH * it + phase) * E
             state = dict(state, edge_pts=jax.lax.dynamic_update_slice(
                 state["edge_pts"], e_pts, (ebase, 0, 0)))
 
@@ -245,7 +248,7 @@ class DeviceRIG:
             # branches — force them below every real key)
             key_rank = jnp.where(ok, scores - 1e-6 * xb, NEG)
             top = jax.lax.top_k(key_rank, MAXP)[1]
-            abase = 1 + (2 * it + phase) * MAXP
+            abase = 1 + (PH * it + phase) * MAXP
             sel_ok = ok[top]
             prev = src_slots[top // E]
             edge_ids = ebase + (top % E)
@@ -337,19 +340,24 @@ class DeviceRIG:
             step = jnp.minimum(dist, self.delta)
             xfeas = nodes[i_near] + jnp.where(dist > 0, step / dist, 0.0) * v
             state = extend(state, i_near, xfeas, 0, it)
-            # near phase: closest OTHER node within R steers toward xfeas
+            # near phases: the K closest OTHER nodes within R each steer
+            # toward xfeas (the host extends EVERY node within R,
+            # reference/GraceRIGV3.py:1284-1337; K caps it for static
+            # shapes)
             d2 = jnp.linalg.norm(state["nodes"] - xfeas[None, :], axis=1)
             d2 = jnp.where((jnp.arange(MAXN) < state["n_nodes"])
                            & (jnp.arange(MAXN) != i_near), d2, jnp.inf)
-            j = jnp.argmin(d2)
-            has_near = d2[j] <= self.R
-            v2 = xfeas - state["nodes"][j]
-            dist2 = jnp.linalg.norm(v2)
-            step2 = jnp.minimum(dist2, self.delta)
-            x2 = state["nodes"][j] + jnp.where(dist2 > 0, step2 / dist2,
-                                               0.0) * v2
-            x2 = jnp.where(has_near, x2, lo - 1.0)  # out of WS -> inactive
-            state = extend(state, j, x2, 1, it)
+            _, near_js = jax.lax.top_k(-d2, self.K)
+            for k in range(self.K):
+                j = near_js[k]
+                has_near = d2[j] <= self.R
+                v2 = xfeas - state["nodes"][j]
+                dist2 = jnp.linalg.norm(v2)
+                step2 = jnp.minimum(dist2, self.delta)
+                x2 = state["nodes"][j] + jnp.where(dist2 > 0,
+                                                   step2 / dist2, 0.0) * v2
+                x2 = jnp.where(has_near, x2, lo - 1.0)  # out of WS: inactive
+                state = extend(state, j, x2, 1 + k, it)
             return state
 
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
@@ -471,7 +479,7 @@ class DeviceRIGAdapter:
 
     def graph_summary(self):
         return {"nodes": self._res.n_nodes if self._res else 0,
-                "edges": 2 * self._planner.max_iter
+                "edges": (1 + self._planner.K) * self._planner.max_iter
                 * self._planner.cfg.traj_count,
                 "best_info": self._res.info if self._res else -np.inf,
                 "best_budget": self._res.budget if self._res else 0.0}

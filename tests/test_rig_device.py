@@ -126,3 +126,17 @@ def test_plan_ensemble_sharded_over_mesh(setup):
                               mesh=mesh)
     assert a.info == b.info and a.budget == b.budget
     np.testing.assert_array_equal(a.points, b.points)
+
+
+def test_near_neighbors_phases(setup):
+    """near_neighbors=2: K near-phase extensions per iteration grow the
+    graph faster, same invariants."""
+    cfg, WS, grid, eid, _ = setup
+    planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=16, eid=eid, grid=grid, max_nodes=48,
+                        max_paths=6, near_neighbors=2)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    assert np.isfinite(res.info)
+    assert res.points.shape[0] > 0
+    assert 0.5 * 20.0 < res.budget < 20.0
