@@ -383,17 +383,16 @@ class DeviceRIG:
 
     def plan_ensemble(self, x0, key, n_plans: int = 8, B=None,
                       eid=None, mesh=None) -> DevicePlanResult:
-        """K independent planner instances in ONE vmapped launch.
+        """K independent planner instances in ONE vmapped launch; the
+        best-scoring plan wins (ties break toward lower budget).
 
-        RIG is a random algorithm; running an ensemble and keeping the
-        best-scoring plan trades arithmetic (abundant on the MXU/VPU) for
-        plan quality — the per-instance work is identical, so the batch
-        dimension is pure utilization. Ties break toward lower budget.
-
-        ``mesh``: optional ``jax.sharding.Mesh`` — the ensemble axis is
-        sharded over its dp dimension (instances are independent, so the
-        partitioned program needs zero collectives; planning scales
-        linearly with chips). ``n_plans`` must divide by the dp extent.
+        Cost caveat (measured on v5e): the loop is dynamic-slice/top_k
+        heavy, and under vmap those become batched gathers/scatters — a
+        single-chip 8-plan ensemble ran ~45x one plan, not 8x. The
+        intended deployment is ``mesh`` sharding with ``n_plans`` equal to
+        (a small multiple of) the dp extent: instances are independent, so
+        the partitioned program needs zero collectives and each device
+        executes a near-batch-1 loop.
         """
         x0j, Bj, eidj = self._args(x0, B, eid)
         keys = jax.random.split(key, n_plans)
