@@ -112,6 +112,11 @@ class ExplorationSim:
                                             or not self.exp.ergodic):
             raise ValueError("device planner supports ergodic scoring with "
                              "kinematic flight")
+        if planner_backend == "device" and self.exp.plan_wallclock:
+            raise ValueError(
+                "the device planner runs a fixed iteration count (one "
+                "compiled launch), not a wall-clock stopwatch; set "
+                "plan_iters instead of plan_wallclock")
         self.planner_backend = planner_backend
         self.plan_ensemble = int(plan_ensemble)
         self._device_planner = None
