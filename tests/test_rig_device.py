@@ -97,6 +97,9 @@ def test_sim_device_planner_backend():
     with pytest.raises(ValueError):
         ExplorationSim(ExperimentConfig(ergodic=False), seed=0,
                        planner_backend="device")
+    with pytest.raises(ValueError):  # fixed-iteration contract
+        ExplorationSim(ExperimentConfig(ergodic=True, plan_wallclock=10.0),
+                       seed=0, planner_backend="device")
 
 
 def test_plan_ensemble_beats_or_matches_single(setup):
