@@ -201,6 +201,34 @@ def plot_planner_graph(planner, out_png: str, show_best: bool = True):
     return out_png
 
 
+def plot_device_plan(result, WS, out_png: str):
+    """2D figure for a DevicePlanResult (planning.rig_device): explored
+    node set + the best path — the device-planner counterpart of
+    plot_planner_graph (plot_path_3d takes result.points directly)."""
+    plt = _plt()
+    WS = np.asarray(WS, float)
+    fig, ax = plt.subplots(figsize=(6, 6 * (WS[1][1]
+                                            / max(WS[0][1], 1e-9))))
+    ns = np.asarray(result.node_states)
+    if ns.shape[0]:
+        ax.scatter(ns[:, 0], ns[:, 1], s=14, color="C0", zorder=2)
+        ax.scatter([ns[0, 0]], [ns[0, 1]], s=60, marker="*", color="C3",
+                   zorder=3, label="start")
+    p = np.asarray(result.points)
+    if p.shape[0]:
+        ax.plot(p[:, 0], p[:, 1], color="C1", lw=2, zorder=4,
+                label=f"best (info {result.info:.3g})")
+    ax.set_xlim(WS[0])
+    ax.set_ylim(WS[1])
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.legend(loc="best")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=110)
+    plt.close(fig)
+    return out_png
+
+
 def plot_path_3d(path_points: np.ndarray, out_png: str, max_depth=None):
     """3D trajectory figure (depth axis inverted, diving down) — the
     reference's ``draw_3D_path`` (reference/GraceRIGV3.py:988-1063)."""

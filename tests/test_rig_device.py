@@ -143,3 +143,14 @@ def test_near_neighbors_phases(setup):
     assert np.isfinite(res.info)
     assert res.points.shape[0] > 0
     assert 0.5 * 20.0 < res.budget < 20.0
+
+
+def test_plot_device_plan(setup, tmp_path):
+    from mfgp_tpu.viz import plot_device_plan, plot_path_3d
+
+    _, WS, _, _, planner = setup
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
+    p1 = plot_device_plan(res, WS, str(tmp_path / "g.png"))
+    p2 = plot_path_3d(res.points, str(tmp_path / "p.png"), max_depth=5.0)
+    import os
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
