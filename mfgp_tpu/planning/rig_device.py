@@ -339,14 +339,17 @@ class DeviceRIG:
             dist = jnp.linalg.norm(v)
             step = jnp.minimum(dist, self.delta)
             xfeas = nodes[i_near] + jnp.where(dist > 0, step / dist, 0.0) * v
-            state = extend(state, i_near, xfeas, 0, it)
-            # near phases: the K closest OTHER nodes within R each steer
-            # toward xfeas (the host extends EVERY node within R,
-            # reference/GraceRIGV3.py:1284-1337; K caps it for static
-            # shapes)
-            d2 = jnp.linalg.norm(state["nodes"] - xfeas[None, :], axis=1)
-            d2 = jnp.where((jnp.arange(MAXN) < state["n_nodes"])
+            # near-set BEFORE the phase-0 extend: the host extends
+            # PRE-existing nodes within R (reference/GraceRIGV3.py:1284-
+            # 1337); computing d2 afterwards would always pick the node
+            # phase 0 just created at xfeas — a guaranteed self-merge no-op
+            d2 = jnp.linalg.norm(nodes - xfeas[None, :], axis=1)
+            d2 = jnp.where((jnp.arange(MAXN) < n_nodes)
                            & (jnp.arange(MAXN) != i_near), d2, jnp.inf)
+            state = extend(state, i_near, xfeas, 0, it)
+            # near phases: the K closest pre-existing OTHER nodes within R
+            # each steer toward xfeas (K caps the host's every-near-node
+            # loop for static shapes)
             _, near_js = jax.lax.top_k(-d2, self.K)
             for k in range(self.K):
                 j = near_js[k]
@@ -448,10 +451,11 @@ class DeviceRIGAdapter:
     One instance serves every replan: budget tranche, EID, and seed are
     per-plan arguments, not compile-time constants."""
 
-    def __init__(self, seed: int = 0, n_plans: int = 1, **kw):
+    def __init__(self, seed: int = 0, n_plans: int = 1, mesh=None, **kw):
         self._planner = DeviceRIG(**kw)
         self._seed = seed
         self._n_plans = int(n_plans)
+        self._mesh = mesh  # shard the ensemble axis over its dp extent
         self._res: Optional[DevicePlanResult] = None
 
     def plan(self, x0, seed: int | None = None, B=None, eid=None):
@@ -459,7 +463,8 @@ class DeviceRIGAdapter:
         x0r = np.asarray(x0, float).reshape(-1)
         if self._n_plans > 1:
             self._res = self._planner.plan_ensemble(
-                x0r, key, n_plans=self._n_plans, B=B, eid=eid)
+                x0r, key, n_plans=self._n_plans, B=B, eid=eid,
+                mesh=self._mesh)
         else:
             self._res = self._planner.plan(x0r, key, B=B, eid=eid)
         r = self._res

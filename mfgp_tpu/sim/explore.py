@@ -119,6 +119,9 @@ class ExplorationSim:
                 "plan_iters instead of plan_wallclock")
         self.planner_backend = planner_backend
         self.plan_ensemble = int(plan_ensemble)
+        if self.plan_ensemble > 1 and planner_backend != "device":
+            raise ValueError("plan_ensemble requires the device planner "
+                             "(--planner device)")
         self._device_planner = None
         self._runtime_cfg = runtime_cfg
         self._runtime = None
@@ -326,8 +329,15 @@ class ExplorationSim:
                 if self._device_planner is None:
                     # ONE compiled planner serves every replan (B/EID/seed
                     # are traced per-plan arguments)
+                    ens_mesh = None
+                    if self.plan_ensemble > 1 and jax.device_count() > 1:
+                        from mfgp_tpu.parallel import make_mesh
+
+                        m = make_mesh()
+                        if self.plan_ensemble % m.shape["dp"] == 0:
+                            ens_mesh = m  # shard instances over dp
                     self._device_planner = DeviceRIGAdapter(
-                        n_plans=self.plan_ensemble,
+                        n_plans=self.plan_ensemble, mesh=ens_mesh,
                         cfg=self.agent_cfg, delta=cfg.step_size, B=exp.B,
                         WS=np.asarray(cfg.WS, float), R=cfg.near_rad,
                         Rd=cfg.Rd,

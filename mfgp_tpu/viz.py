@@ -171,8 +171,9 @@ def plot_planner_graph(planner, out_png: str, show_best: bool = True):
     equivalent of the reference's ``RIG.draw_graph`` / 2D projection
     (reference/GraceRIGV3.py:908-1063)."""
     plt = _plt()
-    fig, ax = plt.subplots(figsize=(6, 6 * (planner.WS[1][1]
-                                            / max(planner.WS[0][1], 1e-9))))
+    wx = planner.WS[0][1] - planner.WS[0][0]
+    wy = planner.WS[1][1] - planner.WS[1][0]
+    fig, ax = plt.subplots(figsize=(6, 6 * wy / max(wx, 1e-9)))
     for (i, j) in planner.E:
         if i in planner.V and j in planner.V:
             a, b = planner.V[i].state, planner.V[j].state
@@ -207,8 +208,8 @@ def plot_device_plan(result, WS, out_png: str):
     plot_planner_graph (plot_path_3d takes result.points directly)."""
     plt = _plt()
     WS = np.asarray(WS, float)
-    fig, ax = plt.subplots(figsize=(6, 6 * (WS[1][1]
-                                            / max(WS[0][1], 1e-9))))
+    wx, wy = WS[0][1] - WS[0][0], WS[1][1] - WS[1][0]
+    fig, ax = plt.subplots(figsize=(6, 6 * wy / max(wx, 1e-9)))
     ns = np.asarray(result.node_states)
     if ns.shape[0]:
         ax.scatter(ns[:, 0], ns[:, 1], s=14, color="C0", zorder=2)

@@ -110,7 +110,7 @@ def test_plan_ensemble_beats_or_matches_single(setup):
     single = planner.plan(np.array([1.0, 1.0]),
                           jax.random.split(key, 4)[0])
     ens = planner.plan_ensemble(np.array([1.0, 1.0]), key, n_plans=4)
-    assert ens.info >= single.info
+    assert ens.info >= single.info - 1e-5  # vmapped f32 ulp
     assert np.isfinite(ens.info)
     assert ens.points.shape[0] > 0
 
