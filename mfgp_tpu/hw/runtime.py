@@ -161,9 +161,13 @@ def flight_plan(planner):
     (reference/...MFEGP.py:449-461).
 
     waypoints: (L+1, 4) rows (x, y, z, t); legs: list of primitive tuples.
+    Planners that carry their own flight-plan builder (DeviceRIGAdapter)
+    are delegated to.
     """
     from mfgp_tpu.planning import primitives as prim
 
+    if hasattr(planner, "flight_plan"):
+        return planner.flight_plan()
     if planner.best_path.segments is None:
         return None, None
     node_states = {i: planner.V[i].state for i in planner.V}

@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mfgp_tpu.planning.primitives import AgentConfig, Leg
 
@@ -271,3 +272,21 @@ def generate_trajectories_batch(key, choices, distances, cfg: AgentConfig):
     keys = jax.random.split(key, B)
     fn = partial(generate_trajectory_device, cfg=cfg, num_legs=n)
     return jax.vmap(lambda k, c, d: fn(k, c, d))(keys, choices, distances)
+
+
+def padded_to_prims(padded) -> list:
+    """Padded (L, 4) device rows -> host primitive tuples (NOOPs dropped).
+
+    The inverse mapping used when a device-planned path is handed to host
+    consumers (runtime flight plans, evaluate_trajectory)."""
+    out = []
+    for row in np.asarray(padded):
+        leg = int(row[0])
+        if leg == NOOP:
+            continue
+        if leg in (SPIRAL, GLIDE):
+            out.append((Leg(leg), float(row[1]), float(row[2]),
+                        float(row[3])))
+        else:  # SWIM / FLATDIVE
+            out.append((Leg(leg), float(row[1]), float(row[2])))
+    return out

@@ -62,6 +62,9 @@ class DevicePlanResult:
     points: np.ndarray  # (P, 4) x, y, z, t waypoints of the best path
     n_nodes: int
     node_states: np.ndarray  # (n_nodes, 2)
+    # best-path edge chain: (padded prims (L, 4), src_xy, dst_xy) per edge —
+    # enough to rebuild the runtime flight plan (hw.runtime.flight_plan)
+    edges: list = None
 
 
 class DeviceRIG:
@@ -172,6 +175,10 @@ class DeviceRIG:
             a_edge=jnp.full((ARENA,), -1, jnp.int32),
             a_node=jnp.zeros((ARENA,), jnp.int32),
             edge_pts=jnp.zeros((MAXE, S, 4), dt),
+            edge_prims=jnp.full((MAXE, 2 * cfg.num_legs + 1, 4),
+                                -1.0, dt),
+            edge_src=jnp.zeros((MAXE,), jnp.int32),
+            edge_dst=jnp.zeros((MAXE,), jnp.int32),
             best_score=jnp.asarray(NEG, dt),
             best_budget=jnp.asarray(jnp.inf, dt),
             best_arena=jnp.asarray(-1, jnp.int32),
@@ -214,14 +221,24 @@ class DeviceRIG:
             def one_edge(k, ch):
                 prims = generate_trajectory_device(k, ch, distance, cfg,
                                                    num_legs=cfg.num_legs)
-                return self._edge_stats(prims, src_xy, dst_xy)
+                return (*self._edge_stats(prims, src_xy, dst_xy), prims)
 
-            feas, e_budget, e_time, e_q, e_pts = jax.vmap(one_edge)(
-                ek[1:], choices)
+            feas, e_budget, e_time, e_q, e_pts, e_prims = jax.vmap(
+                one_edge)(ek[1:], choices)
             feas = feas & active
             ebase = (PH * it + phase) * E
-            state = dict(state, edge_pts=jax.lax.dynamic_update_slice(
-                state["edge_pts"], e_pts, (ebase, 0, 0)))
+            state = dict(
+                state,
+                edge_pts=jax.lax.dynamic_update_slice(
+                    state["edge_pts"], e_pts, (ebase, 0, 0)),
+                edge_prims=jax.lax.dynamic_update_slice(
+                    state["edge_prims"], e_prims, (ebase, 0, 0)),
+                edge_src=jax.lax.dynamic_update_slice(
+                    state["edge_src"],
+                    jnp.full((E,), src_idx, jnp.int32), (ebase,)),
+                edge_dst=jax.lax.dynamic_update_slice(
+                    state["edge_dst"],
+                    jnp.full((E,), dst_idx, jnp.int32), (ebase,)))
 
             # DP: extend every source path slot by every feasible edge
             src_slots = state["node_paths"][src_idx]  # (MAXP,) arena idx
@@ -421,26 +438,32 @@ class DeviceRIG:
         nodes = np.asarray(st["nodes"])[:n_nodes]
         if best < 0:
             return DevicePlanResult(-np.inf, 0.0, 0.0, np.zeros((0, 4)),
-                                    n_nodes, nodes)
+                                    n_nodes, nodes, [])
         a_prev = np.asarray(st["a_prev"])
         a_edge = np.asarray(st["a_edge"])
         edge_pts = np.asarray(st["edge_pts"])
+        edge_prims = np.asarray(st["edge_prims"])
+        edge_src = np.asarray(st["edge_src"])
+        edge_dst = np.asarray(st["edge_dst"])
+        all_nodes = np.asarray(st["nodes"])
         chain = []
         i = best
         while i > 0:
             chain.append(int(a_edge[i]))
             i = int(a_prev[i])
         chain.reverse()
-        rows, t_off = [], 0.0
+        rows, edges, t_off = [], [], 0.0
         for e in chain:
             pts = edge_pts[e].copy()
             pts[:, 3] += t_off
             t_off = pts[-1, 3]
             rows.append(pts)
+            edges.append((edge_prims[e], all_nodes[edge_src[e]],
+                          all_nodes[edge_dst[e]]))
         points = np.concatenate(rows, axis=0) if rows else np.zeros((0, 4))
         return DevicePlanResult(
             float(st["best_score"]), float(st["a_budget"][best]),
-            float(st["a_time"][best]), points, n_nodes, nodes)
+            float(st["a_time"][best]), points, n_nodes, nodes, edges)
 
 
 class DeviceRIGAdapter:
@@ -480,6 +503,36 @@ class DeviceRIGAdapter:
         if self._res is None or self._res.points.shape[0] == 0:
             return None
         return self._res.points  # (P, 4) x, y, z, t — the sim's schema
+
+    def flight_plan(self):
+        """(waypoints, legs) of the best plan for the robot runtime —
+        the device-planner counterpart of hw.runtime.flight_plan: per-edge
+        primitives are rolled out on host and rotated by the edge bearing
+        (reference pathPoints/edgeChain, reference/...MFEGP.py:449-461)."""
+        import math
+
+        from mfgp_tpu.planning import primitives as prim
+        from mfgp_tpu.planning.primitives_device import padded_to_prims
+
+        if self._res is None or not self._res.edges:
+            return None, None
+        rows = [None]
+        legs = []
+        t_off = 0.0
+        for padded, src_xy, dst_xy in self._res.edges:
+            prims = padded_to_prims(padded)
+            _, _, _, wpnts, _ = prim.evaluate_trajectory(
+                prims, self._planner.cfg)
+            if rows[0] is None:
+                rows[0] = np.array([[src_xy[0], src_xy[1], 0.0, 0.0]])
+            b = math.atan2(dst_xy[1] - src_xy[1], dst_xy[0] - src_xy[0])
+            d = wpnts[1:, 0]
+            rows.append(np.column_stack([
+                src_xy[0] + d * np.cos(b), src_xy[1] + d * np.sin(b),
+                wpnts[1:, 1], wpnts[1:, 2] + t_off]))
+            legs.extend(prims)
+            t_off += wpnts[-1, 2]
+        return np.concatenate(rows, axis=0), legs
 
     def graph_summary(self):
         return {"nodes": self._res.n_nodes if self._res else 0,

@@ -104,14 +104,14 @@ class ExplorationSim:
             raise ValueError(flight)
         self.flight = flight
         # planner_backend="device": the whole RIG loop runs as ONE jitted
-        # device launch (planning.rig_device) — ergodic-KL variants only;
-        # dynamic flight needs the host planner's primitive graph.
+        # device launch (planning.rig_device) — ergodic-KL variants only
+        # (both flight modes: the adapter rebuilds runtime flight plans
+        # from the extracted primitive chain).
         if planner_backend not in ("host", "device"):
             raise ValueError(planner_backend)
-        if planner_backend == "device" and (flight == "dynamic"
-                                            or not self.exp.ergodic):
-            raise ValueError("device planner supports ergodic scoring with "
-                             "kinematic flight")
+        if planner_backend == "device" and not self.exp.ergodic:
+            raise ValueError(
+                "device planner supports ergodic scoring only")
         if planner_backend == "device" and self.exp.plan_wallclock:
             raise ValueError(
                 "the device planner runs a fixed iteration count (one "

@@ -16,7 +16,7 @@ from mfgp_tpu.planning import primitives as host
 from mfgp_tpu.planning.primitives import AgentConfig, Leg
 from mfgp_tpu.planning.primitives_device import (
     NOOP, evaluate_trajectory_device, generate_trajectories_batch,
-    generate_trajectory_device)
+    generate_trajectory_device, padded_to_prims)
 
 
 @pytest.fixture(scope="module")
@@ -24,22 +24,7 @@ def cfg():
     return AgentConfig.sim_defaults()
 
 
-def _to_host_prims(padded):
-    """Padded (L, 4) device rows -> host primitive tuples."""
-    out = []
-    for row in np.asarray(padded):
-        leg = int(row[0])
-        if leg == NOOP:
-            continue
-        if leg == int(Leg.SPIRAL):
-            out.append((Leg.SPIRAL, row[1], row[2], row[3]))
-        elif leg == int(Leg.GLIDE):
-            out.append((Leg.GLIDE, row[1], row[2], row[3]))
-        elif leg == int(Leg.SWIM):
-            out.append((Leg.SWIM, row[1], row[2]))
-        elif leg == int(Leg.FLATDIVE):
-            out.append((Leg.FLATDIVE, row[1], row[2]))
-    return out
+_to_host_prims = padded_to_prims  # shared converter (product code)
 
 
 def test_synthesis_invariants_batch(cfg, rng):

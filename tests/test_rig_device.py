@@ -154,3 +154,23 @@ def test_plot_device_plan(setup, tmp_path):
     p2 = plot_path_3d(res.points, str(tmp_path / "p.png"), max_depth=5.0)
     import os
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_device_planner_dynamic_flight():
+    """flight='dynamic' + planner_backend='device': device-planned
+    primitive chains are flown by the full sense->estimate->control
+    runtime (the adapter rebuilds the runtime flight plan from the
+    extracted edge chain)."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=True, B=16, BD=2)
+    sim = ExplorationSim(exp, seed=0, plan_iters=32, flight="dynamic",
+                         planner_backend="device")
+    res = sim.run(max_replans=1)
+    assert len(res.replans) == 1
+    rec = res.replans[0]
+    # real tracking error (flown, not teleported) + energy integration
+    assert rec.tracking_rmse is not None and rec.tracking_rmse > 0
+    assert rec.flown_budget is not None and rec.flown_budget > 0
+    assert res.gp_data.data.shape[0] > 0
