@@ -81,6 +81,7 @@ class DeviceRIG:
                  eid=None, grid=None, sigma_diag=None,
                  max_nodes: int = 64, max_paths: int = 8,
                  samples_per_edge: int = 24, near_neighbors: int = 1,
+                 cost: str = "ergodic", max_path_points: int = 192,
                  dtype=jnp.float32):
         self.cfg = cfg
         self.delta = float(delta)
@@ -95,8 +96,13 @@ class DeviceRIG:
         self.max_paths = int(max_paths)
         self.S = int(samples_per_edge)
         self.K = int(near_neighbors)  # near-phase extensions per iteration
+        if cost not in ("ergodic", "sf_gain"):
+            raise ValueError(cost)
+        self.cost = cost
+        self.P = int(max_path_points)  # per-path point cap (gain mode)
         self.dtype = dtype
-        grid = np.asarray(grid, float)
+        grid = (np.zeros((1, 3)) if grid is None
+                else np.asarray(grid, float))
         self.grid = jnp.asarray(grid, dtype)
         if sigma_diag is None:
             sigma_diag = 0.25 * np.ones(grid.shape[1])
@@ -123,12 +129,17 @@ class DeviceRIG:
         z = jnp.interp(ts, wpts[:, 2], wpts[:, 1])
         xyz = jnp.stack([src_xy[0] + d * jnp.cos(b),
                          src_xy[1] + d * jnp.sin(b), z], axis=1)
-        # unnormalized time-integral of the sensor density per grid cell
-        dens = jax.vmap(lambda s: gaussian_sensor(xyz, s, self.sigma_diag)
-                        )(self.grid)  # (G, S)
-        dt = ts[1:] - ts[:-1]
-        w = jnp.zeros_like(ts).at[:-1].add(0.5 * dt).at[1:].add(0.5 * dt)
-        q = dens @ w
+        if self.cost == "ergodic":
+            # unnormalized time-integral of the sensor density per cell
+            dens = jax.vmap(lambda s: gaussian_sensor(xyz, s,
+                                                      self.sigma_diag)
+                            )(self.grid)  # (G, S)
+            dt = ts[1:] - ts[:-1]
+            w = jnp.zeros_like(ts).at[:-1].add(0.5 * dt).at[1:].add(
+                0.5 * dt)
+            q = dens @ w
+        else:  # gain mode scores from the points themselves
+            q = jnp.zeros((1,), xyz.dtype)
         feasible = tuw <= cfg.underwater_time_limit
         pts = jnp.concatenate([xyz, ts[:, None]], axis=1)
         return feasible, budget, t_e, q, pts
@@ -144,8 +155,33 @@ class DeviceRIG:
         return -jnp.sum(jnp.where(p > 0, p * (jnp.log(p) - jnp.log(r)),
                                   0.0))
 
+    def _gain_block(self, pts_blk, np_blk, gp):
+        """Sequential-entropy gains for a block of candidate paths.
+
+        pts_blk: (MAXP, P, 3) padded path points; np_blk: (MAXP,) counts;
+        gp = (X_pad, L_pad, variance, lengthscales, noise) — the
+        conditioned single-fidelity GP padded to a static train size
+        (prepare_sf_gain_state). Same closed form as the host
+        SFInfoGainCost (scoring._sf_gain_one / reference calcPathInfoSF2,
+        reference/GraceRIGV3.py:443-466)."""
+        from mfgp_tpu.metrics.info_gain import sequential_gain_from_cov
+        from mfgp_tpu.ops import kernels as _k
+        from mfgp_tpu.ops import linalg as _la
+
+        X_pad, L_pad, variance, lengthscales, noise = gp
+        kern = _k.KERNELS["rbf"]
+
+        def one(pts, n):
+            mask = jnp.arange(self.P) < n
+            Kxs = kern(pts, X_pad, variance, lengthscales)
+            Kss = kern(pts, pts, variance, lengthscales)
+            Sigma = _la.posterior_cov(Kss, Kxs, L_pad)
+            return sequential_gain_from_cov(Sigma, noise, mask=mask)
+
+        return jax.vmap(one)(pts_blk, np_blk)
+
     # -- the jitted loop -----------------------------------------------------
-    def _plan_impl(self, x0, key, B, eid):
+    def _plan_impl(self, x0, key, B, eid, gp):
         cfg = self.cfg
         dt = self.dtype
         floor = jnp.minimum(jnp.min(jnp.where(eid > 0, eid, jnp.inf)),
@@ -175,6 +211,9 @@ class DeviceRIG:
             a_edge=jnp.full((ARENA,), -1, jnp.int32),
             a_node=jnp.zeros((ARENA,), jnp.int32),
             edge_pts=jnp.zeros((MAXE, S, 4), dt),
+            **({"a_pts": jnp.zeros((ARENA, self.P, 3), dt),
+                "a_np": jnp.zeros((ARENA,), jnp.int32)}
+               if self.cost != "ergodic" else {}),
             edge_prims=jnp.full((MAXE, 2 * cfg.num_legs + 1, 4),
                                 -1.0, dt),
             edge_src=jnp.zeros((MAXE,), jnp.int32),
@@ -245,41 +284,77 @@ class DeviceRIG:
             src_valid = src_slots >= 0
             sb = state["a_budget"][src_slots]
             st = state["a_time"][src_slots]
-            sq = state["a_q"][src_slots]
-            xb = sb[:, None] + e_budget[None, :]  # (MAXP, E)
-            xt = st[:, None] + e_time[None, :]
-            ok = (src_valid[:, None] & feas[None, :]
+            xb = (sb[:, None] + e_budget[None, :]).reshape(-1)
+            xt = (st[:, None] + e_time[None, :]).reshape(-1)
+            ok = ((src_valid[:, None] & feas[None, :]).reshape(-1)
                   & (xb < B))
-            xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, G, E)
-            xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, G)
-            xb = xb.reshape(-1)
-            xt = xt.reshape(-1)
-            ok = ok.reshape(-1)
             scored = ok & (xb > self.budget_cutoff * B)
-            scores = jax.vmap(lambda q, T: self._score(q, T, p_eid))(xq, xt)
-            scores = jnp.where(scored, scores,
-                               jnp.where(ok, SENTINEL, NEG))
-
-            # beam: top-MAXP new extensions -> arena block for this phase
-            # (infeasible entries can carry NaNs from masked-out synthesis
-            # branches — force them below every real key)
-            key_rank = jnp.where(ok, scores - 1e-6 * xb, NEG)
-            top = jax.lax.top_k(key_rank, MAXP)[1]
             abase = 1 + (PH * it + phase) * MAXP
-            sel_ok = ok[top]
+
+            if self.cost == "ergodic":
+                # scores are cheap (additive stats): score ALL extensions,
+                # beam by score. NaN note: infeasible entries can carry
+                # NaNs from masked-out synthesis branches — force them
+                # below every real key.
+                sq = state["a_q"][src_slots]
+                xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, G, E)
+                xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, G)
+                scores = jax.vmap(lambda q, T: self._score(q, T, p_eid))(
+                    xq, xt)
+                scores = jnp.where(scored, scores,
+                                   jnp.where(ok, SENTINEL, NEG))
+                key_rank = jnp.where(ok, scores - 1e-6 * xb, NEG)
+                top = jax.lax.top_k(key_rank, MAXP)[1]
+                sel_ok = ok[top]
+                blk_real = jnp.where(scored[top] & sel_ok, scores[top],
+                                     NEG)
+                a_score_blk = jnp.where(sel_ok, scores[top], NEG)
+                state = dict(state, a_q=jax.lax.dynamic_update_slice(
+                    state["a_q"], xq[top], (abase, 0)))
+            else:
+                # gain mode: the score is O(P^2 N) per candidate, so the
+                # beam block is selected FIRST (score-eligible, then lower
+                # budget) and exactly MAXP candidates are scored — a
+                # divergence from the host planner, which scores every
+                # eligible extension
+                prekey = jnp.where(scored, 2e6 - xb,
+                                   jnp.where(ok, 1e6 - xb, NEG))
+                prekey = jnp.where(jnp.isnan(prekey), NEG, prekey)
+                top = jax.lax.top_k(prekey, MAXP)[1]
+                sel_ok = ok[top]
+                pfx_idx = src_slots[top // E]
+                prefix = state["a_pts"][pfx_idx]  # (MAXP, P, 3)
+                npfx = state["a_np"][pfx_idx]
+                exyz = e_pts[top % E][:, :, :3]  # (MAXP, S, 3)
+                start = jnp.minimum(npfx, self.P - S).astype(jnp.int32)
+                new_pts = jax.vmap(
+                    lambda p, e, st0: jax.lax.dynamic_update_slice(
+                        p, e, (st0, jnp.zeros((), jnp.int32))))(
+                    prefix, exyz, start)
+                new_np = jnp.minimum(npfx + S, self.P).astype(jnp.int32)
+                gains = self._gain_block(new_pts, new_np, gp)
+                blk_real = jnp.where(scored[top] & sel_ok, gains, NEG)
+                a_score_blk = jnp.where(
+                    sel_ok, jnp.where(scored[top], gains, SENTINEL), NEG)
+                state = dict(
+                    state,
+                    a_pts=jax.lax.dynamic_update_slice(
+                        state["a_pts"], new_pts, (abase, 0, 0)),
+                    a_np=jax.lax.dynamic_update_slice(
+                        state["a_np"],
+                        jnp.where(sel_ok, new_np, 0).astype(jnp.int32),
+                        (abase,)))
+
             prev = src_slots[top // E]
             edge_ids = ebase + (top % E)
             state = dict(
                 state,
-                a_q=jax.lax.dynamic_update_slice(
-                    state["a_q"], xq[top], (abase, 0)),
                 a_budget=jax.lax.dynamic_update_slice(
                     state["a_budget"], xb[top], (abase,)),
                 a_time=jax.lax.dynamic_update_slice(
                     state["a_time"], xt[top], (abase,)),
                 a_score=jax.lax.dynamic_update_slice(
-                    state["a_score"], jnp.where(sel_ok, scores[top], NEG),
-                    (abase,)),
+                    state["a_score"], a_score_blk, (abase,)),
                 a_prev=jax.lax.dynamic_update_slice(
                     state["a_prev"],
                     jnp.where(sel_ok, prev, -1).astype(jnp.int32),
@@ -319,15 +394,13 @@ class DeviceRIG:
             # the best SCORED extension always ranks inside the arena block
             # (sentinel/NEG entries sort below every real score), so its
             # arena index is abase + its position within the block.
-            blk_mask = scored[top] & sel_ok
-            blk_scores = jnp.where(blk_mask, scores[top], NEG)
             blk_budget = xb[top]
-            # mask the key too: budgets of infeasible rows can be NaN, and
+            # mask the key: budgets of infeasible rows can be NaN, and
             # argmax treats NaN as maximal
-            blk_key = jnp.where(blk_mask, blk_scores - 1e-9 * blk_budget,
-                                NEG)
+            blk_key = jnp.where(blk_real > NEG,
+                                blk_real - 1e-9 * blk_budget, NEG)
             pos = jnp.argmax(blk_key)
-            cand_s, cand_b = blk_scores[pos], blk_budget[pos]
+            cand_s, cand_b = blk_real[pos], blk_budget[pos]
             better = ((cand_s > state["best_score"])
                       | ((cand_s == state["best_score"])
                          & (cand_b < state["best_budget"])))
@@ -383,26 +456,37 @@ class DeviceRIG:
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         return state
 
-    def _args(self, x0, B, eid):
+    def _args(self, x0, B, eid, gp):
         eid_arr = (self._eid if eid is None
                    else jnp.asarray(np.asarray(eid, float).reshape(-1),
                                     self.dtype))
+        if eid_arr is None:
+            eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
+        if gp is None:
+            z = jnp.zeros((1, 1), self.dtype)
+            gp = (jnp.zeros((1, 3), self.dtype), z,
+                  jnp.ones((), self.dtype), jnp.ones((3,), self.dtype),
+                  jnp.ones((), self.dtype))
+        else:
+            gp = tuple(jnp.asarray(a, self.dtype) for a in gp)
         return (jnp.asarray(np.asarray(x0, float).reshape(-1), self.dtype),
                 jnp.asarray(B if B is not None else self.B, self.dtype),
-                eid_arr)
+                eid_arr, gp)
 
-    def plan(self, x0, key, B=None, eid=None) -> DevicePlanResult:
+    def plan(self, x0, key, B=None, eid=None, gp=None) -> DevicePlanResult:
         """Run the on-device loop, extract the best path on host.
 
-        ``B`` (budget) and ``eid`` override the constructor defaults
-        WITHOUT recompiling — they are traced arguments, so one compiled
-        executable serves every replan of an exploration run."""
-        x0j, Bj, eidj = self._args(x0, B, eid)
-        st = self._plan_jit(x0j, key, Bj, eidj)
+        ``B`` (budget), ``eid`` (ergodic target), and ``gp`` (the
+        conditioned GP for gain scoring, prepare_sf_gain_state) override
+        the constructor defaults WITHOUT recompiling — they are traced
+        arguments, so one compiled executable serves every replan of an
+        exploration run."""
+        x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
+        st = self._plan_jit(x0j, key, Bj, eidj, gpj)
         return self._extract(st)
 
     def plan_ensemble(self, x0, key, n_plans: int = 8, B=None,
-                      eid=None, mesh=None) -> DevicePlanResult:
+                      eid=None, gp=None, mesh=None) -> DevicePlanResult:
         """K independent planner instances in ONE vmapped launch; the
         best-scoring plan wins (ties break toward lower budget).
 
@@ -414,7 +498,7 @@ class DeviceRIG:
         the partitioned program needs zero collectives and each device
         executes a near-batch-1 loop.
         """
-        x0j, Bj, eidj = self._args(x0, B, eid)
+        x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
         keys = jax.random.split(key, n_plans)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -424,8 +508,8 @@ class DeviceRIG:
             keys = jax.device_put(keys, NamedSharding(mesh, P(DP_AXIS)))
         if self._ensemble_jit is None:
             self._ensemble_jit = jax.jit(jax.vmap(
-                self._plan_impl, in_axes=(None, 0, None, None)))
-        sts = dict(self._ensemble_jit(x0j, keys, Bj, eidj))
+                self._plan_impl, in_axes=(None, 0, None, None, None)))
+        sts = dict(self._ensemble_jit(x0j, keys, Bj, eidj, gpj))
         sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
         scores = np.asarray(sts["best_score"])
         budgets = np.asarray(sts["best_budget"])
@@ -466,6 +550,33 @@ class DeviceRIG:
             float(st["a_time"][best]), points, n_nodes, nodes, edges)
 
 
+def prepare_sf_gain_state(model, n_max: int, dtype=jnp.float32):
+    """Pad a conditioned single-fidelity GP to a STATIC train size for the
+    device planner's gain scoring (one compiled plan() across replans as
+    the training set grows).
+
+    Dummy rows sit at a far sentinel coordinate (kernel values underflow
+    to 0, so cross-covariances to them vanish) and the factor is extended
+    block-diagonally with the identity — the padded posterior equals the
+    real one exactly. Returns (X_pad, L_pad, variance, lengthscales,
+    noise) for ``DeviceRIG.plan(gp=...)``.
+    """
+    X = np.asarray(model.state.X)
+    L = np.asarray(model.state.L)
+    n, D = X.shape
+    if n > n_max:
+        raise ValueError(f"train size {n} exceeds n_max={n_max}")
+    X_pad = np.full((n_max, D), 1e6)
+    X_pad[:n] = X
+    L_pad = np.eye(n_max)
+    L_pad[:n, :n] = L
+    p = model.params
+    return (jnp.asarray(X_pad, dtype), jnp.asarray(L_pad, dtype),
+            jnp.asarray(p.variance, dtype),
+            jnp.asarray(p.lengthscales, dtype),
+            jnp.asarray(p.noise, dtype))
+
+
 class DeviceRIGAdapter:
     """Drop-in shim exposing the host RIGPlanner's sim-facing surface
     (``plan(x0)`` / ``best_path_points`` / ``graph_summary``) over a
@@ -481,15 +592,16 @@ class DeviceRIGAdapter:
         self._mesh = mesh  # shard the ensemble axis over its dp extent
         self._res: Optional[DevicePlanResult] = None
 
-    def plan(self, x0, seed: int | None = None, B=None, eid=None):
+    def plan(self, x0, seed: int | None = None, B=None, eid=None,
+             gp=None):
         key = jax.random.key(self._seed if seed is None else seed)
         x0r = np.asarray(x0, float).reshape(-1)
         if self._n_plans > 1:
             self._res = self._planner.plan_ensemble(
-                x0r, key, n_plans=self._n_plans, B=B, eid=eid,
+                x0r, key, n_plans=self._n_plans, B=B, eid=eid, gp=gp,
                 mesh=self._mesh)
         else:
-            self._res = self._planner.plan(x0r, key, B=B, eid=eid)
+            self._res = self._planner.plan(x0r, key, B=B, eid=eid, gp=gp)
         r = self._res
 
         class _Best:

@@ -174,3 +174,81 @@ def test_device_planner_dynamic_flight():
     assert rec.tracking_rmse is not None and rec.tracking_rmse > 0
     assert rec.flown_budget is not None and rec.flown_budget > 0
     assert res.gp_data.data.shape[0] > 0
+
+
+def test_device_gain_mode_matches_host_scorer(setup, rng):
+    """cost='sf_gain': the device planner's sequential-entropy score for
+    its best path equals the host SFInfoGainCost on the SAME points (the
+    closed form is identical; padded train state is exact)."""
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.planning.rig_device import prepare_sf_gain_state
+    from mfgp_tpu.planning.scoring import SFInfoGainCost
+
+    cfg, WS, _, _, _ = setup
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (40, 3))
+    y = np.sin(X[:, 0]) + np.cos(X[:, 1] / 3)
+    model = GP(X, y, jitter=1e-8)
+
+    planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=16, max_nodes=48, max_paths=6,
+                        cost="sf_gain", max_path_points=288,
+                        dtype=jnp.float64)
+    gp = prepare_sf_gain_state(model, n_max=64, dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0), gp=gp)
+    assert np.isfinite(res.info) and res.points.shape[0] > 0
+    assert 0.5 * 20.0 < res.budget < 20.0
+
+    host_cost = SFInfoGainCost(model=model)
+    # no clamping at this cap: the device scored exactly these points
+    assert res.points.shape[0] <= 288
+    pts = res.points[:, :3]
+    host_gain = host_cost(np.column_stack([pts, np.zeros(len(pts))]))
+    np.testing.assert_allclose(res.info, host_gain, rtol=1e-6)
+
+
+def test_device_gain_padded_state_exact(rng):
+    """prepare_sf_gain_state: padded posterior == unpadded (dummy rows at
+    the far sentinel contribute nothing)."""
+    from mfgp_tpu.metrics.info_gain import sequential_gain_from_cov
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.ops import kernels as _k
+    from mfgp_tpu.ops import linalg as _la
+    from mfgp_tpu.planning.rig_device import prepare_sf_gain_state
+
+    X = rng.uniform(0, 10, (30, 3))
+    y = np.sin(X[:, 0])
+    m = GP(X, y, jitter=1e-8)
+    X_pad, L_pad, var, ls, noise = prepare_sf_gain_state(
+        m, n_max=50, dtype=jnp.float64)
+    pts = jnp.asarray(rng.uniform(0, 10, (12, 3)))
+    kern = _k.KERNELS["rbf"]
+    Sig_pad = _la.posterior_cov(kern(pts, pts, var, ls),
+                                kern(pts, X_pad, var, ls), L_pad)
+    Sig = _la.posterior_cov(kern(pts, pts, var, ls),
+                            kern(pts, m.state.X, var, ls), m.state.L)
+    np.testing.assert_allclose(np.asarray(Sig_pad), np.asarray(Sig),
+                               rtol=1e-9, atol=1e-12)
+    g1 = sequential_gain_from_cov(Sig_pad, noise)
+    g2 = sequential_gain_from_cov(Sig, noise)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-10)
+
+
+def test_sim_device_sfgp_gain_backend():
+    """SFGP variant (info-gain, single-fidelity) on the device planner:
+    closed loop runs end-to-end with gain-mode scoring."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=False, B=16, BD=2)
+    sim = ExplorationSim(exp, seed=0, plan_iters=32,
+                         planner_backend="device")
+    res = sim.run()
+    assert res.budget_used <= 16.0 + 1e-6
+    assert len(res.replans) >= 1
+    assert res.gp_data.data.shape[0] > 0
+    assert all(np.isfinite(r.best_info) for r in res.replans)
+
+    with pytest.raises(ValueError):  # MF gain stays on the host planner
+        ExplorationSim(ExperimentConfig(multi_fidelity=True, ergodic=False),
+                       seed=0, planner_backend="device")
