@@ -302,7 +302,7 @@ def build_parser():
     p.add_argument("--resume-from", help="resume from a checkpoint file")
     p.add_argument("--planner", default="host", choices=["host", "device"],
                    help="device = whole RIG loop as one jitted launch "
-                        "(ergodic variants; kinematic or dynamic flight)")
+                        "(all four variants; kinematic or dynamic flight)")
     p.add_argument("--plan-ensemble", type=int, default=1,
                    help="device planner: vmapped instances per replan, "
                         "best plan wins")

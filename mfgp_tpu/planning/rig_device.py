@@ -96,7 +96,7 @@ class DeviceRIG:
         self.max_paths = int(max_paths)
         self.S = int(samples_per_edge)
         self.K = int(near_neighbors)  # near-phase extensions per iteration
-        if cost not in ("ergodic", "sf_gain"):
+        if cost not in ("ergodic", "sf_gain", "mf_gain"):
             raise ValueError(cost)
         self.cost = cost
         self.P = int(max_path_points)  # per-path point cap (gain mode)
@@ -142,7 +142,8 @@ class DeviceRIG:
             q = jnp.zeros((1,), xyz.dtype)
         feasible = tuw <= cfg.underwater_time_limit
         pts = jnp.concatenate([xyz, ts[:, None]], axis=1)
-        return feasible, budget, t_e, q, pts
+        var_s = jnp.interp(ts, wpts[:, 2], wpts[:, 3])
+        return feasible, budget, t_e, q, pts, var_s
 
     def _score(self, q, T, r):
         """Host _ergodic_one semantics on additive stats (floor + KL);
@@ -158,23 +159,41 @@ class DeviceRIG:
     def _gain_block(self, pts_blk, np_blk, gp):
         """Sequential-entropy gains for a block of candidate paths.
 
-        pts_blk: (MAXP, P, 3) padded path points; np_blk: (MAXP,) counts;
-        gp = (X_pad, L_pad, variance, lengthscales, noise) — the
-        conditioned single-fidelity GP padded to a static train size
-        (prepare_sf_gain_state). Same closed form as the host
-        SFInfoGainCost (scoring._sf_gain_one / reference calcPathInfoSF2,
-        reference/GraceRIGV3.py:443-466)."""
+        pts_blk: (MAXP, P, 4) padded path points (x, y, z, accrued var);
+        np_blk: (MAXP,) counts; gp = the padded conditioned GP state
+        (prepare_sf_gain_state / prepare_mf_gain_state). Same closed forms
+        as the host SFInfoGainCost / MFInfoGainCost (reference
+        calcPathInfoSF2 / calculatePathInfoEmu,
+        reference/GraceRIGV3.py:443-466, :525-562)."""
         from mfgp_tpu.metrics.info_gain import sequential_gain_from_cov
         from mfgp_tpu.ops import kernels as _k
         from mfgp_tpu.ops import linalg as _la
+
+        if self.cost == "mf_gain":
+            from mfgp_tpu.planning.scoring import _mf_gain_one
+
+            (X_pad, fid_pad, L_pad, variances, lengthscales, rhos,
+             noises, fl) = gp
+            F = variances.shape[0]
+
+            def one(pts, n):
+                mask = jnp.arange(self.P) < n
+                # fids_from_variance, traced (searchsorted side="right")
+                lev = jnp.sum(pts[:, 3][:, None] >= fl[None, :], axis=1)
+                fid_c = (F - 1 - lev).astype(jnp.int32)
+                return _mf_gain_one(pts[:, :3], fid_c, mask, X_pad,
+                                    fid_pad, L_pad, variances,
+                                    lengthscales, rhos, noises, "rbf")
+
+            return jax.vmap(one)(pts_blk, np_blk)
 
         X_pad, L_pad, variance, lengthscales, noise = gp
         kern = _k.KERNELS["rbf"]
 
         def one(pts, n):
             mask = jnp.arange(self.P) < n
-            Kxs = kern(pts, X_pad, variance, lengthscales)
-            Kss = kern(pts, pts, variance, lengthscales)
+            Kxs = kern(pts[:, :3], X_pad, variance, lengthscales)
+            Kss = kern(pts[:, :3], pts[:, :3], variance, lengthscales)
             Sigma = _la.posterior_cov(Kss, Kxs, L_pad)
             return sequential_gain_from_cov(Sigma, noise, mask=mask)
 
@@ -211,7 +230,7 @@ class DeviceRIG:
             a_edge=jnp.full((ARENA,), -1, jnp.int32),
             a_node=jnp.zeros((ARENA,), jnp.int32),
             edge_pts=jnp.zeros((MAXE, S, 4), dt),
-            **({"a_pts": jnp.zeros((ARENA, self.P, 3), dt),
+            **({"a_pts": jnp.zeros((ARENA, self.P, 4), dt),
                 "a_np": jnp.zeros((ARENA,), jnp.int32)}
                if self.cost != "ergodic" else {}),
             edge_prims=jnp.full((MAXE, 2 * cfg.num_legs + 1, 4),
@@ -262,8 +281,8 @@ class DeviceRIG:
                                                    num_legs=cfg.num_legs)
                 return (*self._edge_stats(prims, src_xy, dst_xy), prims)
 
-            feas, e_budget, e_time, e_q, e_pts, e_prims = jax.vmap(
-                one_edge)(ek[1:], choices)
+            (feas, e_budget, e_time, e_q, e_pts, e_var,
+             e_prims) = jax.vmap(one_edge)(ek[1:], choices)
             feas = feas & active
             ebase = (PH * it + phase) * E
             state = dict(
@@ -323,9 +342,11 @@ class DeviceRIG:
                 top = jax.lax.top_k(prekey, MAXP)[1]
                 sel_ok = ok[top]
                 pfx_idx = src_slots[top // E]
-                prefix = state["a_pts"][pfx_idx]  # (MAXP, P, 3)
+                prefix = state["a_pts"][pfx_idx]  # (MAXP, P, 4)
                 npfx = state["a_np"][pfx_idx]
-                exyz = e_pts[top % E][:, :, :3]  # (MAXP, S, 3)
+                exyz = jnp.concatenate(  # (MAXP, S, 4): xyz + accrued var
+                    [e_pts[top % E][:, :, :3],
+                     e_var[top % E][:, :, None]], axis=2)
                 start = jnp.minimum(npfx, self.P - S).astype(jnp.int32)
                 new_pts = jax.vmap(
                     lambda p, e, st0: jax.lax.dynamic_update_slice(
@@ -464,11 +485,22 @@ class DeviceRIG:
             eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
         if gp is None:
             z = jnp.zeros((1, 1), self.dtype)
-            gp = (jnp.zeros((1, 3), self.dtype), z,
-                  jnp.ones((), self.dtype), jnp.ones((3,), self.dtype),
-                  jnp.ones((), self.dtype))
+            if self.cost == "mf_gain":
+                gp = (jnp.zeros((1, 3), self.dtype),
+                      jnp.zeros((1,), jnp.int32), z,
+                      jnp.ones((3,), self.dtype),
+                      jnp.ones((3, 3), self.dtype),
+                      jnp.ones((2,), self.dtype),
+                      jnp.ones((3,), self.dtype),
+                      jnp.ones((2,), self.dtype))
+            else:
+                gp = (jnp.zeros((1, 3), self.dtype), z,
+                      jnp.ones((), self.dtype), jnp.ones((3,), self.dtype),
+                      jnp.ones((), self.dtype))
         else:
-            gp = tuple(jnp.asarray(a, self.dtype) for a in gp)
+            gp = tuple(a if (hasattr(a, "dtype")
+                             and jnp.issubdtype(a.dtype, jnp.integer))
+                       else jnp.asarray(a, self.dtype) for a in gp)
         return (jnp.asarray(np.asarray(x0, float).reshape(-1), self.dtype),
                 jnp.asarray(B if B is not None else self.B, self.dtype),
                 eid_arr, gp)
@@ -575,6 +607,33 @@ def prepare_sf_gain_state(model, n_max: int, dtype=jnp.float32):
             jnp.asarray(p.variance, dtype),
             jnp.asarray(p.lengthscales, dtype),
             jnp.asarray(p.noise, dtype))
+
+
+def prepare_mf_gain_state(model, fid_levels, n_max: int,
+                          dtype=jnp.float32):
+    """MF counterpart of prepare_sf_gain_state: pad the conditioned AR1
+    multi-fidelity GP to a static train size. Returns (X_pad, fid_pad,
+    L_pad, variances, lengthscales, rhos, noises, fid_levels) for
+    ``DeviceRIG(cost="mf_gain").plan(gp=...)``."""
+    X = np.asarray(model.state.X)
+    fid = np.asarray(model.state.fid)
+    L = np.asarray(model.state.L)
+    n, D = X.shape
+    if n > n_max:
+        raise ValueError(f"train size {n} exceeds n_max={n_max}")
+    X_pad = np.full((n_max, D), 1e6)
+    X_pad[:n] = X
+    fid_pad = np.zeros(n_max, np.int32)
+    fid_pad[:n] = fid
+    L_pad = np.eye(n_max)
+    L_pad[:n, :n] = L
+    p = model.params
+    F = int(np.asarray(p.variances).shape[0])
+    fl = np.asarray(fid_levels, float)[: F - 1]
+    return (jnp.asarray(X_pad, dtype), jnp.asarray(fid_pad),
+            jnp.asarray(L_pad, dtype), jnp.asarray(p.variances, dtype),
+            jnp.asarray(p.lengthscales, dtype), jnp.asarray(p.rhos, dtype),
+            jnp.asarray(p.noises, dtype), jnp.asarray(fl, dtype))
 
 
 class DeviceRIGAdapter:

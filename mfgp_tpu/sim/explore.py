@@ -109,11 +109,7 @@ class ExplorationSim:
         # from the extracted primitive chain).
         if planner_backend not in ("host", "device"):
             raise ValueError(planner_backend)
-        if (planner_backend == "device" and not self.exp.ergodic
-                and self.exp.multi_fidelity):
-            raise ValueError(
-                "device planner scores ergodic-KL or single-fidelity "
-                "sequential gain (MF gain stays on the host planner)")
+
         if planner_backend == "device" and self.exp.plan_wallclock:
             raise ValueError(
                 "the device planner runs a fixed iteration count (one "
@@ -360,13 +356,17 @@ class ExplorationSim:
                 )
             if self.planner_backend == "device":
                 gp_pad = None
-                if not exp.ergodic:  # single-fidelity sequential gain
+                if not exp.ergodic:  # sequential-gain scoring on device
                     from mfgp_tpu.planning.rig_device import (
-                        prepare_sf_gain_state)
+                        prepare_mf_gain_state, prepare_sf_gain_state)
 
                     n = int(np.asarray(model.X).shape[0])
                     n_max = max(64, 1 << (n - 1).bit_length())
-                    gp_pad = prepare_sf_gain_state(model, n_max)
+                    if exp.multi_fidelity:
+                        gp_pad = prepare_mf_gain_state(
+                            model, self.agent_cfg.fid_levels, n_max)
+                    else:
+                        gp_pad = prepare_sf_gain_state(model, n_max)
                 best = planner.plan(x0, seed=self.seed + plan_num,
                                     B=tranche, eid=eid, gp=gp_pad)
             else:

@@ -94,9 +94,6 @@ def test_sim_device_planner_backend():
     if len(res.replans) > 1:  # second replan hit the jit cache
         assert sim._device_planner is not None
 
-    with pytest.raises(ValueError):
-        ExplorationSim(ExperimentConfig(ergodic=False), seed=0,
-                       planner_backend="device")
     with pytest.raises(ValueError):  # fixed-iteration contract
         ExplorationSim(ExperimentConfig(ergodic=True, plan_wallclock=10.0),
                        seed=0, planner_backend="device")
@@ -249,6 +246,65 @@ def test_sim_device_sfgp_gain_backend():
     assert res.gp_data.data.shape[0] > 0
     assert all(np.isfinite(r.best_info) for r in res.replans)
 
-    with pytest.raises(ValueError):  # MF gain stays on the host planner
-        ExplorationSim(ExperimentConfig(multi_fidelity=True, ergodic=False),
-                       seed=0, planner_backend="device")
+
+def test_device_mf_gain_matches_host_scorer(setup, rng):
+    """cost='mf_gain': device best-path score == host MFInfoGainCost on
+    the same points + accrued-variance fidelity labels."""
+    from mfgp_tpu.models.mfgp import MFGP
+    from mfgp_tpu.planning.rig_device import prepare_mf_gain_state
+    from mfgp_tpu.planning.scoring import MFInfoGainCost
+
+    cfg, WS, _, _, _ = setup
+    cfg2 = AgentConfig.sim_defaults()
+    cfg2.traj_count = 8
+    cfg2.variance_rate = 0.01  # accrue localization variance on paths
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (36, 3))
+    y = np.sin(X[:, 0]) + np.cos(X[:, 1] / 3)
+    fid = rng.integers(0, 3, 36)
+    model = MFGP(X, fid, y, jitter=1e-8)
+
+    planner = DeviceRIG(cfg2, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=16, max_nodes=48, max_paths=6,
+                        cost="mf_gain", max_path_points=288,
+                        dtype=jnp.float64)
+    gp = prepare_mf_gain_state(model, cfg2.fid_levels, n_max=64,
+                               dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0), gp=gp)
+    assert np.isfinite(res.info) and res.points.shape[0] > 0
+
+    # reconstruct the scored point set (xyz + accrued var) from the chain
+    from mfgp_tpu.planning.primitives_device import padded_to_prims
+    from mfgp_tpu.planning import primitives as hostprim
+    rows = []
+    for padded, src_xy, dst_xy in res.edges:
+        prims = padded_to_prims(padded)
+        t, d, tuw, wpts, b = hostprim.evaluate_trajectory(prims, cfg2)
+        import math as _m
+        br = _m.atan2(dst_xy[1] - src_xy[1], dst_xy[0] - src_xy[0])
+        ts = np.linspace(0.0, t, planner.S)
+        dd = np.interp(ts, wpts[:, 2], wpts[:, 0])
+        zz = np.interp(ts, wpts[:, 2], wpts[:, 1])
+        vv = np.interp(ts, wpts[:, 2], wpts[:, 3])
+        rows.append(np.column_stack([
+            src_xy[0] + dd * np.cos(br), src_xy[1] + dd * np.sin(br),
+            zz, ts, vv]))
+    pts5 = np.concatenate(rows, axis=0)
+    assert pts5.shape[0] <= 288
+    host_cost = MFInfoGainCost(model=model, fid_levels=cfg2.fid_levels)
+    host_gain = host_cost(pts5)
+    np.testing.assert_allclose(res.info, host_gain, rtol=1e-6)
+
+
+def test_sim_device_mfgp_gain_backend():
+    """MFGP variant (info-gain, multi-fidelity) on the device planner."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=True, ergodic=False, B=16, BD=2)
+    sim = ExplorationSim(exp, seed=0, plan_iters=32,
+                         planner_backend="device")
+    res = sim.run()
+    assert res.budget_used <= 16.0 + 1e-6
+    assert len(res.replans) >= 1
+    assert res.gp_data.data.shape[0] > 0
