@@ -100,6 +100,8 @@ class DeviceRIG:
             raise ValueError(cost)
         self.cost = cost
         self.P = int(max_path_points)  # per-path point cap (gain mode)
+        if self.P < int(samples_per_edge):
+            raise ValueError("max_path_points must be >= samples_per_edge")
         self.dtype = dtype
         grid = (np.zeros((1, 3)) if grid is None
                 else np.asarray(grid, float))
