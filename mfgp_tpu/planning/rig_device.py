@@ -82,7 +82,7 @@ class DeviceRIG:
                  max_nodes: int = 64, max_paths: int = 8,
                  samples_per_edge: int = 24, near_neighbors: int = 1,
                  cost: str = "ergodic", max_path_points: int = 192,
-                 dtype=jnp.float32):
+                 kernel: str = "rbf", dtype=jnp.float32):
         self.cfg = cfg
         self.delta = float(delta)
         self.B = float(B)
@@ -98,13 +98,22 @@ class DeviceRIG:
         self.K = int(near_neighbors)  # near-phase extensions per iteration
         if cost not in ("ergodic", "sf_gain", "mf_gain"):
             raise ValueError(cost)
+        from mfgp_tpu.ops.kernels import KERNELS
+
+        if kernel not in KERNELS:
+            raise ValueError(kernel)
+        self.kernel = kernel
         self.cost = cost
         self.P = int(max_path_points)  # per-path point cap (gain mode)
         if self.P < int(samples_per_edge):
             raise ValueError("max_path_points must be >= samples_per_edge")
         self.dtype = dtype
-        grid = (np.zeros((1, 3)) if grid is None
-                else np.asarray(grid, float))
+        if grid is None:
+            if cost == "ergodic":
+                raise ValueError("ergodic scoring needs a grid (+ eid)")
+            grid = np.zeros((1, 3))
+        else:
+            grid = np.asarray(grid, float)
         self.grid = jnp.asarray(grid, dtype)
         if sigma_diag is None:
             sigma_diag = 0.25 * np.ones(grid.shape[1])
@@ -185,19 +194,19 @@ class DeviceRIG:
                 fid_c = (F - 1 - lev).astype(jnp.int32)
                 return _mf_gain_one(pts[:, :3], fid_c, mask, X_pad,
                                     fid_pad, L_pad, variances,
-                                    lengthscales, rhos, noises, "rbf")
+                                    lengthscales, rhos, noises,
+                                    self.kernel)
 
             return jax.vmap(one)(pts_blk, np_blk)
 
+        from mfgp_tpu.planning.scoring import _sf_gain_one
+
         X_pad, L_pad, variance, lengthscales, noise = gp
-        kern = _k.KERNELS["rbf"]
 
         def one(pts, n):
             mask = jnp.arange(self.P) < n
-            Kxs = kern(pts[:, :3], X_pad, variance, lengthscales)
-            Kss = kern(pts[:, :3], pts[:, :3], variance, lengthscales)
-            Sigma = _la.posterior_cov(Kss, Kxs, L_pad)
-            return sequential_gain_from_cov(Sigma, noise, mask=mask)
+            return _sf_gain_one(pts[:, :3], mask, X_pad, L_pad, variance,
+                                lengthscales, noise, self.kernel)
 
         return jax.vmap(one)(pts_blk, np_blk)
 
@@ -224,7 +233,8 @@ class DeviceRIG:
             # per-node beam: arena indices, -1 = empty
             node_paths=jnp.full((MAXN, MAXP), -1, jnp.int32),
             # arena (append-only): slot 0 is the root's trivial path
-            a_q=jnp.zeros((ARENA, G), dt),
+            **({"a_q": jnp.zeros((ARENA, G), dt)}
+               if self.cost == "ergodic" else {}),
             a_budget=jnp.zeros((ARENA,), dt),
             a_time=jnp.zeros((ARENA,), dt),
             a_score=jnp.full((ARENA,), SENTINEL, dt),
@@ -247,9 +257,11 @@ class DeviceRIG:
         state["node_paths"] = state["node_paths"].at[0, 0].set(0)
         # the root's trivial path must never be evicted from node 0's beam
         # (every path starts by extending it): give it a beam-ranking score
-        # above any real one (ergodic scores are -KL <= 0; never read as a
-        # best-path candidate, which only considers scored extensions)
-        state["a_score"] = state["a_score"].at[0].set(1.0)
+        # above any real one — gain-mode scores are POSITIVE sums, so the
+        # pin must dominate them, not just the non-positive -KL scores
+        # (never read as a best-path candidate, which only considers
+        # scored extensions)
+        state["a_score"] = state["a_score"].at[0].set(1e20)
 
         def extend(state, src_idx, dst_xy, phase, it):
             """Synthesize E candidate edges src->dst, run the DP update."""
@@ -484,6 +496,9 @@ class DeviceRIG:
                    else jnp.asarray(np.asarray(eid, float).reshape(-1),
                                     self.dtype))
         if eid_arr is None:
+            if self.cost == "ergodic":
+                raise ValueError("ergodic scoring needs an eid "
+                                 "(constructor or plan argument)")
             eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
         if gp is None:
             z = jnp.zeros((1, 1), self.dtype)
@@ -631,7 +646,11 @@ def prepare_mf_gain_state(model, fid_levels, n_max: int,
     L_pad[:n, :n] = L
     p = model.params
     F = int(np.asarray(p.variances).shape[0])
-    fl = np.asarray(fid_levels, float)[: F - 1]
+    fl = np.asarray(fid_levels, float)
+    if fl.shape[0] < F - 1:  # host fids_from_variance raises too
+        raise ValueError(
+            f"need {F - 1} fidelity thresholds, got {fl.shape[0]}")
+    fl = fl[: F - 1]
     return (jnp.asarray(X_pad, dtype), jnp.asarray(fid_pad),
             jnp.asarray(L_pad, dtype), jnp.asarray(p.variances, dtype),
             jnp.asarray(p.lengthscales, dtype), jnp.asarray(p.rhos, dtype),

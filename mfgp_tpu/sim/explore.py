@@ -121,6 +121,7 @@ class ExplorationSim:
             raise ValueError("plan_ensemble requires the device planner "
                              "(--planner device)")
         self._device_planner = None
+        self._gain_nmax = None
         self._runtime_cfg = runtime_cfg
         self._runtime = None
         # grid the EID / replanning posterior is evaluated on
@@ -341,7 +342,10 @@ class ExplorationSim:
                         Rd=cfg.Rd,
                         same_node_distance=cfg.same_node_distance,
                         budget_cutoff=0.9, max_iter=self.plan_iters,
-                        grid=self.grid)
+                        grid=self.grid, kernel=self.exp.kernel,
+                        cost=("ergodic" if exp.ergodic
+                              else ("mf_gain" if exp.multi_fidelity
+                                    else "sf_gain")))
                 planner = self._device_planner
             else:
                 cost = self._make_cost(model, eid)
@@ -361,12 +365,19 @@ class ExplorationSim:
                         prepare_mf_gain_state, prepare_sf_gain_state)
 
                     n = int(np.asarray(model.X).shape[0])
-                    n_max = max(64, 1 << (n - 1).bit_length())
+                    # size the static train pad ONCE (generously) so one
+                    # compiled plan() survives the whole run; bump only on
+                    # overflow (rare -> at most O(1) recompiles)
+                    if self._gain_nmax is None or n > self._gain_nmax:
+                        self._gain_nmax = 1 << max(
+                            9, (4 * max(n, 1) - 1).bit_length())
                     if exp.multi_fidelity:
                         gp_pad = prepare_mf_gain_state(
-                            model, self.agent_cfg.fid_levels, n_max)
+                            model, self.agent_cfg.fid_levels,
+                            self._gain_nmax)
                     else:
-                        gp_pad = prepare_sf_gain_state(model, n_max)
+                        gp_pad = prepare_sf_gain_state(model,
+                                                       self._gain_nmax)
                 best = planner.plan(x0, seed=self.seed + plan_num,
                                     B=tranche, eid=eid, gp=gp_pad)
             else:

@@ -91,6 +91,7 @@ def test_sim_device_planner_backend():
     assert res.budget_used <= 16.0 + 1e-6
     assert len(res.replans) >= 1
     assert res.gp_data.data.shape[0] > 0
+    assert sim._device_planner._planner.cost == "ergodic"
     if len(res.replans) > 1:  # second replan hit the jit cache
         assert sim._device_planner is not None
 
@@ -245,6 +246,11 @@ def test_sim_device_sfgp_gain_backend():
     assert len(res.replans) >= 1
     assert res.gp_data.data.shape[0] > 0
     assert all(np.isfinite(r.best_info) for r in res.replans)
+    # the sim really wired gain scoring (a cost= wiring regression once
+    # passed these assertions while silently planning ergodically)
+    assert sim._device_planner._planner.cost == "sf_gain"
+    # gains are positive sums of log(1 + v/sig_n); ergodic -KL is <= 0
+    assert any(r.best_info > 0 for r in res.replans)
 
 
 def test_device_mf_gain_matches_host_scorer(setup, rng):
@@ -308,3 +314,30 @@ def test_sim_device_mfgp_gain_backend():
     assert res.budget_used <= 16.0 + 1e-6
     assert len(res.replans) >= 1
     assert res.gp_data.data.shape[0] > 0
+    assert sim._device_planner._planner.cost == "mf_gain"
+
+
+
+def test_device_gain_matern32_matches_host(setup, rng):
+    """Gain mode honors the configured kernel (matern32 — the physical
+    drivers' kernel, configs.py): parity with the host scorer."""
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.planning.rig_device import prepare_sf_gain_state
+    from mfgp_tpu.planning.scoring import SFInfoGainCost
+
+    cfg, WS, _, _, _ = setup
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (30, 3))
+    y = np.sin(X[:, 0])
+    model = GP(X, y, kernel="matern32", jitter=1e-8)
+    planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=12, max_nodes=32, max_paths=4,
+                        cost="sf_gain", max_path_points=288,
+                        kernel="matern32", dtype=jnp.float64)
+    gp = prepare_sf_gain_state(model, n_max=64, dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(2), gp=gp)
+    if res.points.shape[0]:
+        host = SFInfoGainCost(model=model)
+        host_gain = host(np.column_stack(
+            [res.points[:, :3], np.zeros(len(res.points))]))
+        np.testing.assert_allclose(res.info, host_gain, rtol=1e-6)
