@@ -80,7 +80,7 @@ def _theta(D=D_IN, dtype=np.float64):
 # ---------------------------------------------------------------------------
 # TPU unit
 # ---------------------------------------------------------------------------
-def run_tpu(N, M, repeats=3):
+def run_tpu(N, M, repeats=3, fast=False):
     import jax
     import jax.numpy as jnp
 
@@ -108,10 +108,12 @@ def run_tpu(N, M, repeats=3):
     # predict_blocked_inv. Kept as TWO launches: fusing them into one jit
     # makes XLA hold the gradient's inverse alongside the posterior
     # buffers — an HBM OOM at N=20k on one v5e.
+    mode = "high" if fast else "highest"
     vgs = jax.jit(
-        lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj, jitter=1e-6))
+        lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj, jitter=1e-6,
+                                               inv_mode=mode))
     post = jax.jit(
-        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj))
+        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj, precision=mode))
 
     def unit():
         val, g, state = vgs(params)
@@ -263,6 +265,10 @@ def main():
     ap.add_argument("--n", type=int, default=N_TRAIN)
     ap.add_argument("--m", type=int, default=M_GRID)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--fast", action="store_true",
+                    help="HIGH-precision matmuls on the K^-1/posterior "
+                         "phases (~5e-2 max posterior-variance rel err vs "
+                         "~1e-3 at the HIGHEST default)")
     args = ap.parse_args()
 
     if args.calibrate:
@@ -271,7 +277,7 @@ def main():
 
     baseline = (args.baseline_seconds if args.baseline_seconds is not None
                 else BASELINE_CPU_SECONDS)
-    stats = run_tpu(args.n, args.m, args.repeats)
+    stats = run_tpu(args.n, args.m, args.repeats, fast=args.fast)
     value = stats["seconds"]
     out = {
         "metric": "mfgp_n20k_train_step_plus_grid_wallclock",
