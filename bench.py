@@ -283,6 +283,7 @@ def main():
         "metric": "mfgp_n20k_train_step_plus_grid_wallclock",
         "value": round(value, 4),
         "unit": "s",
+        "precision": "high" if args.fast else "highest",
         "vs_baseline": round(baseline / value, 2),
         "chol_seconds": round(stats["chol_seconds"], 4),
         "grid_points_per_sec": round(stats["grid_points_per_sec"], 1),

@@ -154,43 +154,51 @@ class FlightLog:
                        delimiter=",", header=header, comments="")
 
 
-def flight_plan(planner):
-    """(waypoints, legs) of a planner's best path, aligned so ``legs[i]``
-    spans ``waypoints[i] -> waypoints[i+1]`` — the runtime equivalent of
-    the reference's pathPoints/edgeChain construction
-    (reference/...MFEGP.py:449-461).
-
-    waypoints: (L+1, 4) rows (x, y, z, t); legs: list of primitive tuples.
-    Planners that carry their own flight-plan builder (DeviceRIGAdapter)
-    are delegated to.
+def chain_to_flight_plan(edge_triples, cfg):
+    """Assemble (waypoints, legs) from an edge chain of
+    ``(prims, src_xy, dst_xy)`` triples — the single implementation of the
+    reference's pathPoints/edgeChain construction
+    (reference/...MFEGP.py:449-461), shared by the host and device
+    planners. ``legs[i]`` spans ``waypoints[i] -> waypoints[i+1]``.
     """
     from mfgp_tpu.planning import primitives as prim
 
+    rows = [None]
+    legs = []
+    t_off = 0.0
+    for prims, src_xy, dst_xy in edge_triples:
+        _, _, _, wpnts, _ = prim.evaluate_trajectory(prims, cfg)
+        src_xy = np.asarray(src_xy, float).reshape(-1)
+        dst_xy = np.asarray(dst_xy, float).reshape(-1)
+        if rows[0] is None:
+            rows[0] = np.array([[src_xy[0], src_xy[1], 0.0, 0.0]])
+        b = math.atan2(dst_xy[1] - src_xy[1], dst_xy[0] - src_xy[0])
+        d = wpnts[1:, 0]
+        rows.append(np.column_stack([
+            src_xy[0] + d * np.cos(b), src_xy[1] + d * np.sin(b),
+            wpnts[1:, 1], wpnts[1:, 2] + t_off]))
+        legs.extend(prims)
+        t_off += wpnts[-1, 2]
+    if rows[0] is None:
+        return None, None
+    return np.concatenate(rows, axis=0), legs
+
+
+def flight_plan(planner):
+    """(waypoints, legs) of a planner's best path (see
+    chain_to_flight_plan). Planners that carry their own flight-plan
+    builder (DeviceRIGAdapter) are delegated to."""
     if hasattr(planner, "flight_plan"):
         return planner.flight_plan()
     if planner.best_path.segments is None:
         return None, None
-    node_states = {i: planner.V[i].state for i in planner.V}
-    rows = [np.zeros((1, 4))]
-    legs = []
-    t_off = 0.0
-    first = True
-    for s in planner.best_path.segments:
-        prims = planner.E[(s.sn, s.en)][s.edge_idx].prims
-        _, _, _, wpnts, _ = prim.evaluate_trajectory(prims, planner.cfg)
-        ps = np.asarray(node_states[s.sn]).reshape(-1)
-        pf = np.asarray(node_states[s.en]).reshape(-1)
-        if first:
-            rows[0] = np.array([[ps[0], ps[1], 0.0, 0.0]])
-            first = False
-        b = math.atan2(pf[1] - ps[1], pf[0] - ps[0])
-        d = wpnts[1:, 0]
-        rows.append(np.column_stack([
-            ps[0] + d * math.cos(b), ps[1] + d * math.sin(b),
-            wpnts[1:, 1], wpnts[1:, 2] + t_off]))
-        legs.extend(prims)
-        t_off += wpnts[-1, 2]
-    return np.concatenate(rows, axis=0), legs
+    triples = [
+        (planner.E[(s.sn, s.en)][s.edge_idx].prims,
+         np.asarray(planner.V[s.sn].state).reshape(-1)[:2],
+         np.asarray(planner.V[s.en].state).reshape(-1)[:2])
+        for s in planner.best_path.segments
+    ]
+    return chain_to_flight_plan(triples, planner.cfg)
 
 
 def traj_point(t, waypoints):

@@ -1,4 +1,4 @@
-"""Fully on-device RIG planner (ergodic-KL scoring).
+"""Fully on-device RIG planner (ergodic-KL or sequential-gain scoring).
 
 The host planner (planning/rig.py) keeps the graph bookkeeping in Python
 and batches only the scoring onto the device — the right split at the
@@ -65,6 +65,9 @@ class DevicePlanResult:
     # best-path edge chain: (padded prims (L, 4), src_xy, dst_xy) per edge —
     # enough to rebuild the runtime flight plan (hw.runtime.flight_plan)
     edges: list = None
+    # gain modes score at most max_path_points per path; True when the
+    # best path exceeded the cap (its score covers a truncated point set)
+    truncated: bool = False
 
 
 class DeviceRIG:
@@ -176,10 +179,6 @@ class DeviceRIG:
         as the host SFInfoGainCost / MFInfoGainCost (reference
         calcPathInfoSF2 / calculatePathInfoEmu,
         reference/GraceRIGV3.py:443-466, :525-562)."""
-        from mfgp_tpu.metrics.info_gain import sequential_gain_from_cov
-        from mfgp_tpu.ops import kernels as _k
-        from mfgp_tpu.ops import linalg as _la
-
         if self.cost == "mf_gain":
             from mfgp_tpu.planning.scoring import _mf_gain_one
 
@@ -350,8 +349,11 @@ class DeviceRIG:
                 # budget) and exactly MAXP candidates are scored — a
                 # divergence from the host planner, which scores every
                 # eligible extension
-                prekey = jnp.where(scored, 2e6 - xb,
-                                   jnp.where(ok, 1e6 - xb, NEG))
+                # bands scaled by B (xb < B inside ok): scored in
+                # (2B, 3B), unscored-ok in (0, B) — robust to any budget
+                # magnitude, lower budget ranks higher within a band
+                prekey = jnp.where(scored, 3.0 * B - xb,
+                                   jnp.where(ok, B - xb, NEG))
                 prekey = jnp.where(jnp.isnan(prekey), NEG, prekey)
                 top = jax.lax.top_k(prekey, MAXP)[1]
                 sel_ok = ok[top]
@@ -500,6 +502,10 @@ class DeviceRIG:
                 raise ValueError("ergodic scoring needs an eid "
                                  "(constructor or plan argument)")
             eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
+        if gp is None and self.cost != "ergodic":
+            raise ValueError(
+                "gain scoring needs the conditioned GP state: pass "
+                "gp=prepare_sf_gain_state(...)/prepare_mf_gain_state(...)")
         if gp is None:
             z = jnp.zeros((1, 1), self.dtype)
             if self.cost == "mf_gain":
@@ -594,9 +600,12 @@ class DeviceRIG:
             edges.append((edge_prims[e], all_nodes[edge_src[e]],
                           all_nodes[edge_dst[e]]))
         points = np.concatenate(rows, axis=0) if rows else np.zeros((0, 4))
+        truncated = (self.cost != "ergodic"
+                     and points.shape[0] > self.P)
         return DevicePlanResult(
             float(st["best_score"]), float(st["a_budget"][best]),
-            float(st["a_time"][best]), points, n_nodes, nodes, edges)
+            float(st["a_time"][best]), points, n_nodes, nodes, edges,
+            truncated)
 
 
 def prepare_sf_gain_state(model, n_max: int, dtype=jnp.float32):
@@ -701,30 +710,14 @@ class DeviceRIGAdapter:
         the device-planner counterpart of hw.runtime.flight_plan: per-edge
         primitives are rolled out on host and rotated by the edge bearing
         (reference pathPoints/edgeChain, reference/...MFEGP.py:449-461)."""
-        import math
-
-        from mfgp_tpu.planning import primitives as prim
+        from mfgp_tpu.hw.runtime import chain_to_flight_plan
         from mfgp_tpu.planning.primitives_device import padded_to_prims
 
         if self._res is None or not self._res.edges:
             return None, None
-        rows = [None]
-        legs = []
-        t_off = 0.0
-        for padded, src_xy, dst_xy in self._res.edges:
-            prims = padded_to_prims(padded)
-            _, _, _, wpnts, _ = prim.evaluate_trajectory(
-                prims, self._planner.cfg)
-            if rows[0] is None:
-                rows[0] = np.array([[src_xy[0], src_xy[1], 0.0, 0.0]])
-            b = math.atan2(dst_xy[1] - src_xy[1], dst_xy[0] - src_xy[0])
-            d = wpnts[1:, 0]
-            rows.append(np.column_stack([
-                src_xy[0] + d * np.cos(b), src_xy[1] + d * np.sin(b),
-                wpnts[1:, 1], wpnts[1:, 2] + t_off]))
-            legs.extend(prims)
-            t_off += wpnts[-1, 2]
-        return np.concatenate(rows, axis=0), legs
+        triples = [(padded_to_prims(p), src, dst)
+                   for p, src, dst in self._res.edges]
+        return chain_to_flight_plan(triples, self._planner.cfg)
 
     def graph_summary(self):
         return {"nodes": self._res.n_nodes if self._res else 0,

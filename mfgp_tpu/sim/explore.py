@@ -104,9 +104,10 @@ class ExplorationSim:
             raise ValueError(flight)
         self.flight = flight
         # planner_backend="device": the whole RIG loop runs as ONE jitted
-        # device launch (planning.rig_device) — ergodic-KL variants only
-        # (both flight modes: the adapter rebuilds runtime flight plans
-        # from the extracted primitive chain).
+        # device launch (planning.rig_device) — all four variants
+        # (ergodic-KL or SF/MF sequential gain) and both flight modes (the
+        # adapter rebuilds runtime flight plans from the extracted
+        # primitive chain).
         if planner_backend not in ("host", "device"):
             raise ValueError(planner_backend)
 
