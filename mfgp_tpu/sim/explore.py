@@ -58,6 +58,8 @@ class ReplanRecord:
     edges: int
     fit_seconds: float = 0.0  # model-update wall-clock (online vs refit)
     fit_mode: str = "refit"  # "refit" | "extend" (online bordered Cholesky)
+    plan_truncated: bool = False  # device gain mode: best path exceeded
+    # the max_path_points scoring cap (score covers a truncated set)
     tracking_rmse: Optional[float] = None  # dynamic flight only
     flown_budget: Optional[float] = None  # energy integrated by the runtime
 
@@ -435,6 +437,9 @@ class ExplorationSim:
                                planner.graph_summary()["nodes"],
                                planner.graph_summary()["edges"],
                                fit_seconds=fit_secs, fit_mode=fit_mode,
+                               plan_truncated=bool(
+                                   getattr(getattr(planner, "_res", None),
+                                           "truncated", False)),
                                tracking_rmse=(flog.tracking_rmse if flog
                                               else None),
                                flown_budget=(flog.plan_budget if flog
@@ -466,13 +471,15 @@ class ExplorationSim:
             # measured win over refit is recorded here (VERDICT r1 item 4)
             with open(os.path.join(self.out_dir, "replans.csv"), "w") as f:
                 f.write("planNum,tStart,tranche,bestInfo,nodes,edges,"
-                        "fitSeconds,fitMode,trackingRmse,flownBudget\n")
+                        "fitSeconds,fitMode,trackingRmse,flownBudget,"
+                        "planTruncated\n")
                 for r in replans:
                     f.write(f"{r.plan_num},{r.t_start},{r.budget_tranche},"
                             f"{r.best_info},{r.nodes},{r.edges},"
                             f"{r.fit_seconds:.6f},{r.fit_mode},"
                             f"{'' if r.tracking_rmse is None else r.tracking_rmse},"
-                            f"{'' if r.flown_budget is None else r.flown_budget}\n")
+                            f"{'' if r.flown_budget is None else r.flown_budget},"
+                            f"{int(r.plan_truncated)}\n")
         return self._finish(data_rows, telemetry_all, replans, model,
                             planned_budget)
 
