@@ -335,7 +335,14 @@ class DeviceRIG:
                     xq, xt)
                 scores = jnp.where(scored, scores,
                                    jnp.where(ok, SENTINEL, NEG))
-                key_rank = jnp.where(ok, scores - 1e-6 * xb, NEG)
+                # scored: by score (lower budget tie-break). Unscored:
+                # prefer HIGHER budget — those paths are closest to the
+                # budget_cutoff scoring band; preferring cheap ones starves
+                # budget accumulation and deep bands never score (the host
+                # planner keeps every path, so it has no such pressure)
+                key_rank = jnp.where(
+                    scored, scores - 1e-6 * xb,
+                    jnp.where(ok, SENTINEL + 1e-6 * xb, NEG))
                 top = jax.lax.top_k(key_rank, MAXP)[1]
                 sel_ok = ok[top]
                 blk_real = jnp.where(scored[top] & sel_ok, scores[top],
@@ -350,10 +357,11 @@ class DeviceRIG:
                 # divergence from the host planner, which scores every
                 # eligible extension
                 # bands scaled by B (xb < B inside ok): scored in
-                # (2B, 3B), unscored-ok in (0, B) — robust to any budget
-                # magnitude, lower budget ranks higher within a band
+                # (2B, 3B) with lower budget first, unscored-ok in (0, B)
+                # with HIGHER budget first (closest to the scoring band —
+                # see the ergodic branch note)
                 prekey = jnp.where(scored, 3.0 * B - xb,
-                                   jnp.where(ok, B - xb, NEG))
+                                   jnp.where(ok, xb, NEG))
                 prekey = jnp.where(jnp.isnan(prekey), NEG, prekey)
                 top = jax.lax.top_k(prekey, MAXP)[1]
                 sel_ok = ok[top]
@@ -411,9 +419,14 @@ class DeviceRIG:
             new_idx = jnp.where(sel_ok, new_idx, -1)
             old_idx = state["node_paths"][dst_idx]
             cand = jnp.concatenate([old_idx, new_idx])
+            sc_c = state["a_score"][cand]
+            bu_c = state["a_budget"][cand]
+            # beams rank scored paths by score (cheaper ties first) and
+            # sentinel (unscored) paths by HIGHER budget
             ck = jnp.where(cand >= 0,
-                           state["a_score"][cand]
-                           - 1e-6 * state["a_budget"][cand], NEG)
+                           jnp.where(sc_c == SENTINEL,
+                                     SENTINEL + 1e-6 * bu_c,
+                                     sc_c - 1e-6 * bu_c), NEG)
             keep = jax.lax.top_k(ck, MAXP)[1]
             beam = jnp.where(ck[keep] > NEG, cand[keep], -1).astype(jnp.int32)
             admitted = jnp.any(beam >= 0) & active

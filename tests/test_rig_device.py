@@ -341,3 +341,25 @@ def test_device_gain_matern32_matches_host(setup, rng):
         host_gain = host(np.column_stack(
             [res.points[:, :3], np.zeros(len(res.points))]))
         np.testing.assert_allclose(res.info, host_gain, rtol=1e-6)
+
+
+def test_gain_mode_reaches_deep_budget_band(setup, rng):
+    """Beam sentinel ranking prefers HIGHER budget: with a deep scoring
+    band (cutoff 0.5 of a large B needing many chained edges) the planner
+    must still reach it. Low-budget preference starved accumulation and
+    returned -inf here (regression)."""
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.planning.rig_device import prepare_sf_gain_state
+
+    cfg, WS, _, _, _ = setup
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (40, 3))
+    model = GP(X, np.sin(X[:, 0]), jitter=1e-8)
+    planner = DeviceRIG(cfg, delta=2.0, B=40.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=48, max_nodes=64, max_paths=6,
+                        cost="sf_gain", max_path_points=384,
+                        dtype=jnp.float64)
+    gp = prepare_sf_gain_state(model, n_max=64, dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0), gp=gp)
+    assert np.isfinite(res.info)
+    assert 0.5 * 40.0 < res.budget < 40.0
