@@ -134,6 +134,7 @@ def cmd_explore(args):
     variant = args.variant.upper()
     exp = ExperimentConfig(multi_fidelity=variant.startswith("MF"),
                            ergodic=variant in ("MFEGP", "SFEGP"),
+                           ergodic_metric=args.ergodic_metric,
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
                          plan_iters=args.plan_iters, flight=args.flight,
@@ -306,6 +307,11 @@ def build_parser():
     p.add_argument("--plan-ensemble", type=int, default=1,
                    help="device planner: vmapped instances per replan, "
                         "best plan wins")
+    p.add_argument("--ergodic-metric", default="kl",
+                   choices=["kl", "fourier"],
+                   help="ergodic variants: trajectory-distribution KL "
+                        "(reference) or Fourier/Sobolev spectral cost "
+                        "(host + device planners)")
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")

@@ -90,10 +90,14 @@ class RuntimeConfig:
     blue_thresh: float = 0.95  # burst-sampling trigger (:74)
     # energy model: weights on (dmass^2, dpump^2, ddelta^2, 1) — the
     # reference ran with (1,1,1,1) (:211) whose actuator terms are tiny
-    # next to the planner's per-leg costs; these defaults are calibrated
-    # (tests/test_runtime.py) so integrated budget matches the planner's
-    # evaluate_trajectory model on a representative path
-    udot_weights: tuple = (1.0, 1.0, 0.045, 1.0)
+    # next to the planner's per-leg costs. None (default) DERIVES the
+    # tail weight from the planner's own SwimEnergy model: w_delta is the
+    # closed-form ratio of the planner's swim-energy rate to the
+    # first-order input estimator's integrated ddelta^2 on the commanded
+    # tail gait (see derived_tail_weight); integrated budget then matches
+    # evaluate_trajectory within ~15% on representative paths
+    # (tests/test_runtime.py)
+    udot_weights: Optional[tuple] = None
     time_energy: Optional[float] = None  # defaults to agent.time_energy
     # sensor noise (1-sigma)
     fix_rate: float = 2.0  # Hz position-fix availability (AprilTag stand-in)
@@ -118,6 +122,41 @@ class RuntimeConfig:
     # depth-error KF (:141-146)
     q_depth_err: tuple = (0.1, 0.1, 0.1, 0.1)
     r_depth_err: float = 0.05
+
+
+def derived_tail_weight(agent: AgentConfig, dt: float,
+                        k_delta: float, wave: str = "square",
+                        horizon: float = 40.0) -> float:
+    """Tail-flap energy weight DERIVED from the planner's SwimEnergy model.
+
+    The planner charges ``swim_energy(t) * tail_energy_scale`` per swim
+    leg (reference/GraceRIGV3.py:61-63,269); the runtime integrates
+    ``w_delta * ddelta^2`` where ``ddelta`` is the first-order tail input
+    estimator's output (reference/...MFEGP.py:795-806). This computes the
+    weight that makes the two IDENTICAL on the commanded tail gait: run
+    the exact estimator recurrence on ``tail_wave`` (the gait the Swim law
+    commands) over a long horizon and take the ratio of the planner's
+    energy to the integrated ddelta^2. Deterministic and closed-form given
+    (tail_amp, tail_freq, tail_energy_scale, k_delta, dt) — no
+    calibration against the closed loop. Continuous-time sanity check
+    (sin gait): w = tail_energy_scale * (k^2 + omega^2) / k^2; the square
+    default additionally folds in the estimator's pulse response and the
+    dt discretization.
+    """
+    from mfgp_tpu.hw.controllers import tail_wave
+    from mfgp_tpu.planning.primitives import swim_energy
+
+    T = max(horizon / max(agent.tail_freq, 1e-3), horizon)
+    ts = np.arange(0.0, T, dt)
+    amp_deg = math.degrees(agent.tail_amp)
+    delta = np.radians(tail_wave(ts, 0.0, amp_deg, agent.tail_freq, wave))
+    dh, acc = 0.0, 0.0
+    for u in delta:
+        dd = k_delta * saturate(u - dh, -math.pi, math.pi)
+        dh = saturate(dh + dd * dt - 0.5 * k_delta * dd * dt**2,
+                      -math.radians(110), math.radians(110))
+        acc += dd * dd * dt
+    return float(swim_energy(T, agent) * agent.tail_energy_scale / acc)
 
 
 ESTIMATES_HEADER = ("t,p_cnt,Phat_x,Phat_y,Phat_z,xh,yh,zh,vxh,vyh,vzh,"
@@ -242,6 +281,7 @@ class RobotRuntime:
         # persistent estimator state
         self.t = 0.0
         self.budget_used = 0.0
+        self._w_udot_derived = None  # derived-weight cache (per dt/gait)
         self.delta_hat = 0.0
         self.inp_x = np.zeros((4, 1))  # mass, pump (normalized), rates
         self.inp_P = 0.1 * np.eye(4)
@@ -313,7 +353,13 @@ class RobotRuntime:
         dt = c.dt
         time_energy = (c.time_energy if c.time_energy is not None
                        else a.time_energy)
-        w_udot = np.asarray(c.udot_weights, float)
+        if c.udot_weights is None:
+            if self._w_udot_derived is None:
+                self._w_udot_derived = (
+                    1.0, 1.0, derived_tail_weight(a, dt, c.k_delta), 1.0)
+            w_udot = np.asarray(self._w_udot_derived, float)
+        else:
+            w_udot = np.asarray(c.udot_weights, float)
         waypoints = np.asarray(waypoints, float)
         t_end = waypoints[-1, 3]
         n_ticks = int(math.ceil(t_end / dt)) + 1

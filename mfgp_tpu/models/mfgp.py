@@ -240,6 +240,20 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
         Linv = None
     else:
         Linv = _la.tri_inv_recursive(L)
+        from mfgp_tpu.ops import covariance as _cov
+
+        if inv_mode == "highest" and _cov.use_pallas(X.dtype, kernel):
+            # fused Pallas path: K^-1 tiles are generated from Linv and
+            # contracted into the gradient sums in ONE pass — K^-1 never
+            # touches HBM (ops.pallas_kernels.syrk_grad_fused)
+            from mfgp_tpu.ops.pallas_kernels import syrk_grad_fused
+
+            g_logvar, g_logls, g_lognoise = syrk_grad_fused(
+                Linv, alpha, X, fid, params.variances,
+                params.lengthscales, params.rhos, params.noises)
+            grad = MFGPParams(g_logvar, g_logls,
+                              jnp.zeros_like(params.rhos), g_lognoise)
+            return val, grad, L, alpha, Linv
         Kinv = _la.syrk_tri_lower(Linv,
                                   precision=_PRECISIONS[inv_mode])
     Wm = Kinv - alpha[:, None] * alpha[None, :]

@@ -41,6 +41,57 @@ def chol(K: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(K)
 
 
+def chol_blocked(K: jax.Array, block: int = 1024,
+                 precision=_HIGHEST) -> jax.Array:
+    """Right-looking blocked Cholesky with structure-aware trailing updates.
+
+    XLA's monolithic TPU Cholesky applies its trailing updates over the
+    full dense trailing matrix; here the trailing matrix is kept as its
+    LOWER-triangular block grid, so update (i, j) only computes blocks with
+    i >= j — half the dense update FLOPs, each an MXU matmul at the given
+    precision. Panels factorize via XLA's kernel on the (block, block)
+    diagonal and the panel solve is one matmul against the panel factor's
+    explicit inverse (O(block^3), negligible). Identical mathematics to
+    ``chol``; measured f32 agreement to factor-roundoff at N=20k.
+
+    The step count is static (N/block unrolled slices), so compile time
+    grows with N/block — intended for the N~20k bench path, not tiny
+    factorizations (``chol`` dispatches below ``block``).
+    """
+    n = K.shape[0]
+    if n <= 2 * block:
+        return jnp.linalg.cholesky(K)
+    nb = -(-n // block)
+    lob = [i * block for i in range(nb)]
+    hib = [min(n, (i + 1) * block) for i in range(nb)]
+    # trailing matrix, lower-triangular block grid
+    T = {(i, j): K[lob[i]:hib[i], lob[j]:hib[j]]
+         for i in range(nb) for j in range(i + 1)}
+    Lcols: list[list[jax.Array]] = []
+    for k in range(nb):
+        Lkk = jnp.linalg.cholesky(T[(k, k)])
+        bk = hib[k] - lob[k]
+        inv = tri_solve(Lkk, jnp.eye(bk, dtype=K.dtype))
+        col = [Lkk]
+        panel = {}
+        for i in range(k + 1, nb):
+            Lik = jnp.dot(T[(i, k)], inv.T, precision=precision)
+            panel[i] = Lik
+            col.append(Lik)
+        Lcols.append(col)
+        for i in range(k + 1, nb):
+            for j in range(k + 1, i + 1):
+                T[(i, j)] = T[(i, j)] - jnp.dot(
+                    panel[i], panel[j].T, precision=precision)
+    rows = []
+    for i in range(nb):
+        parts = [Lcols[k][i - k] for k in range(i + 1)]
+        z = jnp.zeros((hib[i] - lob[i], n - hib[i]), K.dtype)
+        rows.append(jnp.concatenate(parts + ([z] if n > hib[i] else []),
+                                    axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
 def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     """Solve ``(L L^T) x = B`` given the lower Cholesky factor L."""
     y = jax.scipy.linalg.solve_triangular(L, B, lower=True)

@@ -180,3 +180,210 @@ def rbf_cov_fused(X1, X2, variance, lengthscales, noise_diag=None,
         X1, z1, X2, z2, jnp.asarray([variance], jnp.float32),
         jnp.asarray(lengthscales, jnp.float32).reshape(1, -1),
         F1[:0], noise_diag=noise_diag, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused syrk + trace-identity gradient contractions
+# ---------------------------------------------------------------------------
+# The analytic NLML gradient (models/mfgp._nlml_vg_core) needs, for
+# W = K^-1 - alpha alpha^T and each fidelity m,
+#
+#   sv[m] = (W o T_m) @ [1, X]          (row sums + X-weighted row sums)
+#   diagW                               (per-fidelity noise gradients)
+#
+# with T_m = var_m (w_m w_m^T) o K_m. The XLA path materialises
+# K^-1 = Linv^T Linv to HBM (1.6 GB at N=20k) and then runs three
+# elementwise+matvec passes over it. This kernel never materialises K^-1:
+# a 1D grid walks the LOWER tile pairs (i >= j); for each pair it
+# accumulates the K^-1 tile in VMEM over the k contraction steps
+# (Linv_ki^T @ Linv_kj, k >= i — rows above i are zero in both operands),
+# and on the pair's last step rebuilds T_m from the scaled inputs (exact
+# _prep math) and contracts directly into per-pair partial sums. Host-side
+# segment sums by i (row side) and j (mirrored column side, strict lower
+# only) assemble the full-matrix sv. FLOPs equal the structure-aware syrk
+# (~N^3/3 multiplies); the N^2 HBM round-trip and the separate
+# contraction passes disappear.
+_SG_TILE = 512
+
+
+def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
+                      Lki_ref, Lkj_ref, Ai_ref, Aj_ref, nAi_ref, nAj_ref,
+                      wi_ref, wj_ref, xiT_ref, xjT_ref, ai_ref, aj_ref,
+                      svr_ref, svc_ref, dw_ref, acc, *, F: int):
+    p = pl.program_id(0)
+    T = _SG_TILE
+    is_first = first[p] == 1
+    is_last = last[p] == 1
+    is_diag = i_of[p] == j_of[p]
+
+    @pl.when(is_first)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        svr_ref[:] = jnp.zeros_like(svr_ref)
+        svc_ref[:] = jnp.zeros_like(svc_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    acc[:] = acc[:] + jax.lax.dot_general(
+        Lki_ref[:], Lkj_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(is_last)
+    def _():
+        Wt = acc[:] - ai_ref[0][:, None] * aj_ref[0][None, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+        for m in range(F):
+            cross = jax.lax.dot_general(
+                Ai_ref[m], Aj_ref[m], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            r2 = jnp.maximum(
+                nAi_ref[m][:, None] + nAj_ref[m][None, :] - 2.0 * cross,
+                0.0)
+            Tm = (wi_ref[m][:, None] * wj_ref[m][None, :]) * jnp.exp(
+                -0.5 * r2)
+            Am = Wt * Tm
+            # row side: sv_i += A @ xj, stored transposed (4, T)
+            svr_ref[0, m] = jax.lax.dot_general(
+                xjT_ref[:], Am, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            # mirrored column side (strict lower tiles only): the upper
+            # tile (j, i) contributes A^T @ xi to rows j
+            svc_ref[0, m] = jnp.where(
+                is_diag, 0.0,
+                jax.lax.dot_general(
+                    xiT_ref[:], Am, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
+        dw_ref[0] = jnp.where(
+            is_diag, jnp.sum(jnp.where(row == col, Wt, 0.0), axis=1), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
+                    noises, interpret: bool = False):
+    """(g_logvar, g_logls, g_lognoise) of the AR1 NLML via the fused
+    syrk+contraction kernel (RBF base kernels; see block comment above).
+
+    Exact mathematics of models/mfgp._nlml_vg_core's contraction phase at
+    inv_mode precision HIGHEST, without materialising K^-1.
+    """
+    T = _SG_TILE
+    N, D = X.shape
+    F = variances.shape[0]
+    Linv = jnp.asarray(Linv, jnp.float32)
+    A, nA, w = _prep(jnp.asarray(X, jnp.float32), fid, variances,
+                     lengthscales, rhos)
+    Np = _cdiv(N, T) * T
+    nb = Np // T
+    Lp = jnp.pad(Linv, ((0, Np - N), (0, Np - N)))
+    ap = jnp.pad(jnp.asarray(alpha, jnp.float32), (0, Np - N))[None, :]
+    Apad = _pad_axis(A, 1, T)
+    nApad = _pad_axis(nA, 1, T)
+    wpad = _pad_axis(w, 1, T)
+    onesx = jnp.concatenate(
+        [jnp.ones((N, 1), jnp.float32), jnp.asarray(X, jnp.float32)],
+        axis=1)
+    xT = jnp.pad(onesx, ((0, Np - N), (0, 0))).T  # (1+D, Np)
+
+    # enumerate (pair, k) steps: lower pairs row-major, k = i..nb-1
+    i_of, j_of, k_of, pair_of, first, last = [], [], [], [], [], []
+    pair = 0
+    for i in range(nb):
+        for j in range(i + 1):
+            ks = list(range(i, nb))
+            for t, k in enumerate(ks):
+                i_of.append(i)
+                j_of.append(j)
+                k_of.append(k)
+                pair_of.append(pair)
+                first.append(1 if t == 0 else 0)
+                last.append(1 if t == len(ks) - 1 else 0)
+            pair += 1
+    npairs = pair
+    mk = lambda a: jnp.asarray(a, jnp.int32)  # noqa: E731
+    steps = len(i_of)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T, D),
+                         lambda p, i, j, k, pr, f, l: (0, i[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T, D),
+                         lambda p, i, j, k, pr, f, l: (0, j[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, F, 1 + D, T),
+                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, 1 + D, T),
+                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (pr[p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((T, T), jnp.float32)],
+    )
+    svr, svc, dw = pl.pallas_call(
+        functools.partial(_syrk_grad_kernel, F=F),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
+            jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
+            jax.ShapeDtypeStruct((npairs, T), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * T * T * T,
+            bytes_accessed=steps * 2 * T * T * 4,
+            transcendentals=npairs * F * T * T,
+        ),
+        interpret=interpret,
+    )(mk(i_of), mk(j_of), mk(k_of), mk(pair_of), mk(first), mk(last),
+      Lp, Lp, Apad, Apad, nApad, nApad, wpad, wpad, xT, xT, ap, ap)
+
+    pr_i = mk([i for i in range(nb) for j in range(i + 1)])
+    pr_j = mk([j for i in range(nb) for j in range(i + 1)])
+    SVi = jax.ops.segment_sum(svr, pr_i, num_segments=nb)
+    SVj = jax.ops.segment_sum(svc, pr_j, num_segments=nb)
+    SV = (SVi + SVj).transpose(1, 2, 0, 3).reshape(F, 1 + D, Np)[:, :, :N]
+    s = SV[:, 0, :]  # (F, N) row sums of W o T_m
+    Ax = SV[:, 1:, :]  # (F, D, N)
+    Xf = jnp.asarray(X, jnp.float32)
+    g_logvar = 0.5 * jnp.sum(s, axis=1)
+    inv_ls = 1.0 / jnp.asarray(lengthscales, jnp.float32)
+    g_logls = (jnp.einsum("nd,mn->md", Xf**2, s)
+               - jnp.einsum("nd,mdn->md", Xf, Ax)) * (inv_ls**2)
+    # diagonal tiles are the pairs with i == j
+    diag_pairs = mk([pr for pr, (ii, jj) in enumerate(
+        [(i, j) for i in range(nb) for j in range(i + 1)]) if ii == jj])
+    diagW = dw[diag_pairs].reshape(Np)[:N]
+    noises = jnp.asarray(noises, jnp.float32)
+    g_lognoise = jnp.stack([
+        0.5 * noises[f] * jnp.sum(jnp.where(fid == f, diagW, 0.0))
+        for f in range(F)])
+    return g_logvar, g_logls, g_lognoise

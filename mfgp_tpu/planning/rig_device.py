@@ -1,4 +1,4 @@
-"""Fully on-device RIG planner (ergodic-KL or sequential-gain scoring).
+"""Fully on-device RIG planner (ergodic-KL, Fourier, or sequential-gain).
 
 The host planner (planning/rig.py) keeps the graph bookkeeping in Python
 and batches only the scoring onto the device — the right split at the
@@ -6,27 +6,52 @@ reference's scale (~100 nodes, 45 s replan budget). This module is the
 scale-up variant: the ENTIRE planning loop — sampling, expansion-ring
 nearest, steering, node merging, candidate-edge synthesis
 (primitives_device), feasibility filtering, the path-set dynamic program,
-ergodic-KL scoring, and best-path tracking — runs inside one jitted
+scoring, and best-path tracking — runs inside one jitted
 ``lax.fori_loop`` over padded buffers. One device launch per ``plan()``;
 planner throughput is then bounded by MXU/VPU arithmetic instead of
 host-device round trips.
 
-Design notes (divergences from the host planner, all capacity-bounded
-analogues of its unbounded structures):
+Score-everything semantics (all cost modes). The host planner scores
+every budget-eligible path extension (reference/GraceRIGV3.py:1157-1170
+via ``updatePathList``); so does this planner, in every cost mode:
+
+* ``ergodic`` — each edge's unnormalized time-integral of the
+  Gaussian-sensor density over the grid is computed once; a path's
+  statistics are the running sum (the algebraic identity the host planner
+  recomputes from scratch per candidate, reference/GraceRIGV3.py:581-596
+  via ergodicKLDivergence.py:46-61). Flooring/normalization match
+  metrics.ergodic exactly.
+* ``fourier`` — each edge's unnormalized cosine-coefficient sums are
+  additive the same way (the reference's own incremental merge,
+  reference/PhysicalExperimentCode/ergodicMetric.py:89-96); the score is
+  the negative Sobolev distance to the EID's coefficients, matching the
+  host ``FourierErgodicCost`` exactly on identical point sets.
+* ``sf_gain`` / ``mf_gain`` — the sequential-entropy gain is made
+  additive by a per-path bordered-Cholesky carry: each beam slot carries
+  ``chol(C_path | train)``, the factor of its points' noisy posterior
+  covariance given the (static, padded) training set. Extending a path by
+  one S-point edge borders that factor by S rows (one O(P^2 S) triangular
+  solve + an S x S Cholesky), and the path's gain increases by exactly
+  the new points' sequential terms — identical, in exact arithmetic, to
+  the host scorer's full-path closed form (scoring._sf_gain_one /
+  _mf_gain_one; reference calcPathInfoSF2 / calculatePathInfoEmu,
+  reference/GraceRIGV3.py:443-466, :525-562). Every eligible extension is
+  scored; there is no beam preselection and no truncated/corrupted point
+  set — ``max_path_points`` is a hard capacity, and extensions that would
+  exceed it are simply infeasible (size it >= samples_per_edge *
+  ceil(B / min-edge-budget) to make it unreachable).
+
+Capacity-bounded analogues of the host's unbounded structures:
 
 * Path sets are a BEAM: each node keeps its top ``max_paths`` extensions
-  (ranked by score, budget as tie-break) instead of the host's unbounded
+  (ranked by actual score — scored paths first, then unscored by their
+  accumulated gain / budget progress) instead of the host's unbounded
   path list. Accepted paths live in an append-only arena so backpointer
-  chains stay valid under eviction.
-* The near-phase extends only the single closest near node per iteration
-  (the host extends every node within R).
-* Ergodic statistics are ADDITIVE over edges: each edge's unnormalized
-  time-integral of the Gaussian-sensor density over the grid is computed
-  once (trapezoid over ``samples_per_edge`` uniform-in-time points); a
-  path's statistics are the running sum — the algebraic identity the host
-  planner recomputes from scratch per candidate
-  (reference/GraceRIGV3.py:581-596 via ergodicKLDivergence.py:46-61).
-  Flooring/normalization match metrics.ergodic semantics exactly.
+  chains stay valid under eviction; gain-mode carries live per
+  (node, beam slot), so carry memory is O(max_nodes * max_paths * P^2),
+  independent of ``max_iter``.
+* The near-phase extends the ``near_neighbors`` closest near nodes per
+  iteration (the host extends every node within R).
 
 Reference semantics retained: expansion-ring nearest ((Rd - d)^2 argmin,
 reference/GraceRIGV3.py:801), same-node merging, workspace box test,
@@ -38,7 +63,6 @@ best-by-info with lower-budget tie-break.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional
 
 import jax
@@ -46,12 +70,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from mfgp_tpu.metrics.ergodic import gaussian_sensor
+from mfgp_tpu.metrics.fourier import (basis_norms, config_k, fourier_basis,
+                                      sobolev_weights)
 from mfgp_tpu.planning.primitives import AgentConfig
 from mfgp_tpu.planning.primitives_device import (
     evaluate_trajectory_device, generate_trajectory_device)
 
 SENTINEL = -10000.0
 NEG = -1e30
+PIN = 1e20  # beam-rank pin for the root trivial path
+
+GAIN_COSTS = ("sf_gain", "mf_gain")
+STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
+
+
+def _lex_top_idx(tier, key, K):
+    """Indices of the top-K entries by (tier, key) DESCENDING,
+    lexicographically exact (no additive-bonus precision traps: a float
+    bonus large enough to separate tiers would swallow the within-tier
+    key at f32)."""
+    n = tier.shape[0]
+    _, _, idx = jax.lax.sort(
+        (-tier.astype(jnp.int32), -key, jnp.arange(n, dtype=jnp.int32)),
+        num_keys=2)
+    return idx[:K]
 
 
 @dataclass
@@ -65,9 +107,12 @@ class DevicePlanResult:
     # best-path edge chain: (padded prims (L, 4), src_xy, dst_xy) per edge —
     # enough to rebuild the runtime flight plan (hw.runtime.flight_plan)
     edges: list = None
-    # gain modes score at most max_path_points per path; True when the
-    # best path exceeded the cap (its score covers a truncated point set)
+    # retained for API compatibility: gain scores are never computed on a
+    # truncated point set any more (over-cap extensions are infeasible)
     truncated: bool = False
+    # feasible candidate edges actually admitted to the graph (counted in
+    # the loop state, not launch capacity)
+    n_feasible_edges: int = 0
 
 
 class DeviceRIG:
@@ -85,7 +130,8 @@ class DeviceRIG:
                  max_nodes: int = 64, max_paths: int = 8,
                  samples_per_edge: int = 24, near_neighbors: int = 1,
                  cost: str = "ergodic", max_path_points: int = 192,
-                 kernel: str = "rbf", dtype=jnp.float32):
+                 kernel: str = "rbf", dtype=jnp.float32,
+                 fourier_bounds=None, n_coefs: int = 5):
         self.cfg = cfg
         self.delta = float(delta)
         self.B = float(B)
@@ -99,7 +145,7 @@ class DeviceRIG:
         self.max_paths = int(max_paths)
         self.S = int(samples_per_edge)
         self.K = int(near_neighbors)  # near-phase extensions per iteration
-        if cost not in ("ergodic", "sf_gain", "mf_gain"):
+        if cost not in STAT_COSTS + GAIN_COSTS:
             raise ValueError(cost)
         from mfgp_tpu.ops.kernels import KERNELS
 
@@ -107,13 +153,13 @@ class DeviceRIG:
             raise ValueError(kernel)
         self.kernel = kernel
         self.cost = cost
-        self.P = int(max_path_points)  # per-path point cap (gain mode)
+        self.P = int(max_path_points)  # per-path point capacity (gain mode)
         if self.P < int(samples_per_edge):
             raise ValueError("max_path_points must be >= samples_per_edge")
         self.dtype = dtype
         if grid is None:
-            if cost == "ergodic":
-                raise ValueError("ergodic scoring needs a grid (+ eid)")
+            if cost in ("ergodic", "fourier"):
+                raise ValueError(f"{cost} scoring needs a grid (+ eid)")
             grid = np.zeros((1, 3))
         else:
             grid = np.asarray(grid, float)
@@ -124,14 +170,31 @@ class DeviceRIG:
         self._eid = (None if eid is None
                      else jnp.asarray(np.asarray(eid, float).reshape(-1),
                                       dtype))
+        if cost == "fourier":
+            # cosine-basis tables (host FourierErgodicCost semantics); the
+            # target coefficients are computed from the traced EID inside
+            # the jitted plan so one executable serves every replan
+            if fourier_bounds is None:
+                fourier_bounds = np.concatenate(
+                    [self.WS, [[0.0, float(cfg.max_depth)]]], axis=0)
+            fb = np.asarray(fourier_bounds, float).reshape(-1, 2)
+            d = fb.shape[0]
+            self._f_lo = jnp.asarray(fb[:, 0], dtype)
+            self._f_ilen = jnp.asarray(1.0 / (fb[:, 1] - fb[:, 0]), dtype)
+            k = config_k(*[(int(n_coefs), 1.0)] * d)
+            self._f_k = jnp.asarray(k, dtype)
+            self._f_hk = jnp.asarray(basis_norms(k), dtype)
+            self._f_lam = jnp.asarray(sobolev_weights(k), dtype)
+            gu = (self.grid[:, :d] - self._f_lo) * self._f_ilen
+            self._f_grid_basis = fourier_basis(gu, self._f_k)  # (M, G)
         # B and the EID are TRACED arguments: one compiled plan() serves
         # every replan (varying budget tranche + refreshed EID)
         self._plan_jit = jax.jit(self._plan_impl)
         self._ensemble_jit = None
 
-    # -- per-edge geometry + ergodic statistics -----------------------------
+    # -- per-edge geometry + additive statistics ----------------------------
     def _edge_stats(self, prims, src_xy, dst_xy):
-        """(feasible, budget, time, q (G,), pts (S, 4)) of one edge."""
+        """(feasible, budget, time, q (G|M,), pts (S, 4), var (S,))."""
         cfg = self.cfg
         t_e, dist_e, tuw, wpts, budget = evaluate_trajectory_device(
             prims, cfg)
@@ -152,6 +215,11 @@ class DeviceRIG:
             w = jnp.zeros_like(ts).at[:-1].add(0.5 * dt).at[1:].add(
                 0.5 * dt)
             q = dens @ w
+        elif self.cost == "fourier":
+            # unnormalized cosine-coefficient sums over the edge samples
+            # (additive across edges; host coef = sum / count / hk)
+            xu = (xyz - self._f_lo) * self._f_ilen
+            q = jnp.sum(fourier_basis(xu, self._f_k), axis=1)  # (M,)
         else:  # gain mode scores from the points themselves
             q = jnp.zeros((1,), xyz.dtype)
         feasible = tuw <= cfg.underwater_time_limit
@@ -170,70 +238,85 @@ class DeviceRIG:
         return -jnp.sum(jnp.where(p > 0, p * (jnp.log(p) - jnp.log(r)),
                                   0.0))
 
-    def _gain_block(self, pts_blk, np_blk, gp):
-        """Sequential-entropy gains for a block of candidate paths.
-
-        pts_blk: (MAXP, P, 4) padded path points (x, y, z, accrued var);
-        np_blk: (MAXP,) counts; gp = the padded conditioned GP state
-        (prepare_sf_gain_state / prepare_mf_gain_state). Same closed forms
-        as the host SFInfoGainCost / MFInfoGainCost (reference
-        calcPathInfoSF2 / calculatePathInfoEmu,
-        reference/GraceRIGV3.py:443-466, :525-562)."""
-        if self.cost == "mf_gain":
-            from mfgp_tpu.planning.scoring import _mf_gain_one
-
-            (X_pad, fid_pad, L_pad, variances, lengthscales, rhos,
-             noises, fl) = gp
-            F = variances.shape[0]
-
-            def one(pts, n):
-                mask = jnp.arange(self.P) < n
-                # fids_from_variance, traced (searchsorted side="right")
-                lev = jnp.sum(pts[:, 3][:, None] >= fl[None, :], axis=1)
-                fid_c = (F - 1 - lev).astype(jnp.int32)
-                return _mf_gain_one(pts[:, :3], fid_c, mask, X_pad,
-                                    fid_pad, L_pad, variances,
-                                    lengthscales, rhos, noises,
-                                    self.kernel)
-
-            return jax.vmap(one)(pts_blk, np_blk)
-
-        from mfgp_tpu.planning.scoring import _sf_gain_one
-
-        X_pad, L_pad, variance, lengthscales, noise = gp
-
-        def one(pts, n):
-            mask = jnp.arange(self.P) < n
-            return _sf_gain_one(pts[:, :3], mask, X_pad, L_pad, variance,
-                                lengthscales, noise, self.kernel)
-
-        return jax.vmap(one)(pts_blk, np_blk)
+    def _score_fourier(self, fc_sum, count, target):
+        """Host _fourier_erg_one on additive stats: coef = sum/count/hk,
+        score = -sum_k lambda_k (coef - target)^2."""
+        coef = fc_sum / jnp.maximum(count, 1.0) / self._f_hk
+        return -jnp.sum(self._f_lam * (coef - target) ** 2)
 
     # -- the jitted loop -----------------------------------------------------
     def _plan_impl(self, x0, key, B, eid, gp):
         cfg = self.cfg
         dt = self.dtype
-        floor = jnp.minimum(jnp.min(jnp.where(eid > 0, eid, jnp.inf)),
-                            jnp.asarray(1e-15, dt))
-        p_eid = jnp.where(jnp.any(eid == 0), eid + floor, eid)
-        p_eid = p_eid / jnp.sum(p_eid)
+        gain_mode = self.cost in GAIN_COSTS
+        mf = self.cost == "mf_gain"
+        if self.cost == "ergodic":
+            floor = jnp.minimum(jnp.min(jnp.where(eid > 0, eid, jnp.inf)),
+                                jnp.asarray(1e-15, dt))
+            p_eid = jnp.where(jnp.any(eid == 0), eid + floor, eid)
+            p_eid = p_eid / jnp.sum(p_eid)
+        elif self.cost == "fourier":
+            # target coefficients of the EID over the grid — identical to
+            # FourierErgodicCost.__post_init__ (mean(F * p * G) / hk =
+            # sum(F * p) / hk)
+            f_target = (self._f_grid_basis @ eid.astype(dt)) / self._f_hk
         MAXN, MAXP, E = self.max_nodes, self.max_paths, cfg.traj_count
         G = self.grid.shape[0]
         S = self.S
+        P = self.P
         PH = 1 + self.K  # phases per iteration: nearest + K near-nodes
         ARENA = 1 + PH * self.max_iter * MAXP  # slot 0 = root trivial path
         MAXE = PH * self.max_iter * E
         lo = jnp.asarray(self.WS[:, 0], dt)
         hi = jnp.asarray(self.WS[:, 1], dt)
 
+        # gain mode: unpack the padded conditioned GP state and build the
+        # explicit train-precision once per launch (MXU-friendly posterior
+        # projections; N is small — the padded train size)
+        if gain_mode:
+            from mfgp_tpu.ops import kernels as _k
+            from mfgp_tpu.ops import linalg as _la
+
+            kern = _k.KERNELS[self.kernel]
+            if mf:
+                (X_pad, fid_pad, L_pad, variances, lengthscales, rhos,
+                 noises, fl) = gp
+                F = variances.shape[0]
+                Wf = _k.ar1_fidelity_weights(rhos, F)
+            else:
+                X_pad, L_pad, variance, lengthscales, noise = gp
+            N = X_pad.shape[0]
+            Kinv = _la.chol_solve(L_pad, jnp.eye(N, dtype=L_pad.dtype))
+
+            def flabels(var):
+                """Accrued variance -> conditioning fidelity (traced
+                fids_from_variance, reference/GraceRIGV3.py:528-533)."""
+                lev = jnp.sum(var[:, None] >= fl[None, :], axis=1)
+                return (F - 1 - lev).astype(jnp.int32)
+
+            def cov_c(A, fa, Bm, fb):
+                if mf:
+                    return _k.ar1_cov(A, fa, Bm, fb, variances,
+                                      lengthscales, rhos, self.kernel)
+                return kern(A, Bm, variance, lengthscales)
+
+        if self.cost == "ergodic":
+            nstats = G
+        elif self.cost == "fourier":
+            nstats = self._f_k.shape[0]
+        else:
+            nstats = 0
         state = dict(
             nodes=jnp.zeros((MAXN, 2), dt).at[0].set(jnp.asarray(x0, dt)),
             n_nodes=jnp.asarray(1, jnp.int32),
+            n_feas=jnp.asarray(0, jnp.int32),
             # per-node beam: arena indices, -1 = empty
             node_paths=jnp.full((MAXN, MAXP), -1, jnp.int32),
             # arena (append-only): slot 0 is the root's trivial path
-            **({"a_q": jnp.zeros((ARENA, G), dt)}
-               if self.cost == "ergodic" else {}),
+            **({"a_q": jnp.zeros((ARENA, nstats), dt)}
+               if not gain_mode else {}),
+            **({"a_cnt": jnp.zeros((ARENA,), dt)}
+               if self.cost == "fourier" else {}),
             a_budget=jnp.zeros((ARENA,), dt),
             a_time=jnp.zeros((ARENA,), dt),
             a_score=jnp.full((ARENA,), SENTINEL, dt),
@@ -241,9 +324,16 @@ class DeviceRIG:
             a_edge=jnp.full((ARENA,), -1, jnp.int32),
             a_node=jnp.zeros((ARENA,), jnp.int32),
             edge_pts=jnp.zeros((MAXE, S, 4), dt),
-            **({"a_pts": jnp.zeros((ARENA, self.P, 4), dt),
-                "a_np": jnp.zeros((ARENA,), jnp.int32)}
-               if self.cost != "ergodic" else {}),
+            # gain-mode carries, per (node, beam slot): path points
+            # (xyz + accrued var), count, accumulated gain, and the
+            # bordered factor chol(C_path | train). O(MAXN*MAXP*P^2),
+            # independent of max_iter.
+            **({"c_pts": jnp.zeros((MAXN, MAXP, P, 4), dt),
+                "c_np": jnp.zeros((MAXN, MAXP), jnp.int32),
+                "c_gain": jnp.zeros((MAXN, MAXP), dt),
+                "c_L": jnp.broadcast_to(jnp.eye(P, dtype=dt),
+                                        (MAXN, MAXP, P, P))}
+               if gain_mode else {}),
             edge_prims=jnp.full((MAXE, 2 * cfg.num_legs + 1, 4),
                                 -1.0, dt),
             edge_src=jnp.zeros((MAXE,), jnp.int32),
@@ -256,11 +346,9 @@ class DeviceRIG:
         state["node_paths"] = state["node_paths"].at[0, 0].set(0)
         # the root's trivial path must never be evicted from node 0's beam
         # (every path starts by extending it): give it a beam-ranking score
-        # above any real one — gain-mode scores are POSITIVE sums, so the
-        # pin must dominate them, not just the non-positive -KL scores
-        # (never read as a best-path candidate, which only considers
-        # scored extensions)
-        state["a_score"] = state["a_score"].at[0].set(1e20)
+        # above any real one (never read as a best-path candidate, which
+        # only considers scored extensions)
+        state["a_score"] = state["a_score"].at[0].set(PIN)
 
         def extend(state, src_idx, dst_xy, phase, it):
             """Synthesize E candidate edges src->dst, run the DP update."""
@@ -300,6 +388,8 @@ class DeviceRIG:
             ebase = (PH * it + phase) * E
             state = dict(
                 state,
+                n_feas=(state["n_feas"]
+                        + jnp.sum(feas).astype(jnp.int32)),
                 edge_pts=jax.lax.dynamic_update_slice(
                     state["edge_pts"], e_pts, (ebase, 0, 0)),
                 edge_prims=jax.lax.dynamic_update_slice(
@@ -320,19 +410,27 @@ class DeviceRIG:
             xt = (st[:, None] + e_time[None, :]).reshape(-1)
             ok = ((src_valid[:, None] & feas[None, :]).reshape(-1)
                   & (xb < B))
-            scored = ok & (xb > self.budget_cutoff * B)
             abase = 1 + (PH * it + phase) * MAXP
 
-            if self.cost == "ergodic":
+            if not gain_mode:
+                scored = ok & (xb > self.budget_cutoff * B)
                 # scores are cheap (additive stats): score ALL extensions,
                 # beam by score. NaN note: infeasible entries can carry
                 # NaNs from masked-out synthesis branches — force them
                 # below every real key.
                 sq = state["a_q"][src_slots]
-                xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, G, E)
-                xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, G)
-                scores = jax.vmap(lambda q, T: self._score(q, T, p_eid))(
-                    xq, xt)
+                xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, nst, E)
+                xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, nstats)
+                if self.cost == "fourier":
+                    scnt = state["a_cnt"][src_slots]
+                    xcnt = (scnt[:, None]
+                            + jnp.full((1, E), float(S), dt)).reshape(-1)
+                    scores = jax.vmap(
+                        lambda q, c: self._score_fourier(q, c, f_target))(
+                        xq, xcnt)
+                else:
+                    scores = jax.vmap(
+                        lambda q, T: self._score(q, T, p_eid))(xq, xt)
                 scores = jnp.where(scored, scores,
                                    jnp.where(ok, SENTINEL, NEG))
                 # scored: by score (lower budget tie-break). Unscored:
@@ -350,45 +448,154 @@ class DeviceRIG:
                 a_score_blk = jnp.where(sel_ok, scores[top], NEG)
                 state = dict(state, a_q=jax.lax.dynamic_update_slice(
                     state["a_q"], xq[top], (abase, 0)))
+                if self.cost == "fourier":
+                    state = dict(state, a_cnt=jax.lax.dynamic_update_slice(
+                        state["a_cnt"], xcnt[top], (abase,)))
             else:
-                # gain mode: the score is O(P^2 N) per candidate, so the
-                # beam block is selected FIRST (score-eligible, then lower
-                # budget) and exactly MAXP candidates are scored — a
-                # divergence from the host planner, which scores every
-                # eligible extension
-                # bands scaled by B (xb < B inside ok): scored in
-                # (2B, 3B) with lower budget first, unscored-ok in (0, B)
-                # with HIGHER budget first (closest to the scoring band —
-                # see the ergodic branch note)
-                prekey = jnp.where(scored, 3.0 * B - xb,
-                                   jnp.where(ok, xb, NEG))
-                prekey = jnp.where(jnp.isnan(prekey), NEG, prekey)
-                top = jax.lax.top_k(prekey, MAXP)[1]
+                # gain mode, score-everything: per-path bordered-Cholesky
+                # carries make the sequential gain additive per edge, so
+                # EVERY eligible extension is scored exactly (host
+                # updatePathList semantics, reference/GraceRIGV3.py:
+                # 1157-1170). Extensions that would exceed the P-point
+                # carry capacity are infeasible (never mis-scored).
+                ppts = state["c_pts"][src_idx]   # (MAXP, P, 4)
+                pnp = state["c_np"][src_idx]     # (MAXP,)
+                pgain = state["c_gain"][src_idx]
+                Lp = state["c_L"][src_idx]       # (MAXP, P, P)
+                ok = ok & jnp.repeat(pnp + S <= P, E)
+                scored = ok & (xb > self.budget_cutoff * B)
+                e_xyz = e_pts[:, :, :3]          # (E, S, 3)
+                if mf:
+                    e_fid = jax.vmap(flabels)(e_var)        # (E, S)
+                    fid0 = jnp.zeros((S,), jnp.int32)
+                    p_fid = jax.vmap(flabels)(ppts[:, :, 3])  # (MAXP, P)
+
+                # per-edge posterior projections against the train set
+                def eprep(xyz, fid_c):
+                    if mf:
+                        Kx_c = cov_c(X_pad, fid_pad, xyz, fid_c)  # (N, S)
+                        Kx_p = cov_c(X_pad, fid_pad, xyz, fid0)
+                        A_c = Kinv @ Kx_c
+                        A_p = Kinv @ Kx_p
+                        D_cc = (cov_c(xyz, fid_c, xyz, fid_c)
+                                + jnp.diag(_k.mf_noise_diag(fid_c, noises))
+                                - Kx_c.T @ A_c)
+                        Sig_cp = (cov_c(xyz, fid_c, xyz, fid0)
+                                  - Kx_c.T @ A_p)
+                        kpp = jnp.sum((Wf[:, fid0] ** 2)
+                                      * variances[:, None], axis=0)
+                        sig_pp = kpp - jnp.sum(Kx_p * A_p, axis=0)
+                        return Kx_c, Kx_p, D_cc, Sig_cp, sig_pp
+                    Kx = kern(X_pad, xyz, variance, lengthscales)
+                    A = Kinv @ Kx
+                    D = (kern(xyz, xyz, variance, lengthscales)
+                         + noise * jnp.eye(S, dtype=dt) - Kx.T @ A)
+                    return Kx, Kx, D, D, jnp.zeros((S,), dt)
+
+                (eKx_c, eKx_p, eD_cc, eSig_cp, esig_pp) = jax.vmap(eprep)(
+                    e_xyz, e_fid if mf else jnp.zeros((E, S), jnp.int32))
+
+                # per-path prefix projection (masked rows beyond n)
+                def pprep(pts_i, n_i, fid_i):
+                    m = jnp.arange(P) < n_i
+                    Kpx = cov_c(pts_i[:, :3], fid_i, X_pad,
+                                fid_pad if mf else None)
+                    Kpx = jnp.where(m[:, None], Kpx, 0.0)
+                    return Kpx @ Kinv  # (P, N)
+
+                if mf:
+                    Rp = jax.vmap(pprep)(ppts, pnp, p_fid)
+                else:
+                    Rp = jax.vmap(lambda p, n: pprep(p, n, None))(
+                        ppts, pnp)
+
+                strict_lower_S = jnp.tril(jnp.ones((S, S), bool), k=-1)
+
+                def pair(ip, ie):
+                    """Exact gain increment of extending path ip by edge
+                    ie + the bordered factor pieces for the carry."""
+                    n_i = pnp[ip]
+                    m = jnp.arange(P) < n_i
+                    xyzp = ppts[ip][:, :3]
+                    xyz_e = e_xyz[ie]
+                    fc = e_fid[ie] if mf else None
+                    fp = p_fid[ip] if mf else None
+                    Kpn_cc = cov_c(xyzp, fp, xyz_e, fc)
+                    Kpn_cc = jnp.where(m[:, None], Kpn_cc, 0.0)
+                    # latent posterior cross-cov prefix<->new given train
+                    Sig_cc = Kpn_cc - Rp[ip] @ eKx_c[ie]
+                    U = _la.tri_solve(Lp[ip], Sig_cc)  # (P, S)
+                    Schur = eD_cc[ie] - U.T @ U
+                    Ls = _la.chol(Schur)
+                    if not mf:
+                        v = jnp.diagonal(Ls) ** 2
+                        terms = jnp.log(1.0 + v / noise)
+                        # first-point self-conditioning quirk at path start
+                        # (reference/GraceRIGV3.py:454-456)
+                        a = eD_cc[ie][0, 0] - noise
+                        t0 = jnp.log(
+                            1.0 + (a - a * a / (a + noise) + noise) / noise)
+                        terms = terms.at[0].set(
+                            jnp.where(n_i == 0, t0, terms[0]))
+                        return jnp.sum(terms), U, Ls
+                    Kpn_cp = cov_c(xyzp, fp, xyz_e, fid0)
+                    Kpn_cp = jnp.where(m[:, None], Kpn_cp, 0.0)
+                    Sig_cp_pfx = Kpn_cp - Rp[ip] @ eKx_p[ie]
+                    B_top = _la.tri_solve(Lp[ip], Sig_cp_pfx)  # (P, S)
+                    Mx = eSig_cp[ie] - U.T @ B_top
+                    B_bot = _la.tri_solve(Ls, Mx)  # (S, S)
+                    w = (jnp.sum(B_top ** 2, axis=0)
+                         + jnp.sum(jnp.where(strict_lower_S.T,
+                                             B_bot ** 2, 0.0), axis=0))
+                    v = esig_pp[ie] - w + noises[0]
+                    return (jnp.sum(jnp.log(1.0 + v / noises[0])),
+                            U, Ls)
+
+                ips = jnp.repeat(jnp.arange(MAXP), E)
+                ies = jnp.tile(jnp.arange(E), MAXP)
+                inc, U_all, Ls_all = jax.vmap(pair)(ips, ies)
+                gains = pgain[ips] + inc  # (MAXP*E,) total path gains
+                finite = jnp.isfinite(gains)
+                gains = jnp.where(finite, gains, NEG)
+                ok = ok & finite
+                scored = scored & finite
+                # beam selection: scored extensions outrank unscored;
+                # within a tier, by accumulated gain (cheaper ties first).
+                # Lexicographic (tier, key) sort keeps f32 gains exact.
+                tier = jnp.where(ok, jnp.where(scored, 1, 0), -1)
+                top = _lex_top_idx(tier, gains - 1e-6 * xb, MAXP)
                 sel_ok = ok[top]
-                pfx_idx = src_slots[top // E]
-                prefix = state["a_pts"][pfx_idx]  # (MAXP, P, 4)
-                npfx = state["a_np"][pfx_idx]
-                exyz = jnp.concatenate(  # (MAXP, S, 4): xyz + accrued var
-                    [e_pts[top % E][:, :, :3],
-                     e_var[top % E][:, :, None]], axis=2)
-                start = jnp.minimum(npfx, self.P - S).astype(jnp.int32)
-                new_pts = jax.vmap(
-                    lambda p, e, st0: jax.lax.dynamic_update_slice(
-                        p, e, (st0, jnp.zeros((), jnp.int32))))(
-                    prefix, exyz, start)
-                new_np = jnp.minimum(npfx + S, self.P).astype(jnp.int32)
-                gains = self._gain_block(new_pts, new_np, gp)
-                blk_real = jnp.where(scored[top] & sel_ok, gains, NEG)
+                blk_real = jnp.where(scored[top] & sel_ok, gains[top],
+                                     NEG)
                 a_score_blk = jnp.where(
-                    sel_ok, jnp.where(scored[top], gains, SENTINEL), NEG)
-                state = dict(
-                    state,
-                    a_pts=jax.lax.dynamic_update_slice(
-                        state["a_pts"], new_pts, (abase, 0, 0)),
-                    a_np=jax.lax.dynamic_update_slice(
-                        state["a_np"],
-                        jnp.where(sel_ok, new_np, 0).astype(jnp.int32),
-                        (abase,)))
+                    sel_ok, jnp.where(scored[top], gains[top], SENTINEL),
+                    NEG)
+
+                # build the selected extensions' carries
+                ip_s, ie_s = ips[top], ies[top]
+                n_s = pnp[ip_s]
+                exyzv = jnp.concatenate(
+                    [e_xyz[ie_s], e_var[ie_s][:, :, None]], axis=2)
+                new_pts = jax.vmap(
+                    lambda p, e, n0: jax.lax.dynamic_update_slice(
+                        p, e, (n0, jnp.zeros((), jnp.int32))))(
+                    ppts[ip_s], exyzv, n_s)
+                new_np = n_s + S
+
+                def border(Lpi, Ui, Lsi, n0):
+                    rowblk = jax.lax.dynamic_update_slice(
+                        Ui.T, Lsi, (jnp.zeros((), jnp.int32), n0))
+                    return jax.lax.dynamic_update_slice(
+                        Lpi, rowblk, (n0, jnp.zeros((), jnp.int32)))
+
+                new_L = jax.vmap(border)(Lp[ip_s], U_all[top],
+                                         Ls_all[top], n_s)
+                new_gain = gains[top]
+                eyeP = jnp.eye(P, dtype=dt)
+                new_L = jnp.where(sel_ok[:, None, None], new_L, eyeP)
+                new_pts = jnp.where(sel_ok[:, None, None], new_pts, 0.0)
+                new_np = jnp.where(sel_ok, new_np, 0).astype(jnp.int32)
+                new_gain = jnp.where(sel_ok, new_gain, 0.0)
 
             prev = src_slots[top // E]
             edge_ids = ebase + (top % E)
@@ -421,14 +628,29 @@ class DeviceRIG:
             cand = jnp.concatenate([old_idx, new_idx])
             sc_c = state["a_score"][cand]
             bu_c = state["a_budget"][cand]
-            # beams rank scored paths by score (cheaper ties first) and
-            # sentinel (unscored) paths by HIGHER budget
-            ck = jnp.where(cand >= 0,
-                           jnp.where(sc_c == SENTINEL,
-                                     SENTINEL + 1e-6 * bu_c,
-                                     sc_c - 1e-6 * bu_c), NEG)
-            keep = jax.lax.top_k(ck, MAXP)[1]
-            beam = jnp.where(ck[keep] > NEG, cand[keep], -1).astype(jnp.int32)
+            if gain_mode:
+                # rank by accumulated gain (scored entries above unscored,
+                # cheaper ties first); the root pin dominates everything
+                cand_gain = jnp.concatenate(
+                    [state["c_gain"][dst_idx], new_gain])
+                ctier = jnp.where(
+                    cand >= 0,
+                    jnp.where(sc_c >= PIN * 0.5, 2,
+                              jnp.where(sc_c != SENTINEL, 1, 0)), -1)
+                ckey = cand_gain - 1e-6 * bu_c
+                keep = _lex_top_idx(ctier, ckey, MAXP)
+                beam = jnp.where(ctier[keep] >= 0, cand[keep],
+                                 -1).astype(jnp.int32)
+            else:
+                # beams rank scored paths by score (cheaper ties first) and
+                # sentinel (unscored) paths by HIGHER budget
+                ck = jnp.where(cand >= 0,
+                               jnp.where(sc_c == SENTINEL,
+                                         SENTINEL + 1e-6 * bu_c,
+                                         sc_c - 1e-6 * bu_c), NEG)
+                keep = jax.lax.top_k(ck, MAXP)[1]
+                beam = jnp.where(ck[keep] > NEG, cand[keep],
+                                 -1).astype(jnp.int32)
             admitted = jnp.any(beam >= 0) & active
             state = dict(
                 state,
@@ -439,11 +661,37 @@ class DeviceRIG:
                 n_nodes=jnp.where(admitted & ~merge & have_room,
                                   n_nodes + 1, n_nodes).astype(jnp.int32),
             )
+            if gain_mode:
+                # gather the surviving entries' carries into dst's slots
+                bvalid = beam >= 0
+                cL = jnp.concatenate([state["c_L"][dst_idx], new_L])[keep]
+                cP = jnp.concatenate([state["c_pts"][dst_idx],
+                                      new_pts])[keep]
+                cN = jnp.concatenate([state["c_np"][dst_idx],
+                                      new_np])[keep]
+                cG = jnp.concatenate([state["c_gain"][dst_idx],
+                                      new_gain])[keep]
+                cL = jnp.where(bvalid[:, None, None], cL, eyeP)
+                cP = jnp.where(bvalid[:, None, None], cP, 0.0)
+                cN = jnp.where(bvalid, cN, 0).astype(jnp.int32)
+                cG = jnp.where(bvalid, cG, 0.0)
+                upd = active
+                state = dict(
+                    state,
+                    c_L=state["c_L"].at[dst_idx].set(
+                        jnp.where(upd, cL, state["c_L"][dst_idx])),
+                    c_pts=state["c_pts"].at[dst_idx].set(
+                        jnp.where(upd, cP, state["c_pts"][dst_idx])),
+                    c_np=state["c_np"].at[dst_idx].set(
+                        jnp.where(upd, cN, state["c_np"][dst_idx])),
+                    c_gain=state["c_gain"].at[dst_idx].set(
+                        jnp.where(upd, cG, state["c_gain"][dst_idx])),
+                )
 
             # global best (scored extensions only; lower budget tie-break).
             # the best SCORED extension always ranks inside the arena block
-            # (sentinel/NEG entries sort below every real score), so its
-            # arena index is abase + its position within the block.
+            # (its key carries the scored bonus / sorts above sentinel), so
+            # its arena index is abase + its position within the block.
             blk_budget = xb[top]
             # mask the key: budgets of infeasible rows can be NaN, and
             # argmax treats NaN as maximal
@@ -504,6 +752,9 @@ class DeviceRIG:
             return state
 
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
+        # carries are working state, not results — don't ship them home
+        for k in ("c_L", "c_pts", "c_np", "c_gain", "a_q", "a_cnt"):
+            state.pop(k, None)
         return state
 
     def _args(self, x0, B, eid, gp):
@@ -511,11 +762,11 @@ class DeviceRIG:
                    else jnp.asarray(np.asarray(eid, float).reshape(-1),
                                     self.dtype))
         if eid_arr is None:
-            if self.cost == "ergodic":
-                raise ValueError("ergodic scoring needs an eid "
+            if self.cost in STAT_COSTS:
+                raise ValueError(f"{self.cost} scoring needs an eid "
                                  "(constructor or plan argument)")
             eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
-        if gp is None and self.cost != "ergodic":
+        if gp is None and self.cost in GAIN_COSTS:
             raise ValueError(
                 "gain scoring needs the conditioned GP state: pass "
                 "gp=prepare_sf_gain_state(...)/prepare_mf_gain_state(...)")
@@ -558,13 +809,10 @@ class DeviceRIG:
         """K independent planner instances in ONE vmapped launch; the
         best-scoring plan wins (ties break toward lower budget).
 
-        Cost caveat (measured on v5e): the loop is dynamic-slice/top_k
-        heavy, and under vmap those become batched gathers/scatters — a
-        single-chip 8-plan ensemble ran ~45x one plan, not 8x. The
-        intended deployment is ``mesh`` sharding with ``n_plans`` equal to
-        (a small multiple of) the dp extent: instances are independent, so
-        the partitioned program needs zero collectives and each device
-        executes a near-batch-1 loop.
+        Instances are independent, so under ``mesh`` sharding the
+        partitioned program needs zero collectives and each device
+        executes a near-batch-1 loop. Single-chip ensembles share the
+        launch; see ROADMAP for the measured batching overhead.
         """
         x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
         keys = jax.random.split(key, n_plans)
@@ -587,10 +835,12 @@ class DeviceRIG:
     def _extract(self, st) -> DevicePlanResult:
         best = int(st["best_arena"])
         n_nodes = int(st["n_nodes"])
+        n_feas = int(st["n_feas"])
         nodes = np.asarray(st["nodes"])[:n_nodes]
         if best < 0:
             return DevicePlanResult(-np.inf, 0.0, 0.0, np.zeros((0, 4)),
-                                    n_nodes, nodes, [])
+                                    n_nodes, nodes, [],
+                                    n_feasible_edges=n_feas)
         a_prev = np.asarray(st["a_prev"])
         a_edge = np.asarray(st["a_edge"])
         edge_pts = np.asarray(st["edge_pts"])
@@ -613,12 +863,10 @@ class DeviceRIG:
             edges.append((edge_prims[e], all_nodes[edge_src[e]],
                           all_nodes[edge_dst[e]]))
         points = np.concatenate(rows, axis=0) if rows else np.zeros((0, 4))
-        truncated = (self.cost != "ergodic"
-                     and points.shape[0] > self.P)
         return DevicePlanResult(
             float(st["best_score"]), float(st["a_budget"][best]),
             float(st["a_time"][best]), points, n_nodes, nodes, edges,
-            truncated)
+            truncated=False, n_feasible_edges=n_feas)
 
 
 def prepare_sf_gain_state(model, n_max: int, dtype=jnp.float32):
@@ -734,7 +982,8 @@ class DeviceRIGAdapter:
 
     def graph_summary(self):
         return {"nodes": self._res.n_nodes if self._res else 0,
-                "edges": (1 + self._planner.K) * self._planner.max_iter
-                * self._planner.cfg.traj_count,
+                # feasible candidate edges admitted to the graph, counted
+                # in the loop (NOT launch capacity)
+                "edges": (self._res.n_feasible_edges if self._res else 0),
                 "best_info": self._res.info if self._res else -np.inf,
                 "best_budget": self._res.budget if self._res else 0.0}

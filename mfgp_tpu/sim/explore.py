@@ -58,8 +58,10 @@ class ReplanRecord:
     edges: int
     fit_seconds: float = 0.0  # model-update wall-clock (online vs refit)
     fit_mode: str = "refit"  # "refit" | "extend" (online bordered Cholesky)
-    plan_truncated: bool = False  # device gain mode: best path exceeded
-    # the max_path_points scoring cap (score covers a truncated set)
+    # retained for artifact-schema stability: device gain scores are never
+    # computed on a truncated point set (over-cap extensions are
+    # infeasible since the bordered-Cholesky carries), so this is False
+    plan_truncated: bool = False
     tracking_rmse: Optional[float] = None  # dynamic flight only
     flown_budget: Optional[float] = None  # energy integrated by the runtime
 
@@ -338,6 +340,13 @@ class ExplorationSim:
                         m = make_mesh()
                         if self.plan_ensemble % m.shape["dp"] == 0:
                             ens_mesh = m  # shard instances over dp
+                    if exp.ergodic:
+                        dev_cost = ("fourier"
+                                    if exp.ergodic_metric == "fourier"
+                                    else "ergodic")
+                    else:
+                        dev_cost = ("mf_gain" if exp.multi_fidelity
+                                    else "sf_gain")
                     self._device_planner = DeviceRIGAdapter(
                         n_plans=self.plan_ensemble, mesh=ens_mesh,
                         cfg=self.agent_cfg, delta=cfg.step_size, B=exp.B,
@@ -346,9 +355,7 @@ class ExplorationSim:
                         same_node_distance=cfg.same_node_distance,
                         budget_cutoff=0.9, max_iter=self.plan_iters,
                         grid=self.grid, kernel=self.exp.kernel,
-                        cost=("ergodic" if exp.ergodic
-                              else ("mf_gain" if exp.multi_fidelity
-                                    else "sf_gain")))
+                        cost=dev_cost)
                 planner = self._device_planner
             else:
                 cost = self._make_cost(model, eid)

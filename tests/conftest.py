@@ -28,6 +28,25 @@ import pytest  # noqa: E402
 
 REFERENCE_ROOT = "/root/reference"
 
+# Heavy modules (closed-loop sims, whole-planner jit compiles, 2-process
+# DCN spawn): everything here is auto-marked ``slow``; every other test is
+# ``quick``. ``pytest -m quick`` is the <3 min tier; per-test overrides via
+# an explicit @pytest.mark.slow still apply anywhere.
+SLOW_FILES = {
+    "test_rig_device.py", "test_sim_cli.py", "test_runtime.py",
+    "test_dcn_sweep.py", "test_viz_studies.py", "test_serve.py",
+    "test_fault_injection.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.fspath.basename in SLOW_FILES
+                or item.get_closest_marker("slow") is not None):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def reference_root():

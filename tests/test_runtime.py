@@ -85,8 +85,9 @@ def test_runtime_flies_plan_with_nonzero_tracking_error():
 
 def test_runtime_budget_within_tolerance_of_planner_model():
     """Integrated actuator-rate energy (reference :800-806) must agree
-    with the planner's evaluate_trajectory budget model to within +/-40%
-    on representative paths (udot_weights calibration contract)."""
+    with the planner's evaluate_trajectory budget model to within +/-15%
+    on representative paths. The tail weight is DERIVED from the
+    planner's SwimEnergy model (derived_tail_weight), not calibrated."""
     for seed, choices, dist in [
             (0, (Leg.GLIDE, Leg.SWIM, Leg.FLATDIVE), 10.0),
             (3, (Leg.SWIM, Leg.SWIM, Leg.GLIDE), 8.0),
@@ -95,7 +96,26 @@ def test_runtime_budget_within_tolerance_of_planner_model():
         rt = RobotRuntime(cfg, RuntimeConfig(dt=0.1), seed=1)
         log = rt.fly(way, legs)
         ratio = log.plan_budget / budget
-        assert 0.6 < ratio < 1.4, (seed, ratio)
+        assert 0.85 < ratio < 1.15, (seed, ratio)
+
+
+def test_derived_tail_weight_matches_continuous_model():
+    """derived_tail_weight for a SIN gait approaches the continuous-time
+    closed form w = tail_energy_scale * (k^2 + omega^2) / k^2 as dt -> 0
+    (the estimator is a first-order lag: ddelta = k s/(s+k) delta, so
+    E[ddelta^2]/E[delta_dot^2] = k^2/(k^2+omega^2))."""
+    from mfgp_tpu.hw.runtime import derived_tail_weight
+
+    cfg = AgentConfig.sim_defaults()
+    k = 5.0
+    omega = 2.0 * np.pi * cfg.tail_freq
+    analytic = cfg.tail_energy_scale * (k * k + omega * omega) / (k * k)
+    w = derived_tail_weight(cfg, dt=0.002, k_delta=k, wave="sin",
+                            horizon=120.0)
+    # the sin-gait SwimEnergy linear term equals int delta_dot^2 exactly
+    # (quirk included — it is symmetric in amp/freq); the bounded sin
+    # ripple and discretization account for the tolerance
+    np.testing.assert_allclose(w, analytic, rtol=0.05)
 
 
 def test_runtime_fidelity_binning_uses_kf_covariance():
