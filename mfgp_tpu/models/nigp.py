@@ -89,8 +89,10 @@ def posterior_mean_grads(X, y, lengthscales, sigma_f, sigma_y,
 
         grads[i, d] = (1/l_d^2) * [ (K @ (alpha*X))[i,d] - X[i,d]*(K@alpha)[i] ]
     """
+    from mfgp_tpu.ops import covariance as _cc
+
     N = X.shape[0]
-    K = _k.rbf(X, X, sigma_f, lengthscales)
+    K = _cc.sf_cov_diff(sigma_f, lengthscales, X, "rbf")
     obs = sigma_y**2 + (noise_diag if noise_diag is not None else 0.0)
     Kn = _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
     L = _la.chol(Kn)
@@ -114,10 +116,15 @@ def nlml(log_hyp, X, y, grad_fixed, extra_noise_diag=None,
     sigma_f = jnp.exp(log_hyp[D])
     sigma_y = jnp.exp(log_hyp[D + 1])
     sigma_x = jnp.exp(log_hyp[D + 2 :])
+    from mfgp_tpu.ops import covariance as _cc
+
     v = jnp.sum((grad_fixed**2) * (sigma_x[None, :] ** 2), axis=1)
     if extra_noise_diag is not None:
         v = v + extra_noise_diag
-    K = _k.rbf(X, X, sigma_f, ls)
+    # Pallas fused forward with the shared custom VJP on TPU f32
+    # (ops.covariance dispatch) — the NIGP per-iteration NLML rides the
+    # same kernel as GP/MFGP
+    K = _cc.sf_cov_diff(sigma_f, ls, X, "rbf")
     Kn = _la.diag_add(K, sigma_y**2 + v + jitter)
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
@@ -143,9 +150,11 @@ def nlml_native(log_hyp, X, y, jitter: float = 1e-8):
     sigma_f = jnp.exp(log_hyp[D])
     sigma_y = jnp.exp(log_hyp[D + 1])
     sigma_x = jnp.exp(log_hyp[D + 2 :])
+    from mfgp_tpu.ops import covariance as _cc
+
     _, grads = posterior_mean_grads(X, y, ls, sigma_f, sigma_y)
     v = jnp.sum((grads**2) * (sigma_x[None, :] ** 2), axis=1)
-    K = _k.rbf(X, X, sigma_f, ls)
+    K = _cc.sf_cov_diff(sigma_f, ls, X, "rbf")
     Kn = _la.diag_add(K, sigma_y**2 + v + jitter)
     L = _la.chol(Kn)
     alpha = _la.solve_posterior(L, y)
@@ -242,6 +251,7 @@ class NIGP:
         v = jnp.sum((grad_fixed**2)
                     * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2), axis=1)
         self.noise_diag_train_ = v
+        self._cond_cache = None
         return self
 
     def fit_native(self, X, y, n_restarts: int | None = None,
@@ -297,7 +307,34 @@ class NIGP:
         self.noise_diag_train_ = jnp.sum(
             (grads**2) * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2),
             axis=1)
+        self._cond_cache = None
         return self
+
+    def _condition(self):
+        """Cached conditioned state (L, alpha) of the fitted model.
+
+        The reference re-factorizes the N x N train covariance on EVERY
+        predict (reference/NIGP.py:285-289); serving/planner callers hit
+        predict repeatedly with fixed hyperparameters, so the factor is
+        computed once per fit (assembly via the Pallas fused kernel on
+        TPU) and invalidated whenever the fit updates the noise diagonal.
+        """
+        cache = getattr(self, "_cond_cache", None)
+        if cache is not None:
+            return cache
+        from mfgp_tpu.ops import covariance as _cc
+
+        X, y = self.X_train_, self.y_train_
+        ls = jnp.asarray(self.lengthscales_, X.dtype)
+        obs = self.sigma_y_**2 + (
+            self.noise_diag_train_
+            if self.noise_diag_train_ is not None else 0.0)
+        noise = jnp.broadcast_to(obs, (X.shape[0],)).astype(X.dtype)
+        Kn = _cc.sf_train_cov(self.sigma_f_, ls, noise, X, "rbf")
+        L = _la.chol(Kn)
+        alpha = _la.solve_posterior(L, y)
+        self._cond_cache = (L, alpha)
+        return self._cond_cache
 
     def predict(self, Xs, Xs_input_noise=None, return_var: bool = True,
                 return_cov: bool = False):
@@ -307,15 +344,13 @@ class NIGP:
         input-noise diagonal via analytic mean-gradients at Xs; 1e-12
         diagonal floor.
         """
+        from mfgp_tpu.ops import covariance as _cc
+
         X, y = self.X_train_, self.y_train_
         Xs = jnp.atleast_2d(jnp.asarray(Xs, X.dtype))
         ls = jnp.asarray(self.lengthscales_, X.dtype)
-        K = _k.rbf(X, X, self.sigma_f_, ls)
-        obs = self.sigma_y_**2 + (self.noise_diag_train_
-                                  if self.noise_diag_train_ is not None else 0.0)
-        L = _la.chol(_la.diag_add(K, jnp.broadcast_to(obs, (X.shape[0],))))
-        alpha = _la.solve_posterior(L, y)
-        Kxs = _k.rbf(Xs, X, self.sigma_f_, ls)
+        L, alpha = self._condition()
+        Kxs = _cc.sf_cross_cov(self.sigma_f_, ls, Xs, X, "rbf")
         mean = _la.posterior_mean(Kxs, alpha)
         if not (return_var or return_cov):
             return np.asarray(mean)
@@ -328,7 +363,7 @@ class NIGP:
             var = jnp.maximum(var, 1e-12)
             return np.asarray(mean), np.asarray(var)
 
-        Kss = _k.rbf(Xs, Xs, self.sigma_f_, ls)
+        Kss = _cc.sf_cross_cov(self.sigma_f_, ls, Xs, Xs, "rbf")
         cov = _la.posterior_cov(Kss, Kxs, L)
 
         if Xs_input_noise is not None:

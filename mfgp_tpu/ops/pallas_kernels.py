@@ -257,7 +257,7 @@ def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
                     xiT_ref[:], Am, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
-        dw_ref[0] = jnp.where(
+        dw_ref[0, 0] = jnp.where(
             is_diag, jnp.sum(jnp.where(row == col, Wt, 0.0), axis=1), 0.0)
 
 
@@ -344,7 +344,8 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
             pl.BlockSpec((1, F, 1 + D, T),
                          lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (pr[p], 0),
+            pl.BlockSpec((1, 1, T),
+                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((T, T), jnp.float32)],
@@ -355,13 +356,18 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
         out_shape=[
             jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
             jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
-            jax.ShapeDtypeStruct((npairs, T), jnp.float32),
+            jax.ShapeDtypeStruct((npairs, 1, T), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * T * T * T,
             bytes_accessed=steps * 2 * T * T * 4,
             transcendentals=npairs * F * T * T,
         ),
+        # double-buffered (T, T) Linv blocks + the K^-1 scratch + the
+        # lane-padded (F, T, D) operand blocks exceed the 16 MB default
+        # scoped-vmem budget; v5e has headroom (measured 18.5 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(mk(i_of), mk(j_of), mk(k_of), mk(pair_of), mk(first), mk(last),
       Lp, Lp, Apad, Apad, nApad, nApad, wpad, wpad, xT, xT, ap, ap)
@@ -381,7 +387,7 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
     # diagonal tiles are the pairs with i == j
     diag_pairs = mk([pr for pr, (ii, jj) in enumerate(
         [(i, j) for i in range(nb) for j in range(i + 1)]) if ii == jj])
-    diagW = dw[diag_pairs].reshape(Np)[:N]
+    diagW = dw[diag_pairs, 0].reshape(Np)[:N]
     noises = jnp.asarray(noises, jnp.float32)
     g_lognoise = jnp.stack([
         0.5 * noises[f] * jnp.sum(jnp.where(fid == f, diagW, 0.0))

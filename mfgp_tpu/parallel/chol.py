@@ -129,24 +129,29 @@ def _chol_cols_body(A, idx, n, nc, block, axis, layout="block", n_mp=None):
     return jnp.where(tril, A, 0.0)
 
 
-def _broadcast_panel(L_cols, idx, k, n, nc, block, axis):
+def _broadcast_panel(L_cols, idx, k, n, nc, block, axis,
+                     layout="block", n_mp=None):
     """psum-broadcast column panel [k, k+block) from its owner chip."""
-    owner = k // nc
-    k_local = k % nc
+    owner, k_local = _owner_and_slot(k, nc, block, n_mp or (n // nc),
+                                     layout)
     panel = jax.lax.dynamic_slice(L_cols, (0, k_local), (n, block))
     panel = jnp.where(idx == owner, panel, jnp.zeros_like(panel))
     return jax.lax.psum(panel, axis)
 
 
-def _tri_solve_lower_body(L_cols, B_cols, idx, n, nc, block, axis):
-    """Forward substitution ``L X = B`` with BOTH operands column-sharded.
+def _tri_solve_lower_body(L_cols, B_cols, idx, n, nc, block, axis,
+                          layout="block", n_mp=None):
+    """Forward substitution ``L X = B`` with L column-sharded (block or
+    block-cyclic layout) and the RHS column-sharded (its own column split
+    is layout-agnostic: every chip holds full rows of its RHS columns).
 
     Per row-block step: one psum broadcasts the owner's L panel; each chip
     then solves its own RHS columns locally. X comes back column-sharded
     like B."""
     X = B_cols
     for k in range(0, n, block):
-        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis)
+        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis,
+                                 layout, n_mp)
         Lkk = jax.lax.dynamic_slice(panel, (k, 0), (block, block))
         rhs_k = jax.lax.dynamic_slice(X, (k, 0), (block, X.shape[1]))
         x_k = jax.scipy.linalg.solve_triangular(Lkk, rhs_k, lower=True)
@@ -158,14 +163,16 @@ def _tri_solve_lower_body(L_cols, B_cols, idx, n, nc, block, axis):
     return X
 
 
-def _tri_solve_upper_body(L_cols, Y_cols, idx, n, nc, block, axis):
+def _tri_solve_upper_body(L_cols, Y_cols, idx, n, nc, block, axis,
+                          layout="block", n_mp=None):
     """Backward substitution ``L^T X = Y`` with column-sharded operands.
 
     Sweeps row blocks last-to-first; block i needs ``L[j, i]^T X_j`` for
     j > i, which lives entirely in the broadcast panel i."""
     X = Y_cols
     for k in range(n - block, -1, -block):
-        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis)
+        panel = _broadcast_panel(L_cols, idx, k, n, nc, block, axis,
+                                 layout, n_mp)
         Lkk = jax.lax.dynamic_slice(panel, (k, 0), (block, block))
         rhs_k = jax.lax.dynamic_slice(X, (k, 0), (block, X.shape[1]))
         # subtract sum_{j>k} L[j, k]^T X_j  (rows below k+block of panel)
@@ -255,7 +262,8 @@ def make_sharded_tri_solves(mesh: Mesh, n: int, ncols: int,
 
 def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
                                            block: int = 256,
-                                           jitter: float = 0.0):
+                                           jitter: float = 0.0,
+                                           layout: str = "block"):
     """End-to-end memory-scaled MFGP NLML value+gradient (RBF, rhos fixed).
 
     Every O(N^2) object — the covariance columns, the Cholesky factor, and
@@ -273,9 +281,19 @@ def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
 
     Per-chip memory: 3 * N^2/n_mp + O(N); the factorizable N scales
     linearly with the mesh. Returns ``f(params, X, fid, y)``.
+
+    ``layout="cyclic"`` assigns L's panels block-cyclically (panel p ->
+    chip p % n_mp), keeping every chip's trailing-update and panel work
+    balanced through the whole sweep (``panel_utilization``: 0.51 -> 0.76
+    at n/block=32, mp=8). Since each chip ASSEMBLES its own (cyclic)
+    columns directly, there is no permutation pass — the layout only
+    changes which global columns a chip owns; value/grad outputs are
+    layout-invariant (machine-precision parity tested).
     """
     from mfgp_tpu.models.mfgp import MFGPParams
 
+    if layout not in ("block", "cyclic"):
+        raise ValueError(layout)
     n_mp = mesh.shape[MP_AXIS]
     if n % n_mp or (n // n_mp) % block:
         raise ValueError(f"n={n} incompatible with mp={n_mp}, block={block}")
@@ -283,8 +301,7 @@ def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
 
     def shard_body(params, X, fid, y):
         idx = jax.lax.axis_index(MP_AXIS)
-        col0 = idx * nc
-        cols = col0 + jnp.arange(nc)
+        cols = _local_to_global_cols(idx, n, nc, block, n_mp, layout)
         F = params.variances.shape[0]
         D = X.shape[1]
 
@@ -310,14 +327,16 @@ def make_fully_sharded_nlml_value_and_grad(mesh: Mesh, n: int,
         K_cols = K_cols + jnp.where(diag_sel, noise_c[None, :], 0.0)
 
         # 2. distributed Cholesky
-        L_cols = _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS)
+        L_cols = _chol_cols_body(K_cols, idx, n, nc, block, MP_AXIS,
+                                 layout=layout, n_mp=n_mp)
 
         # 3. sharded inverse columns, alpha, logdet
         eye_cols = diag_sel.astype(X.dtype)
         Yc = _tri_solve_lower_body(L_cols, eye_cols, idx, n, nc, block,
-                                   MP_AXIS)
+                                   MP_AXIS, layout=layout, n_mp=n_mp)
         Kinv_cols = _tri_solve_upper_body(L_cols, Yc, idx, n, nc, block,
-                                          MP_AXIS)
+                                          MP_AXIS, layout=layout,
+                                          n_mp=n_mp)
         alpha = jax.lax.psum(
             jnp.dot(Kinv_cols, y[cols], precision=_HIGHEST), MP_AXIS)
         logdiag = jnp.log(L_cols[cols, jnp.arange(nc)])

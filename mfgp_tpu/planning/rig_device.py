@@ -84,6 +84,43 @@ GAIN_COSTS = ("sf_gain", "mf_gain")
 STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
 
 
+def _row(arr, idx):
+    """``arr[idx]`` (scalar idx, leading axis) as a one-hot contraction.
+
+    Under ``vmap`` (plan_ensemble) a batched scalar-index read lowers to a
+    gather; the one-hot select lowers to a dense masked reduction, which
+    the TPU vectorizes across instances. Negligible cost unbatched."""
+    oh = jnp.arange(arr.shape[0]) == idx
+    ohx = oh.reshape((-1,) + (1,) * (arr.ndim - 1))
+    return jnp.sum(jnp.where(ohx, arr, jnp.zeros((), arr.dtype)), axis=0,
+                   dtype=arr.dtype)
+
+
+def _rows(arr, idx):
+    """``arr[idx]`` for an index VECTOR: one-hot matmul (floats) or masked
+    reduction (ints/bools). Invalid (-1) indices yield zeros."""
+    oh = idx[:, None] == jnp.arange(arr.shape[0])[None, :]  # (K, A)
+    if arr.dtype == jnp.bool_:
+        return jnp.any(oh & arr[None, :], axis=1)
+    if arr.ndim == 1:
+        return jnp.sum(jnp.where(oh, arr[None, :],
+                                 jnp.zeros((), arr.dtype)), axis=1,
+                       dtype=arr.dtype)
+    if jnp.issubdtype(arr.dtype, jnp.floating):
+        return jnp.tensordot(oh.astype(arr.dtype), arr, axes=1)
+    ohx = oh.reshape(oh.shape + (1,) * (arr.ndim - 1))
+    return jnp.sum(jnp.where(ohx, arr[None], jnp.zeros((), arr.dtype)),
+                   axis=1, dtype=arr.dtype)
+
+
+def _set_row(arr, idx, value, active=True):
+    """``arr.at[idx].set(value) if active`` as a dense one-hot select
+    (scatter-free under vmap)."""
+    oh = (jnp.arange(arr.shape[0]) == idx) & active
+    ohx = oh.reshape((-1,) + (1,) * (arr.ndim - 1))
+    return jnp.where(ohx, value, arr)
+
+
 def _lex_top_idx(tier, key, K):
     """Indices of the top-K entries by (tier, key) DESCENDING,
     lexicographically exact (no additive-bonus precision traps: a float
@@ -355,18 +392,18 @@ class DeviceRIG:
             key, k_edges = jax.random.split(state["key"])
             state = dict(state, key=key)
             nodes, n_nodes = state["nodes"], state["n_nodes"]
-            src_xy = nodes[src_idx]
+            src_xy = _row(nodes, src_idx)
 
             # merge into an existing node, else allocate a new slot
             d_all = jnp.linalg.norm(nodes - dst_xy[None, :], axis=1)
             d_all = jnp.where(jnp.arange(MAXN) < n_nodes, d_all, jnp.inf)
             j_min = jnp.argmin(d_all)
-            merge = d_all[j_min] < self.snd
+            merge = jnp.min(d_all) < self.snd
             have_room = n_nodes < MAXN
             dst_idx = jnp.where(merge, j_min,
                                 jnp.where(have_room, n_nodes,
                                           j_min)).astype(jnp.int32)
-            dst_xy = jnp.where(merge, nodes[dst_idx], dst_xy)
+            dst_xy = jnp.where(merge, _row(nodes, dst_idx), dst_xy)
             in_ws = jnp.all((dst_xy >= lo) & (dst_xy <= hi))
             active = in_ws & (merge | have_room) & (dst_idx != src_idx)
 
@@ -402,10 +439,10 @@ class DeviceRIG:
                     jnp.full((E,), dst_idx, jnp.int32), (ebase,)))
 
             # DP: extend every source path slot by every feasible edge
-            src_slots = state["node_paths"][src_idx]  # (MAXP,) arena idx
+            src_slots = _row(state["node_paths"], src_idx)  # (MAXP,)
             src_valid = src_slots >= 0
-            sb = state["a_budget"][src_slots]
-            st = state["a_time"][src_slots]
+            sb = _rows(state["a_budget"], src_slots)
+            st = _rows(state["a_time"], src_slots)
             xb = (sb[:, None] + e_budget[None, :]).reshape(-1)
             xt = (st[:, None] + e_time[None, :]).reshape(-1)
             ok = ((src_valid[:, None] & feas[None, :]).reshape(-1)
@@ -418,11 +455,11 @@ class DeviceRIG:
                 # beam by score. NaN note: infeasible entries can carry
                 # NaNs from masked-out synthesis branches — force them
                 # below every real key.
-                sq = state["a_q"][src_slots]
+                sq = _rows(state["a_q"], src_slots)
                 xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, nst, E)
                 xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, nstats)
                 if self.cost == "fourier":
-                    scnt = state["a_cnt"][src_slots]
+                    scnt = _rows(state["a_cnt"], src_slots)
                     xcnt = (scnt[:, None]
                             + jnp.full((1, E), float(S), dt)).reshape(-1)
                     scores = jax.vmap(
@@ -442,15 +479,16 @@ class DeviceRIG:
                     scored, scores - 1e-6 * xb,
                     jnp.where(ok, SENTINEL + 1e-6 * xb, NEG))
                 top = jax.lax.top_k(key_rank, MAXP)[1]
-                sel_ok = ok[top]
-                blk_real = jnp.where(scored[top] & sel_ok, scores[top],
-                                     NEG)
-                a_score_blk = jnp.where(sel_ok, scores[top], NEG)
+                sel_ok = _rows(ok, top)
+                top_scored = _rows(scored, top)
+                top_scores = _rows(scores, top)
+                blk_real = jnp.where(top_scored & sel_ok, top_scores, NEG)
+                a_score_blk = jnp.where(sel_ok, top_scores, NEG)
                 state = dict(state, a_q=jax.lax.dynamic_update_slice(
-                    state["a_q"], xq[top], (abase, 0)))
+                    state["a_q"], _rows(xq, top), (abase, 0)))
                 if self.cost == "fourier":
                     state = dict(state, a_cnt=jax.lax.dynamic_update_slice(
-                        state["a_cnt"], xcnt[top], (abase,)))
+                        state["a_cnt"], _rows(xcnt, top), (abase,)))
             else:
                 # gain mode, score-everything: per-path bordered-Cholesky
                 # carries make the sequential gain additive per edge, so
@@ -458,6 +496,9 @@ class DeviceRIG:
                 # updatePathList semantics, reference/GraceRIGV3.py:
                 # 1157-1170). Extensions that would exceed the P-point
                 # carry capacity are infeasible (never mis-scored).
+                # contiguous-block dynamic slices (NOT one-hot selects:
+                # c_L is the big carry buffer — a dense masked read would
+                # stream all MAXN rows per extend)
                 ppts = state["c_pts"][src_idx]   # (MAXP, P, 4)
                 pnp = state["c_np"][src_idx]     # (MAXP,)
                 pgain = state["c_gain"][src_idx]
@@ -554,7 +595,7 @@ class DeviceRIG:
                 ips = jnp.repeat(jnp.arange(MAXP), E)
                 ies = jnp.tile(jnp.arange(E), MAXP)
                 inc, U_all, Ls_all = jax.vmap(pair)(ips, ies)
-                gains = pgain[ips] + inc  # (MAXP*E,) total path gains
+                gains = jnp.repeat(pgain, E) + inc  # (MAXP*E,) path gains
                 finite = jnp.isfinite(gains)
                 gains = jnp.where(finite, gains, NEG)
                 ok = ok & finite
@@ -564,22 +605,24 @@ class DeviceRIG:
                 # Lexicographic (tier, key) sort keeps f32 gains exact.
                 tier = jnp.where(ok, jnp.where(scored, 1, 0), -1)
                 top = _lex_top_idx(tier, gains - 1e-6 * xb, MAXP)
-                sel_ok = ok[top]
-                blk_real = jnp.where(scored[top] & sel_ok, gains[top],
-                                     NEG)
+                sel_ok = _rows(ok, top)
+                top_scored = _rows(scored, top)
+                top_scores = _rows(gains, top)
+                blk_real = jnp.where(top_scored & sel_ok, top_scores, NEG)
                 a_score_blk = jnp.where(
-                    sel_ok, jnp.where(scored[top], gains[top], SENTINEL),
+                    sel_ok, jnp.where(top_scored, top_scores, SENTINEL),
                     NEG)
 
                 # build the selected extensions' carries
-                ip_s, ie_s = ips[top], ies[top]
-                n_s = pnp[ip_s]
+                ip_s, ie_s = _rows(ips, top), _rows(ies, top)
+                n_s = _rows(pnp, ip_s)
                 exyzv = jnp.concatenate(
-                    [e_xyz[ie_s], e_var[ie_s][:, :, None]], axis=2)
+                    [_rows(e_xyz, ie_s), _rows(e_var, ie_s)[:, :, None]],
+                    axis=2)
                 new_pts = jax.vmap(
                     lambda p, e, n0: jax.lax.dynamic_update_slice(
                         p, e, (n0, jnp.zeros((), jnp.int32))))(
-                    ppts[ip_s], exyzv, n_s)
+                    _rows(ppts, ip_s), exyzv, n_s)
                 new_np = n_s + S
 
                 def border(Lpi, Ui, Lsi, n0):
@@ -588,23 +631,24 @@ class DeviceRIG:
                     return jax.lax.dynamic_update_slice(
                         Lpi, rowblk, (n0, jnp.zeros((), jnp.int32)))
 
-                new_L = jax.vmap(border)(Lp[ip_s], U_all[top],
-                                         Ls_all[top], n_s)
-                new_gain = gains[top]
+                new_L = jax.vmap(border)(_rows(Lp, ip_s), _rows(U_all, top),
+                                         _rows(Ls_all, top), n_s)
+                new_gain = top_scores
                 eyeP = jnp.eye(P, dtype=dt)
                 new_L = jnp.where(sel_ok[:, None, None], new_L, eyeP)
                 new_pts = jnp.where(sel_ok[:, None, None], new_pts, 0.0)
                 new_np = jnp.where(sel_ok, new_np, 0).astype(jnp.int32)
                 new_gain = jnp.where(sel_ok, new_gain, 0.0)
 
-            prev = src_slots[top // E]
+            prev = _rows(src_slots, top // E)
             edge_ids = ebase + (top % E)
+            blk_budget = _rows(xb, top)
             state = dict(
                 state,
                 a_budget=jax.lax.dynamic_update_slice(
-                    state["a_budget"], xb[top], (abase,)),
+                    state["a_budget"], blk_budget, (abase,)),
                 a_time=jax.lax.dynamic_update_slice(
-                    state["a_time"], xt[top], (abase,)),
+                    state["a_time"], _rows(xt, top), (abase,)),
                 a_score=jax.lax.dynamic_update_slice(
                     state["a_score"], a_score_blk, (abase,)),
                 a_prev=jax.lax.dynamic_update_slice(
@@ -624,23 +668,26 @@ class DeviceRIG:
             # merge the new block into dst's beam
             new_idx = (abase + jnp.arange(MAXP)).astype(jnp.int32)
             new_idx = jnp.where(sel_ok, new_idx, -1)
-            old_idx = state["node_paths"][dst_idx]
+            old_idx = _row(state["node_paths"], dst_idx)
             cand = jnp.concatenate([old_idx, new_idx])
-            sc_c = state["a_score"][cand]
-            bu_c = state["a_budget"][cand]
+            sc_c = _rows(state["a_score"], cand)
+            # _rows zeroes invalid (-1) rows; a real arena score can be 0,
+            # so force invalid cand entries to the sentinelless NEG
+            sc_c = jnp.where(cand >= 0, sc_c, NEG)
+            bu_c = _rows(state["a_budget"], cand)
             if gain_mode:
                 # rank by accumulated gain (scored entries above unscored,
                 # cheaper ties first); the root pin dominates everything
                 cand_gain = jnp.concatenate(
-                    [state["c_gain"][dst_idx], new_gain])
+                    [_row(state["c_gain"], dst_idx), new_gain])
                 ctier = jnp.where(
                     cand >= 0,
                     jnp.where(sc_c >= PIN * 0.5, 2,
                               jnp.where(sc_c != SENTINEL, 1, 0)), -1)
                 ckey = cand_gain - 1e-6 * bu_c
                 keep = _lex_top_idx(ctier, ckey, MAXP)
-                beam = jnp.where(ctier[keep] >= 0, cand[keep],
-                                 -1).astype(jnp.int32)
+                beam = jnp.where(_rows(ctier, keep) >= 0,
+                                 _rows(cand, keep), -1).astype(jnp.int32)
             else:
                 # beams rank scored paths by score (cheaper ties first) and
                 # sentinel (unscored) paths by HIGHER budget
@@ -649,28 +696,28 @@ class DeviceRIG:
                                          SENTINEL + 1e-6 * bu_c,
                                          sc_c - 1e-6 * bu_c), NEG)
                 keep = jax.lax.top_k(ck, MAXP)[1]
-                beam = jnp.where(ck[keep] > NEG, cand[keep],
-                                 -1).astype(jnp.int32)
+                beam = jnp.where(_rows(ck, keep) > NEG,
+                                 _rows(cand, keep), -1).astype(jnp.int32)
             admitted = jnp.any(beam >= 0) & active
             state = dict(
                 state,
-                node_paths=state["node_paths"].at[dst_idx].set(
-                    jnp.where(active, beam, old_idx)),
-                nodes=state["nodes"].at[dst_idx].set(
-                    jnp.where(active, dst_xy, state["nodes"][dst_idx])),
+                node_paths=_set_row(state["node_paths"], dst_idx, beam,
+                                    active),
+                nodes=_set_row(state["nodes"], dst_idx, dst_xy, active),
                 n_nodes=jnp.where(admitted & ~merge & have_room,
                                   n_nodes + 1, n_nodes).astype(jnp.int32),
             )
             if gain_mode:
                 # gather the surviving entries' carries into dst's slots
                 bvalid = beam >= 0
-                cL = jnp.concatenate([state["c_L"][dst_idx], new_L])[keep]
-                cP = jnp.concatenate([state["c_pts"][dst_idx],
-                                      new_pts])[keep]
-                cN = jnp.concatenate([state["c_np"][dst_idx],
-                                      new_np])[keep]
-                cG = jnp.concatenate([state["c_gain"][dst_idx],
-                                      new_gain])[keep]
+                cL = _rows(jnp.concatenate([state["c_L"][dst_idx], new_L]),
+                           keep)
+                cP = _rows(jnp.concatenate([state["c_pts"][dst_idx],
+                                            new_pts]), keep)
+                cN = _rows(jnp.concatenate([state["c_np"][dst_idx],
+                                            new_np]), keep)
+                cG = _rows(jnp.concatenate([state["c_gain"][dst_idx],
+                                            new_gain]), keep)
                 cL = jnp.where(bvalid[:, None, None], cL, eyeP)
                 cP = jnp.where(bvalid[:, None, None], cP, 0.0)
                 cN = jnp.where(bvalid, cN, 0).astype(jnp.int32)
@@ -692,7 +739,6 @@ class DeviceRIG:
             # the best SCORED extension always ranks inside the arena block
             # (its key carries the scored bonus / sorts above sentinel), so
             # its arena index is abase + its position within the block.
-            blk_budget = xb[top]
             # mask the key: budgets of infeasible rows can be NaN, and
             # argmax treats NaN as maximal
             blk_key = jnp.where(blk_real > NEG,
