@@ -105,9 +105,11 @@ def run_tpu(N, M, repeats=3, fast=False):
     # carries the explicit inverse factor L^-1 (computed for the gradient's
     # K^-1 anyway), so the posterior's substitutions become pure MXU
     # matmuls — see models/mfgp.nlml_value_grad_state_inv /
-    # predict_blocked_inv. Kept as TWO launches: fusing them into one jit
-    # makes XLA hold the gradient's inverse alongside the posterior
-    # buffers — an HBM OOM at N=20k on one v5e.
+    # predict_blocked_inv. The Pallas syrk+grad kernel never materialises
+    # K^-1 to HBM, so a single fused launch now FITS at N=20k (it OOM'd in
+    # r2) — measured 0.618 s vs 0.611 for the two-launch split, so the
+    # split is kept (XLA schedules the smaller programs no worse, and the
+    # warm per-phase sub-metrics below come free).
     mode = "high" if fast else "highest"
     vgs = jax.jit(
         lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj, jitter=1e-6,

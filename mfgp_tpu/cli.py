@@ -212,13 +212,17 @@ def cmd_study(args):
     _cpu(args)
     from mfgp_tpu.data.study import run_study
 
+    import numpy as np
+
     rep = run_study(
         args.out,
         traj_seeds=tuple(range(args.trajectories)),
         vmn_levels=tuple(args.vmn),
         field_seeds=tuple(args.field_seeds),
         closed_loop=args.closed_loop,
-        duration=args.duration)
+        duration=args.duration,
+        fit_mode=args.fit_mode,
+        dtype=np.float32 if args.fit_mode == "device" else np.float64)
     print(json.dumps(rep, indent=1))
 
 
@@ -334,6 +338,12 @@ def build_parser():
     p.add_argument("--closed-loop", action="store_true",
                    help="generate trajectories with the closed-loop sim")
     p.add_argument("--duration", type=float, default=1200.0)
+    p.add_argument("--fit-mode", default="scipy",
+                   choices=["scipy", "device"],
+                   help="device = restart-batched on-device fits (f32; "
+                        "the datasets share a static shape so the 4 "
+                        "executables compile once for the whole sweep — "
+                        "pair with --tpu)")
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
     p.add_argument("checkpoint", nargs="+",

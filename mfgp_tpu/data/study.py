@@ -128,7 +128,8 @@ def closed_loop_trajectory(seed: int, cfg: SimConfig, budget: float = 30.0,
 def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
               field_seeds=(0,), cfg: SimConfig | None = None,
               closed_loop: bool = False, optimize: bool = True,
-              duration: float = 1200.0):
+              duration: float = 1200.0, fit_mode: str = "scipy",
+              dtype=None):
     """The full sweep. Returns the aggregate summary dict; writes the
     reference's artifact tree under ``out_dir``."""
     base_cfg = cfg or SimConfig()
@@ -164,7 +165,9 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
                     os.path.join(out_dir, "GPDataSets", ds_name),
                     os.path.join(out_dir, "FieldData",
                                  f"FieldSettings{fseed}.txt"),
-                    out_dir=res_dir, cfg=run_cfg, optimize=optimize)
+                    out_dir=res_dir, cfg=run_cfg, optimize=optimize,
+                    fit_mode=fit_mode,
+                    dtype=dtype if dtype is not None else np.float64)
 
     rows = collect_results(os.path.join(res_dir, "MSE_*.txt"),
                            os.path.join(res_dir, "results.csv"))

@@ -42,9 +42,21 @@ class TrainedModels(NamedTuple):
 
 def train_models(ds: GPDataset, kernel: str = "rbf", jitter: float = 1e-6,
                  optimize: bool = True, nigp_restarts: int = 2,
-                 nigp_iters: int = 10, dtype=np.float64) -> TrainedModels:
+                 nigp_iters: int = 10, dtype=np.float64,
+                 fit_mode: str = "scipy") -> TrainedModels:
     """Fit the four model families on one dataset
-    (reference/GPTrainers.py:60-104)."""
+    (reference/GPTrainers.py:60-104).
+
+    ``fit_mode="scipy"`` is the reference-style L-BFGS driver (one
+    host<->device round trip per NLML eval — fine on CPU, tunnel-latency
+    bound on TPU). ``fit_mode="device"`` runs every fit as ONE
+    restart-batched device launch (``optimize_restarts`` /
+    ``NIGP.fit_native``): since the study's datasets share a static
+    shape, all 4 executables compile once and serve the whole sweep —
+    the TPU path for the 90-run experiment matrix (PARITY.md r3).
+    """
+    if fit_mode not in ("scipy", "device"):
+        raise ValueError(fit_mode)
     Xs, ys = ds.fidelity_lists(use_estimates=True)
     mf = MFGP.from_fidelity_lists(
         [x.astype(dtype) for x in Xs], [y.astype(dtype) for y in ys],
@@ -55,6 +67,13 @@ def train_models(ds: GPDataset, kernel: str = "rbf", jitter: float = 1e-6,
                jitter=jitter)
     if optimize:
         nigp = NIGP(n_restarts=nigp_restarts, iters=nigp_iters)
+        if fit_mode == "device":
+            mf.optimize_restarts(fix_rhos=True)
+            sf.optimize_restarts()
+            sf_tp.optimize_restarts()
+            nigp.fit_native(ds.X_est.astype(dtype), ds.y.astype(dtype),
+                            n_restarts=max(nigp_restarts, 1))
+            return TrainedModels(mf, sf, sf_tp, nigp)
         mf.optimize(fix_rhos=True)  # kern.scale.fix([1,1]), GPTrainers.py:67
         sf.optimize()
         sf_tp.optimize()
@@ -104,7 +123,8 @@ def evaluate_models(models: TrainedModels, test_points: np.ndarray,
 
 def process_dataset(gpdata_path: str, field_settings_path: str,
                     out_dir: str | None = None, cfg: SimConfig | None = None,
-                    kernel: str = "rbf", optimize: bool = True):
+                    kernel: str = "rbf", optimize: bool = True,
+                    fit_mode: str = "scipy", dtype=np.float64):
     """One full GPTrainers unit: load -> fit x4 -> evaluate -> artifacts.
 
     Artifact names mirror the reference (reference/GPTrainers.py:70-170):
@@ -114,7 +134,8 @@ def process_dataset(gpdata_path: str, field_settings_path: str,
     cfg = cfg or SimConfig()
     ds = load_gp_dataset(gpdata_path, t_cut=cfg.t_cut)
     field = parse_field_settings(field_settings_path)
-    models = train_models(ds, kernel=kernel, optimize=optimize)
+    models = train_models(ds, kernel=kernel, optimize=optimize,
+                          fit_mode=fit_mode, dtype=dtype)
     metrics, grids = evaluate_models(models, cfg.test_points(), field,
                                      normalize=cfg.normalize_wmse)
 

@@ -152,26 +152,37 @@ def chol_solve_blocked(L: jax.Array, B: jax.Array, block: int = 2048
 
 
 def tri_inv_recursive(L: jax.Array, base: int = 1024,
-                      precision=_HIGHEST) -> jax.Array:
+                      precision=_HIGHEST,
+                      dense_products: bool = False) -> jax.Array:
     """Lower-triangular inverse by divide and conquer.
 
     ``inv([[A, 0], [B, C]]) = [[Ai, 0], [-Ci B Ai, Ci]]`` applied
     recursively: log2(N/base) levels, each one pair of HALF-SIZE matmuls —
     the dependency chain is O(log N) instead of a sequential O(N/block)
     row recurrence, and the top-level matmuls are (N/2)-square, exactly
-    what the MXU wants. Both per-level
-    products exploit the triangularity of Ai / Ci (half their dense
-    FLOPs); ~N^3/4 multiplies total.
+    what the MXU wants.
+
+    ``dense_products=False`` exploits the triangularity of Ai / Ci in
+    both per-level products (half their dense FLOPs, ~N^3/6 multiplies
+    total, as blocked row/column strips); ``dense_products=True`` runs
+    them as single dense matmuls (~N^3/3 multiplies) — 2x the arithmetic
+    on perfectly MXU-shaped single calls, which can win when the strip
+    decomposition is scheduler-bound rather than FLOP-bound.
     """
     n = L.shape[0]
     if n <= base:
         return tri_solve(L, jnp.eye(n, dtype=L.dtype))
     h = n // 2
-    Ai = tri_inv_recursive(L[:h, :h], base, precision)
-    Ci = tri_inv_recursive(L[h:, h:], base, precision)
-    BAi = tri_lower_matmul_right(L[h:, :h], Ai, block=base,
-                                 precision=precision)
-    lower_left = -tri_lower_matmul(Ci, BAi, block=base, precision=precision)
+    Ai = tri_inv_recursive(L[:h, :h], base, precision, dense_products)
+    Ci = tri_inv_recursive(L[h:, h:], base, precision, dense_products)
+    if dense_products:
+        BAi = jnp.dot(L[h:, :h], Ai, precision=precision)
+        lower_left = -jnp.dot(Ci, BAi, precision=precision)
+    else:
+        BAi = tri_lower_matmul_right(L[h:, :h], Ai, block=base,
+                                     precision=precision)
+        lower_left = -tri_lower_matmul(Ci, BAi, block=base,
+                                       precision=precision)
     top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
     bot = jnp.concatenate([lower_left, Ci], axis=1)
     return jnp.concatenate([top, bot], axis=0)

@@ -203,15 +203,14 @@ def rbf_cov_fused(X1, X2, variance, lengthscales, noise_diag=None,
 # only) assemble the full-matrix sv. FLOPs equal the structure-aware syrk
 # (~N^3/3 multiplies); the N^2 HBM round-trip and the separate
 # contraction passes disappear.
-_SG_TILE = 512
+_SG_TILE = 640
 
 
 def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
                       Lki_ref, Lkj_ref, Ai_ref, Aj_ref, nAi_ref, nAj_ref,
                       wi_ref, wj_ref, xiT_ref, xjT_ref, ai_ref, aj_ref,
-                      svr_ref, svc_ref, dw_ref, acc, *, F: int):
+                      svr_ref, svc_ref, dw_ref, acc, *, F: int, T: int):
     p = pl.program_id(0)
-    T = _SG_TILE
     is_first = first[p] == 1
     is_last = last[p] == 1
     is_diag = i_of[p] == j_of[p]
@@ -261,16 +260,17 @@ def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
             is_diag, jnp.sum(jnp.where(row == col, Wt, 0.0), axis=1), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
 def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
-                    noises, interpret: bool = False):
+                    noises, interpret: bool = False,
+                    tile: int = _SG_TILE):
     """(g_logvar, g_logls, g_lognoise) of the AR1 NLML via the fused
     syrk+contraction kernel (RBF base kernels; see block comment above).
 
     Exact mathematics of models/mfgp._nlml_vg_core's contraction phase at
     inv_mode precision HIGHEST, without materialising K^-1.
     """
-    T = _SG_TILE
+    T = tile
     N, D = X.shape
     F = variances.shape[0]
     Linv = jnp.asarray(Linv, jnp.float32)
@@ -351,7 +351,7 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
         scratch_shapes=[pltpu.VMEM((T, T), jnp.float32)],
     )
     svr, svc, dw = pl.pallas_call(
-        functools.partial(_syrk_grad_kernel, F=F),
+        functools.partial(_syrk_grad_kernel, F=F, T=T),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
@@ -367,7 +367,7 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
         # lane-padded (F, T, D) operand blocks exceed the 16 MB default
         # scoped-vmem budget; v5e has headroom (measured 18.5 MB)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024),
+            vmem_limit_bytes=(96 if T >= 1024 else 48) * 1024 * 1024),
         interpret=interpret,
     )(mk(i_of), mk(j_of), mk(k_of), mk(pair_of), mk(first), mk(last),
       Lp, Lp, Apad, Apad, nApad, nApad, wpad, wpad, xT, xT, ap, ap)

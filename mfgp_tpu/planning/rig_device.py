@@ -855,10 +855,12 @@ class DeviceRIG:
         """K independent planner instances in ONE vmapped launch; the
         best-scoring plan wins (ties break toward lower budget).
 
-        Instances are independent, so under ``mesh`` sharding the
-        partitioned program needs zero collectives and each device
-        executes a near-batch-1 loop. Single-chip ensembles share the
-        launch; see ROADMAP for the measured batching overhead.
+        Single-chip ensembles are cheap: the loop's index operations are
+        one-hot contractions (_row/_rows/_set_row), which vmap to dense
+        masked reductions instead of batched gathers/scatters — measured
+        on v5e (ergodic, 200 iters): 8 plans in 1.6x one plan's
+        wall-clock (r2's gather-based loop paid ~45x). Under ``mesh``
+        sharding the instances partition over dp with zero collectives.
         """
         x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
         keys = jax.random.split(key, n_plans)

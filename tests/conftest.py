@@ -35,7 +35,8 @@ REFERENCE_ROOT = "/root/reference"
 SLOW_FILES = {
     "test_rig_device.py", "test_sim_cli.py", "test_runtime.py",
     "test_dcn_sweep.py", "test_viz_studies.py", "test_serve.py",
-    "test_fault_injection.py",
+    "test_fault_injection.py", "test_parallel.py", "test_planner.py",
+    "test_mfgp.py", "test_mfgp_recursive.py", "test_data_pipeline.py",
 }
 
 
