@@ -135,6 +135,7 @@ def cmd_explore(args):
     exp = ExperimentConfig(multi_fidelity=variant.startswith("MF"),
                            ergodic=variant in ("MFEGP", "SFEGP"),
                            ergodic_metric=args.ergodic_metric,
+                           info_cost=args.info_cost,
                            B=args.budget, BD=args.bd)
     sim = ExplorationSim(exp, seed=args.seed, out_dir=args.out,
                          plan_iters=args.plan_iters, flight=args.flight,
@@ -316,6 +317,11 @@ def build_parser():
                    help="ergodic variants: trajectory-distribution KL "
                         "(reference) or Fourier/Sobolev spectral cost "
                         "(host + device planners)")
+    p.add_argument("--info-cost", default="sequential",
+                   choices=["sequential", "batch"],
+                   help="info-gain variants: sequential entropy or the "
+                        "grid log-det the reference's physical drivers "
+                        "use (host + device planners)")
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")

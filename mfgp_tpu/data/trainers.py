@@ -68,9 +68,13 @@ def train_models(ds: GPDataset, kernel: str = "rbf", jitter: float = 1e-6,
     if optimize:
         nigp = NIGP(n_restarts=nigp_restarts, iters=nigp_iters)
         if fit_mode == "device":
-            mf.optimize_restarts(fix_rhos=True)
-            sf.optimize_restarts()
-            sf_tp.optimize_restarts()
+            # f32 fits never reach the 1e-6 gradient norm, so the default
+            # tol runs every lane to maxiter; 1e-3 exits at f32
+            # convergence (summary metrics unchanged, PARITY r3)
+            tol = 1e-3 if np.dtype(dtype) == np.float32 else 1e-6
+            mf.optimize_restarts(fix_rhos=True, tol=tol)
+            sf.optimize_restarts(tol=tol)
+            sf_tp.optimize_restarts(tol=tol)
             nigp.fit_native(ds.X_est.astype(dtype), ds.y.astype(dtype),
                             n_restarts=max(nigp_restarts, 1))
             return TrainedModels(mf, sf, sf_tp, nigp)

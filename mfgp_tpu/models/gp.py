@@ -315,6 +315,36 @@ def predict_blocked(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
     return means.reshape(-1)[:M], variances.reshape(-1)[:M]
 
 
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+def _fit_restarts(inits, X, y, kernel, jitter, maxiter, tol=1e-6):
+    """Restart-batched projected L-BFGS sweep (module-level so the
+    compiled executable is cached across GP instances of the same shape
+    — one compile serves a whole study sweep)."""
+    D = X.shape[1]
+
+    def obj(vec):
+        p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
+        v = nlml(p, X, y, kernel=kernel, jitter=jitter)
+        return jnp.where(jnp.isfinite(v), v, 1e20)
+
+    vg = None
+    if kernel in ("rbf", "matern32"):
+        def vg(vec):
+            p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
+            v, g = nlml_value_and_grad(p, X, y, kernel=kernel,
+                                       jitter=jitter)
+            gv = jnp.concatenate([g.log_variance[None],
+                                  g.log_lengthscales,
+                                  g.log_noise[None]])
+            bad = ~jnp.isfinite(v)
+            return (jnp.where(bad, 1e20, v),
+                    jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
+
+    return jax.vmap(
+        lambda v: batched_lbfgs(obj, v, maxiter=maxiter, tol=tol,
+                                value_and_grad=vg)[:2])(inits)
+
+
 @dataclass
 class GP:
     """Stateful convenience wrapper (mirrors the GPy call sites).
@@ -376,14 +406,18 @@ class GP:
         return fopt
 
     def optimize_restarts(self, n_restarts: int = 8, maxiter: int = 200,
-                          spread: float = 1.0, seed: int = 0):
+                          spread: float = 1.0, seed: int = 0,
+                          tol: float = 1e-6):
         """Device-side restart-batched fit: one launch runs ``n_restarts``
         projected L-BFGS trajectories via vmap and keeps the best.
 
         The scipy driver in :meth:`optimize` makes one host<->device round
         trip per NLML evaluation — fine locally, latency-dominated through
         a TPU tunnel (measured ~20 min for one fit that computes ~2 s).
-        This path keeps the whole optimization on device.
+        This path keeps the whole optimization on device; the jitted
+        sweep lives at module level (_fit_restarts) so SEQUENCES of fits
+        over same-shaped datasets (the 90-run study matrix) reuse one
+        compiled executable instead of recompiling per model instance.
         """
         D = self.X.shape[1]
         dtype = self.X.dtype
@@ -397,30 +431,8 @@ class GP:
             key, (n_restarts, x0.shape[0]), dtype)
         inits = inits.at[0].set(x0)  # first restart = current params
 
-        X, y, kernel, jitter = self.X, self.y, self.kernel, self.jitter
-
-        def obj(vec):
-            p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
-            v = nlml(p, X, y, kernel=kernel, jitter=jitter)
-            return jnp.where(jnp.isfinite(v), v, 1e20)
-
-        vg = None
-        if kernel in ("rbf", "matern32"):
-            def vg(vec):
-                p = GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
-                v, g = nlml_value_and_grad(p, X, y, kernel=kernel,
-                                           jitter=jitter)
-                gv = jnp.concatenate([g.log_variance[None],
-                                      g.log_lengthscales,
-                                      g.log_noise[None]])
-                bad = ~jnp.isfinite(v)
-                return (jnp.where(bad, 1e20, v),
-                        jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
-
-        fit = jax.jit(jax.vmap(
-            lambda v: batched_lbfgs(obj, v, maxiter=maxiter,
-                                    value_and_grad=vg)[:2]))
-        xs, fs = fit(inits)
+        xs, fs = _fit_restarts(inits, self.X, self.y, self.kernel,
+                               self.jitter, maxiter, tol)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
         xopt = xs[best]
         self.params = GPParams(xopt[0], xopt[1 : 1 + D], xopt[1 + D])

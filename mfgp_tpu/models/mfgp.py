@@ -466,6 +466,43 @@ def stack_fidelity_lists(X_list: Sequence, y_list: Sequence | None = None):
     return X, fid, y
 
 
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+def _mf_fit_restarts(inits, X, fid, y, fixed_rhos, lower, upper, kernel,
+                     jitter, maxiter, tol=1e-6):
+    """Restart-batched projected L-BFGS sweep for the AR1 MFGP
+    (module-level: one compiled executable serves every same-shaped fit
+    in a sweep — the 90-run study matrix recompiled per model instance
+    when this lived inside optimize_restarts)."""
+    F = fixed_rhos.shape[0] + 1
+    D = X.shape[1]
+
+    def unpack(vec):
+        return MFGPParams(vec[:F], vec[F : F + F * D].reshape(F, D),
+                          fixed_rhos, vec[F + F * D :])
+
+    def obj(vec):
+        v = nlml(unpack(vec), X, fid, y, kernel=kernel, jitter=jitter)
+        return jnp.where(jnp.isfinite(v), v, 1e20)
+
+    vg = None
+    if kernel in ("rbf", "matern32"):
+        # analytic trace-identity gradient: ~2.5x faster than autodiff
+        def vg(vec):
+            v, g = nlml_value_and_grad(unpack(vec), X, fid, y,
+                                       kernel=kernel, jitter=jitter)
+            gv = jnp.concatenate([g.log_variances,
+                                  g.log_lengthscales.reshape(-1),
+                                  g.log_noises])
+            bad = ~jnp.isfinite(v)
+            return (jnp.where(bad, 1e20, v),
+                    jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
+
+    return jax.vmap(
+        lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
+                                maxiter=maxiter, tol=tol,
+                                value_and_grad=vg)[:2])(inits)
+
+
 @dataclass
 class MFGP:
     """Stateful wrapper mirroring the emukit call sites.
@@ -563,7 +600,8 @@ class MFGP:
 
     def optimize_restarts(self, n_restarts: int = 8, maxiter: int = 200,
                           spread: float = 1.0, seed: int = 0,
-                          fix_rhos: bool = True, lengthscale_bounds=None):
+                          fix_rhos: bool = True, lengthscale_bounds=None,
+                          tol: float = 1e-6):
         """Device-side restart-batched fit (see gp.GP.optimize_restarts):
         all restarts advance in one vmapped projected-L-BFGS launch, best
         NLML wins. Replicates the reference's hyperparameter constraints
@@ -592,41 +630,17 @@ class MFGP:
                 "free rhos use optimize(); the reference always fixes them "
                 "(kern.scale.fix, reference/GPTrainers.py:67)")
 
-        def unpack(vec):
-            return MFGPParams(vec[:F], vec[F : F + F * D].reshape(F, D),
-                              fixed_rhos, vec[F + F * D :])
-
-        def pack_grad(g: MFGPParams):
-            return jnp.concatenate([g.log_variances,
-                                    g.log_lengthscales.reshape(-1),
-                                    g.log_noises])
-
-        def obj(vec):
-            v = nlml(unpack(vec), X, fid, y, kernel=kernel, jitter=jitter)
-            return jnp.where(jnp.isfinite(v), v, 1e20)
-
-        vg = None
-        if kernel in ("rbf", "matern32"):
-            # analytic trace-identity gradient: ~2.5x faster than autodiff
-            def vg(vec):
-                v, g = nlml_value_and_grad(unpack(vec), X, fid, y,
-                                           kernel=kernel, jitter=jitter)
-                gv = pack_grad(g)
-                bad = ~jnp.isfinite(v)
-                return (jnp.where(bad, 1e20, v),
-                        jnp.where(bad | ~jnp.isfinite(gv), 0.0, gv))
-
         key = jax.random.key(seed)
         inits = x0[None, :] + spread * jax.random.normal(
             key, (n_restarts, n), dtype)
         inits = inits.at[0].set(x0)
-        fit = jax.jit(jax.vmap(
-            lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
-                                    maxiter=maxiter,
-                                    value_and_grad=vg)[:2]))
-        xs, fs = fit(inits)
+        xs, fs = _mf_fit_restarts(inits, X, fid, y, fixed_rhos, lower,
+                                  upper, kernel, jitter, maxiter, tol)
         best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
-        self.params = unpack(xs[best])
+        xopt = xs[best]
+        self.params = MFGPParams(xopt[:F],
+                                 xopt[F : F + F * D].reshape(F, D),
+                                 fixed_rhos, xopt[F + F * D :])
         self._state = None
         return float(fs[best])
 

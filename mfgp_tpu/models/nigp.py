@@ -163,6 +163,22 @@ def nlml_native(log_hyp, X, y, jitter: float = 1e-8):
             + 0.5 * N * _LOG2PI)
 
 
+@partial(jax.jit, static_argnames=("maxiter",))
+def _nigp_fit_restarts(inits, X, y, lower, upper, maxiter):
+    """Restart-batched L-BFGS on the fully-coupled NLML (module-level so
+    the executable is cached across NIGP instances of one shape — study
+    sweeps compile it once)."""
+    from mfgp_tpu.ops.optimize import batched_lbfgs
+
+    def obj(lh):
+        v = nlml_native(lh, X, y)
+        return jnp.where(jnp.isfinite(v), v, 1e20)
+
+    return jax.vmap(
+        lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
+                                maxiter=maxiter)[:2])(inits)
+
+
 @dataclass
 class NIGP:
     """Input-noise GP with the reference's alternating fit schedule.
@@ -286,14 +302,8 @@ class NIGP:
         lower = jnp.full((2 * D + 2,), np.log(1e-6), X.dtype)
         upper = jnp.full((2 * D + 2,), np.log(1e6), X.dtype)
 
-        def obj(lh):
-            v = nlml_native(lh, X, y)
-            return jnp.where(jnp.isfinite(v), v, 1e20)
-
-        fit = jax.jit(jax.vmap(
-            lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
-                                    maxiter=maxiter)[:2]))
-        xs, fs = fit(jnp.asarray(inits, X.dtype))
+        xs, fs = _nigp_fit_restarts(jnp.asarray(inits, X.dtype), X, y,
+                                    lower, upper, maxiter)
         best = int(jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf)))
         log_hyp = np.asarray(xs[best])
 

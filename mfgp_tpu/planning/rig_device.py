@@ -80,7 +80,8 @@ SENTINEL = -10000.0
 NEG = -1e30
 PIN = 1e20  # beam-rank pin for the root trivial path
 
-GAIN_COSTS = ("sf_gain", "mf_gain")
+GAIN_COSTS = ("sf_gain", "mf_gain")  # additive sequential-entropy carries
+LOGDET_COSTS = ("sf_logdet", "mf_logdet")  # carried grid-posterior cov
 STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
 
 
@@ -182,7 +183,7 @@ class DeviceRIG:
         self.max_paths = int(max_paths)
         self.S = int(samples_per_edge)
         self.K = int(near_neighbors)  # near-phase extensions per iteration
-        if cost not in STAT_COSTS + GAIN_COSTS:
+        if cost not in STAT_COSTS + GAIN_COSTS + LOGDET_COSTS:
             raise ValueError(cost)
         from mfgp_tpu.ops.kernels import KERNELS
 
@@ -195,8 +196,10 @@ class DeviceRIG:
             raise ValueError("max_path_points must be >= samples_per_edge")
         self.dtype = dtype
         if grid is None:
-            if cost in ("ergodic", "fourier"):
-                raise ValueError(f"{cost} scoring needs a grid (+ eid)")
+            if cost in STAT_COSTS + LOGDET_COSTS:
+                raise ValueError(f"{cost} scoring needs a grid"
+                                 + (" (+ eid)" if cost in STAT_COSTS
+                                    else ""))
             grid = np.zeros((1, 3))
         else:
             grid = np.asarray(grid, float)
@@ -285,8 +288,9 @@ class DeviceRIG:
     def _plan_impl(self, x0, key, B, eid, gp):
         cfg = self.cfg
         dt = self.dtype
-        gain_mode = self.cost in GAIN_COSTS
-        mf = self.cost == "mf_gain"
+        ld_mode = self.cost in LOGDET_COSTS
+        gain_mode = self.cost in GAIN_COSTS or ld_mode
+        mf = self.cost in ("mf_gain", "mf_logdet")
         if self.cost == "ergodic":
             floor = jnp.minimum(jnp.min(jnp.where(eid > 0, eid, jnp.inf)),
                                 jnp.asarray(1e-15, dt))
@@ -337,6 +341,30 @@ class DeviceRIG:
                                       lengthscales, rhos, self.kernel)
                 return kern(A, Bm, variance, lengthscales)
 
+            if ld_mode:
+                # batch-mutual-information mode (host BatchLogDetCost /
+                # MFBatchLogDetCost; reference calcPathInfoSFBatch /
+                # calculatePathInfoEmuBatch, reference/
+                # PhysicalExperimentCode/GraceRIGV3.py:571-617): each beam
+                # slot carries the GRID's latent posterior covariance
+                # given train+path; conditioning on an edge's S points is
+                # a rank-S downdate through the same bordered pipeline,
+                # so EVERY eligible extension is scored exactly.
+                grid_j = self.grid
+                if mf:
+                    fid_g = jnp.full((G,), F - 1, jnp.int32)
+                    g_noise = noises[F - 1]
+                else:
+                    fid_g = None
+                    g_noise = noise
+                Kxg = cov_c(X_pad, fid_pad if mf else None, grid_j, fid_g)
+                Kgg = cov_c(grid_j, fid_g, grid_j, fid_g)
+                Ag = Kinv @ Kxg  # (N, G)
+                Sig0 = Kgg - Kxg.T @ Ag  # latent grid posterior | train
+                eyeG = jnp.eye(G, dtype=dt)
+                ld_prior = _la.logdet_from_chol(
+                    _la.chol(Sig0 + g_noise * eyeG))
+
         if self.cost == "ergodic":
             nstats = G
         elif self.cost == "fourier":
@@ -371,6 +399,9 @@ class DeviceRIG:
                 "c_L": jnp.broadcast_to(jnp.eye(P, dtype=dt),
                                         (MAXN, MAXP, P, P))}
                if gain_mode else {}),
+            # logdet mode: carried latent grid posterior cov per slot
+            **({"c_sig": jnp.broadcast_to(Sig0, (MAXN, MAXP, G, G))}
+               if ld_mode else {}),
             edge_prims=jnp.full((MAXE, 2 * cfg.num_legs + 1, 4),
                                 -1.0, dt),
             edge_src=jnp.zeros((MAXE,), jnp.int32),
@@ -515,46 +546,66 @@ class DeviceRIG:
                 def eprep(xyz, fid_c):
                     if mf:
                         Kx_c = cov_c(X_pad, fid_pad, xyz, fid_c)  # (N, S)
-                        Kx_p = cov_c(X_pad, fid_pad, xyz, fid0)
                         A_c = Kinv @ Kx_c
-                        A_p = Kinv @ Kx_p
                         D_cc = (cov_c(xyz, fid_c, xyz, fid_c)
                                 + jnp.diag(_k.mf_noise_diag(fid_c, noises))
                                 - Kx_c.T @ A_c)
+                    else:
+                        Kx_c = kern(X_pad, xyz, variance, lengthscales)
+                        A_c = Kinv @ Kx_c
+                        D_cc = (kern(xyz, xyz, variance, lengthscales)
+                                + noise * jnp.eye(S, dtype=dt)
+                                - Kx_c.T @ A_c)
+                    if ld_mode:
+                        # latent grid<->edge posterior cross-cov | train
+                        Cgs = (cov_c(grid_j, fid_g, xyz, fid_c)
+                               - Ag.T @ Kx_c)  # (G, S)
+                        return Kx_c, Kx_c, D_cc, Cgs, jnp.zeros((S,), dt)
+                    if mf:
+                        Kx_p = cov_c(X_pad, fid_pad, xyz, fid0)
+                        A_p = Kinv @ Kx_p
                         Sig_cp = (cov_c(xyz, fid_c, xyz, fid0)
                                   - Kx_c.T @ A_p)
                         kpp = jnp.sum((Wf[:, fid0] ** 2)
                                       * variances[:, None], axis=0)
                         sig_pp = kpp - jnp.sum(Kx_p * A_p, axis=0)
                         return Kx_c, Kx_p, D_cc, Sig_cp, sig_pp
-                    Kx = kern(X_pad, xyz, variance, lengthscales)
-                    A = Kinv @ Kx
-                    D = (kern(xyz, xyz, variance, lengthscales)
-                         + noise * jnp.eye(S, dtype=dt) - Kx.T @ A)
-                    return Kx, Kx, D, D, jnp.zeros((S,), dt)
+                    return Kx_c, Kx_c, D_cc, D_cc, jnp.zeros((S,), dt)
 
                 (eKx_c, eKx_p, eD_cc, eSig_cp, esig_pp) = jax.vmap(eprep)(
                     e_xyz, e_fid if mf else jnp.zeros((E, S), jnp.int32))
 
                 # per-path prefix projection (masked rows beyond n)
-                def pprep(pts_i, n_i, fid_i):
+                Lp_all = Lp
+
+                def pprep(pts_i, n_i, fid_i, Lp_i):
                     m = jnp.arange(P) < n_i
                     Kpx = cov_c(pts_i[:, :3], fid_i, X_pad,
                                 fid_pad if mf else None)
                     Kpx = jnp.where(m[:, None], Kpx, 0.0)
-                    return Kpx @ Kinv  # (P, N)
+                    Rp_i = Kpx @ Kinv  # (P, N)
+                    if not ld_mode:
+                        return Rp_i, jnp.zeros((P, 1), dt)
+                    # whitened prefix<->grid posterior cross-cov | train
+                    Kpg = cov_c(pts_i[:, :3], fid_i, grid_j, fid_g)
+                    Kpg = jnp.where(m[:, None], Kpg, 0.0)
+                    Vg_i = _la.tri_solve(Lp_i, Kpg - Rp_i @ Kxg)  # (P, G)
+                    return Rp_i, Vg_i
 
                 if mf:
-                    Rp = jax.vmap(pprep)(ppts, pnp, p_fid)
+                    Rp, Vg = jax.vmap(pprep)(ppts, pnp, p_fid, Lp_all)
                 else:
-                    Rp = jax.vmap(lambda p, n: pprep(p, n, None))(
-                        ppts, pnp)
+                    Rp, Vg = jax.vmap(
+                        lambda p, n, L_: pprep(p, n, None, L_))(
+                        ppts, pnp, Lp_all)
 
                 strict_lower_S = jnp.tril(jnp.ones((S, S), bool), k=-1)
+                if ld_mode:
+                    csig_src = state["c_sig"][src_idx]  # (MAXP, G, G)
 
                 def pair(ip, ie):
-                    """Exact gain increment of extending path ip by edge
-                    ie + the bordered factor pieces for the carry."""
+                    """Exact score of extending path ip by edge ie + the
+                    bordered factor pieces for the carry."""
                     n_i = pnp[ip]
                     m = jnp.arange(P) < n_i
                     xyzp = ppts[ip][:, :3]
@@ -568,6 +619,18 @@ class DeviceRIG:
                     U = _la.tri_solve(Lp[ip], Sig_cc)  # (P, S)
                     Schur = eD_cc[ie] - U.T @ U
                     Ls = _la.chol(Schur)
+                    if ld_mode:
+                        # rank-S grid-cov downdate; score = batch mutual
+                        # information over the grid (host _logdet_gain_one
+                        # / _mf_logdet_gain_one semantics)
+                        Cgs = eSig_cp[ie] - Vg[ip].T @ U  # (G, S)
+                        W = _la.tri_solve(Ls, Cgs.T)  # (S, G)
+                        Sig_new = csig_src[ip] - W.T @ W
+                        sc = 0.5 * (ld_prior - _la.logdet_from_chol(
+                            _la.chol(Sig_new + g_noise * eyeG)))
+                        if not mf:  # the reference's SF variant clamps
+                            sc = jnp.maximum(sc, 0.0)
+                        return sc, U, Ls, W
                     if not mf:
                         v = jnp.diagonal(Ls) ** 2
                         terms = jnp.log(1.0 + v / noise)
@@ -594,8 +657,12 @@ class DeviceRIG:
 
                 ips = jnp.repeat(jnp.arange(MAXP), E)
                 ies = jnp.tile(jnp.arange(E), MAXP)
-                inc, U_all, Ls_all = jax.vmap(pair)(ips, ies)
-                gains = jnp.repeat(pgain, E) + inc  # (MAXP*E,) path gains
+                if ld_mode:
+                    inc, U_all, Ls_all, W_all = jax.vmap(pair)(ips, ies)
+                    gains = inc  # direct scores (not additive increments)
+                else:
+                    inc, U_all, Ls_all = jax.vmap(pair)(ips, ies)
+                    gains = jnp.repeat(pgain, E) + inc  # (MAXP*E,)
                 finite = jnp.isfinite(gains)
                 gains = jnp.where(finite, gains, NEG)
                 ok = ok & finite
@@ -639,6 +706,12 @@ class DeviceRIG:
                 new_pts = jnp.where(sel_ok[:, None, None], new_pts, 0.0)
                 new_np = jnp.where(sel_ok, new_np, 0).astype(jnp.int32)
                 new_gain = jnp.where(sel_ok, new_gain, 0.0)
+                if ld_mode:
+                    W_s = _rows(W_all, top)  # (MAXP, S, G)
+                    new_sig = (_rows(csig_src, ip_s)
+                               - jnp.einsum("ksg,ksh->kgh", W_s, W_s))
+                    new_sig = jnp.where(sel_ok[:, None, None], new_sig,
+                                        Sig0)
 
             prev = _rows(src_slots, top // E)
             edge_ids = ebase + (top % E)
@@ -734,6 +807,13 @@ class DeviceRIG:
                     c_gain=state["c_gain"].at[dst_idx].set(
                         jnp.where(upd, cG, state["c_gain"][dst_idx])),
                 )
+                if ld_mode:
+                    cS = _rows(jnp.concatenate(
+                        [state["c_sig"][dst_idx], new_sig]), keep)
+                    cS = jnp.where(bvalid[:, None, None], cS, Sig0)
+                    state = dict(state, c_sig=state["c_sig"].at[
+                        dst_idx].set(jnp.where(upd, cS,
+                                               state["c_sig"][dst_idx])))
 
             # global best (scored extensions only; lower budget tie-break).
             # the best SCORED extension always ranks inside the arena block
@@ -799,7 +879,8 @@ class DeviceRIG:
 
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         # carries are working state, not results — don't ship them home
-        for k in ("c_L", "c_pts", "c_np", "c_gain", "a_q", "a_cnt"):
+        for k in ("c_L", "c_pts", "c_np", "c_gain", "c_sig", "a_q",
+                  "a_cnt"):
             state.pop(k, None)
         return state
 
@@ -812,13 +893,13 @@ class DeviceRIG:
                 raise ValueError(f"{self.cost} scoring needs an eid "
                                  "(constructor or plan argument)")
             eid_arr = jnp.ones((1,), self.dtype)  # unused in gain mode
-        if gp is None and self.cost in GAIN_COSTS:
+        if gp is None and self.cost in GAIN_COSTS + LOGDET_COSTS:
             raise ValueError(
-                "gain scoring needs the conditioned GP state: pass "
+                "gain/logdet scoring needs the conditioned GP state: pass "
                 "gp=prepare_sf_gain_state(...)/prepare_mf_gain_state(...)")
         if gp is None:
             z = jnp.zeros((1, 1), self.dtype)
-            if self.cost == "mf_gain":
+            if self.cost in ("mf_gain", "mf_logdet"):
                 gp = (jnp.zeros((1, 3), self.dtype),
                       jnp.zeros((1,), jnp.int32), z,
                       jnp.ones((3,), self.dtype),

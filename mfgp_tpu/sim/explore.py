@@ -132,6 +132,14 @@ class ExplorationSim:
         # grid the EID / replanning posterior is evaluated on
         self.grid = np.asarray(eid_grid(
             [list(b) for b in self.cfg.WS], self.cfg.max_depth))
+        # coarse information-gain grid for the batch log-det costs — the
+        # reference keeps a SEPARATE 10x6x5 IG grid next to the dense
+        # ergodic/EID grid (reference/PhysicalExperimentCode/
+        # exploreExpSettings.py:158-173); an O(G^3) determinant per
+        # candidate on the full EID grid would be prohibitive
+        self.ig_grid = np.asarray(eid_grid(
+            [list(b) for b in self.cfg.WS], self.cfg.max_depth,
+            nums=(10, 6, 5)))
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
 
@@ -193,6 +201,14 @@ class ExplorationSim:
                 return scoring.FourierErgodicCost(eid=eid, grid=self.grid,
                                                   bounds=bounds)
             return scoring.ErgodicCost(eid=eid, grid=self.grid)
+        if self.exp.info_cost == "batch":
+            # the reference's physical drivers score with the grid
+            # log-det (SURVEY C25: SFGP=C13b) on the coarse IG grid
+            if isinstance(model, MFGP):
+                return scoring.MFBatchLogDetCost(
+                    model=model, grid=self.ig_grid,
+                    fid_levels=self.agent_cfg.fid_levels)
+            return scoring.BatchLogDetCost(model=model, grid=self.ig_grid)
         if isinstance(model, MFGP):
             return scoring.MFInfoGainCost(model=model,
                                           fid_levels=self.agent_cfg.fid_levels)
@@ -344,9 +360,15 @@ class ExplorationSim:
                         dev_cost = ("fourier"
                                     if exp.ergodic_metric == "fourier"
                                     else "ergodic")
+                    elif exp.info_cost == "batch":
+                        dev_cost = ("mf_logdet" if exp.multi_fidelity
+                                    else "sf_logdet")
                     else:
                         dev_cost = ("mf_gain" if exp.multi_fidelity
                                     else "sf_gain")
+                    dev_grid = (self.ig_grid
+                                if dev_cost.endswith("_logdet")
+                                else self.grid)
                     self._device_planner = DeviceRIGAdapter(
                         n_plans=self.plan_ensemble, mesh=ens_mesh,
                         cfg=self.agent_cfg, delta=cfg.step_size, B=exp.B,
@@ -354,7 +376,7 @@ class ExplorationSim:
                         Rd=cfg.Rd,
                         same_node_distance=cfg.same_node_distance,
                         budget_cutoff=0.9, max_iter=self.plan_iters,
-                        grid=self.grid, kernel=self.exp.kernel,
+                        grid=dev_grid, kernel=self.exp.kernel,
                         cost=dev_cost)
                 planner = self._device_planner
             else:

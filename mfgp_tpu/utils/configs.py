@@ -134,6 +134,10 @@ class ExperimentConfig:
     update_hyps: bool = True  # retrain at replan (exploreExpSettings.py:73)
     kernel: str = "rbf"  # physical drivers use "matern32"
     ergodic_metric: str = "kl"  # "kl" (reference) or "fourier" (Sobolev)
+    # info-gain variants: "sequential" (calcPathInfoSF2/calculatePathInfoEmu)
+    # or "batch" (grid log-det, calcPathInfoSFBatch/calculatePathInfoEmuBatch
+    # — what the reference's PHYSICAL SFGP/MFGP drivers score with)
+    info_cost: str = "sequential"
 
     @property
     def variant(self) -> str:

@@ -502,3 +502,103 @@ def test_graph_summary_reports_real_edge_counts(setup):
         * ad._planner.cfg.traj_count
     assert 0 < g["edges"] < capacity
     assert g["edges"] == ad._res.n_feasible_edges
+
+
+def test_device_sf_logdet_matches_host_scorer(setup, rng):
+    """cost='sf_logdet': the carried-grid-covariance batch mutual
+    information equals the host BatchLogDetCost on the SAME points
+    (reference calcPathInfoSFBatch,
+    reference/PhysicalExperimentCode/GraceRIGV3.py:571-598)."""
+    from mfgp_tpu.metrics.eid import eid_grid
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.planning.rig_device import prepare_sf_gain_state
+    from mfgp_tpu.planning.scoring import BatchLogDetCost
+
+    cfg, WS, _, _, _ = setup
+    grid = np.asarray(eid_grid([[0, 10], [0, 20]], 5.0, nums=(4, 5, 3)))
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (40, 3))
+    y = np.sin(X[:, 0]) + np.cos(X[:, 1] / 3)
+    model = GP(X, y, jitter=1e-8)
+    gp = prepare_sf_gain_state(model, n_max=64, dtype=jnp.float64)
+    planner = DeviceRIG(cfg, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=12, max_nodes=32, max_paths=4,
+                        cost="sf_logdet", grid=grid, max_path_points=288,
+                        dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0), gp=gp)
+    assert np.isfinite(res.info) and res.points.shape[0] > 0
+    host = BatchLogDetCost(model=model, grid=grid)
+    host_score = host(res.points[:, :3])
+    np.testing.assert_allclose(res.info, host_score, rtol=1e-6, atol=1e-9)
+
+
+def test_device_mf_logdet_matches_host_scorer(setup, rng):
+    """cost='mf_logdet': parity with the host MFBatchLogDetCost
+    (reference calculatePathInfoEmuBatch, :599-617) on identical points +
+    accrued-variance fidelity labels."""
+    from mfgp_tpu.metrics.eid import eid_grid
+    from mfgp_tpu.models.mfgp import MFGP
+    from mfgp_tpu.planning.rig_device import prepare_mf_gain_state
+    from mfgp_tpu.planning.scoring import MFBatchLogDetCost
+
+    cfg, WS, _, _, _ = setup
+    cfg2 = AgentConfig.sim_defaults()
+    cfg2.traj_count = 8
+    cfg2.variance_rate = 0.01
+    grid = np.asarray(eid_grid([[0, 10], [0, 20]], 5.0, nums=(4, 5, 3)))
+    X = rng.uniform([0, 0, 0], [10, 20, 5], (36, 3))
+    y = np.sin(X[:, 0]) + np.cos(X[:, 1] / 3)
+    fid = rng.integers(0, 3, 36)
+    model = MFGP(X, fid, y, jitter=1e-8)
+    gp = prepare_mf_gain_state(model, cfg2.fid_levels, n_max=64,
+                               dtype=jnp.float64)
+    planner = DeviceRIG(cfg2, delta=2.0, B=20.0, WS=WS, R=3.0, Rd=2.0,
+                        same_node_distance=0.5, budget_cutoff=0.5,
+                        max_iter=12, max_nodes=32, max_paths=4,
+                        cost="mf_logdet", grid=grid, max_path_points=288,
+                        dtype=jnp.float64)
+    res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0), gp=gp)
+    assert np.isfinite(res.info) and res.points.shape[0] > 0
+
+    # reconstruct the accrued-variance labels from the edge chain (the
+    # same per-edge rollout the mf_gain parity test uses)
+    from mfgp_tpu.planning import primitives as hostprim
+    from mfgp_tpu.planning.primitives_device import padded_to_prims
+    import math as _m
+    rows = []
+    for padded, src_xy, dst_xy in res.edges:
+        prims = padded_to_prims(padded)
+        t, d, tuw, wpts, b = hostprim.evaluate_trajectory(prims, cfg2)
+        br = _m.atan2(dst_xy[1] - src_xy[1], dst_xy[0] - src_xy[0])
+        ts = np.linspace(0.0, t, planner.S)
+        dd = np.interp(ts, wpts[:, 2], wpts[:, 0])
+        zz = np.interp(ts, wpts[:, 2], wpts[:, 1])
+        vv = np.interp(ts, wpts[:, 2], wpts[:, 3])
+        rows.append(np.column_stack([
+            src_xy[0] + dd * np.cos(br), src_xy[1] + dd * np.sin(br),
+            zz, ts, vv]))
+    pts5 = np.concatenate(rows, axis=0)
+    host = MFBatchLogDetCost(model=model, grid=grid,
+                             fid_levels=cfg2.fid_levels)
+    host_score = host(pts5)
+    np.testing.assert_allclose(res.info, host_score, rtol=1e-6, atol=1e-9)
+
+
+def test_sim_device_batch_logdet_backend():
+    """info_cost='batch' + device backend: the closed loop plans with the
+    carried-grid-covariance log-det cost fully on-device (the reference's
+    physical SFGP driver scores with calcPathInfoSFBatch)."""
+    from mfgp_tpu.sim import ExplorationSim
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(multi_fidelity=False, ergodic=False, B=16, BD=2,
+                           info_cost="batch")
+    sim = ExplorationSim(exp, seed=0, plan_iters=20,
+                         planner_backend="device")
+    res = sim.run()
+    assert res.budget_used <= 16.0 + 1e-6
+    assert len(res.replans) >= 1
+    assert sim._device_planner._planner.cost == "sf_logdet"
+    assert all(np.isfinite(r.best_info) for r in res.replans)
+    # SF batch MI is clamped nonnegative (reference behavior)
+    assert all(r.best_info >= 0 for r in res.replans)
