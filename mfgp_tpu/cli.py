@@ -121,7 +121,11 @@ def cmd_trainers(args):
     from mfgp_tpu.data import process_directory
 
     res = process_directory(args.data_dir, args.field_dir, args.out,
-                            kernel=args.kernel, resume=not args.no_resume)
+                            kernel=args.kernel, resume=not args.no_resume,
+                            fit_mode=args.fit_mode, verbose=True,
+                            dtype=(np.float32
+                                   if args.fit_mode.startswith("device")
+                                   else np.float64))
     print(json.dumps({k: v for k, v in res.items()}, indent=1))
 
 
@@ -223,7 +227,8 @@ def cmd_study(args):
         closed_loop=args.closed_loop,
         duration=args.duration,
         fit_mode=args.fit_mode,
-        dtype=np.float32 if args.fit_mode == "device" else np.float64)
+        dtype=(np.float32 if args.fit_mode.startswith("device")
+               else np.float64))
     print(json.dumps(rep, indent=1))
 
 
@@ -289,6 +294,8 @@ def build_parser():
     p.add_argument("--vmn", type=float, default=0.2)
 
     p = sub.add_parser("trainers"); p.set_defaults(fn=cmd_trainers)
+    p.add_argument("--fit-mode", default="scipy",
+                   choices=["scipy", "device", "device-batched"])
     p.add_argument("--data-dir", required=True)
     p.add_argument("--field-dir", required=True)
     p.add_argument("--out", required=True)
@@ -345,11 +352,13 @@ def build_parser():
                    help="generate trajectories with the closed-loop sim")
     p.add_argument("--duration", type=float, default=1200.0)
     p.add_argument("--fit-mode", default="scipy",
-                   choices=["scipy", "device"],
+                   choices=["scipy", "device", "device-batched"],
                    help="device = restart-batched on-device fits (f32; "
                         "the datasets share a static shape so the 4 "
-                        "executables compile once for the whole sweep — "
-                        "pair with --tpu)")
+                        "executables compile once for the whole sweep); "
+                        "device-batched = the WHOLE matrix as four "
+                        "vmapped launches (data.study_batched — the TPU "
+                        "path)")
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
     p.add_argument("checkpoint", nargs="+",

@@ -131,11 +131,19 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
               duration: float = 1200.0, fit_mode: str = "scipy",
               dtype=None):
     """The full sweep. Returns the aggregate summary dict; writes the
-    reference's artifact tree under ``out_dir``."""
+    reference's artifact tree under ``out_dir``.
+
+    ``fit_mode="device-batched"``: stage the WHOLE matrix first (pipeline
+    per run), then fit + evaluate every dataset with four vmapped device
+    launches total (data.study_batched) — the TPU path; the 90-run matrix
+    becomes one compile + one execution per model family instead of 360
+    sequential fits."""
     base_cfg = cfg or SimConfig()
     os.makedirs(out_dir, exist_ok=True)
     res_dir = os.path.join(out_dir, "GPResults")
     os.makedirs(res_dir, exist_ok=True)
+    batched = fit_mode == "device-batched"
+    staged: list[tuple[str, str]] = []
 
     from mfgp_tpu.data.pipeline import generate_estimates_batch
 
@@ -161,13 +169,28 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
                                  7 * tseed + fseed))
                 ds_name = (f"GPData_{run_cfg.meas_rate:g}_fieldMeas_"
                            f"{fseed}_{name}.csv")
+                gpdata_path = os.path.join(out_dir, "GPDataSets", ds_name)
+                settings_path = os.path.join(out_dir, "FieldData",
+                                             f"FieldSettings{fseed}.txt")
+                if batched:
+                    staged.append((gpdata_path, settings_path))
+                    continue
                 process_dataset(
-                    os.path.join(out_dir, "GPDataSets", ds_name),
-                    os.path.join(out_dir, "FieldData",
-                                 f"FieldSettings{fseed}.txt"),
+                    gpdata_path, settings_path,
                     out_dir=res_dir, cfg=run_cfg, optimize=optimize,
                     fit_mode=fit_mode,
                     dtype=dtype if dtype is not None else np.float64)
+
+    if batched:
+        from mfgp_tpu.data.study_batched import process_datasets_batched
+
+        # eval-relevant cfg fields (test grid, t_cut, WMSE normalization)
+        # are identical across the matrix's per-run (seed, vmn) configs
+        process_datasets_batched(
+            [p for p, _ in staged], [s for _, s in staged],
+            out_dir=res_dir, cfg=base_cfg,
+            dtype=dtype if dtype is not None else np.float32,
+            verbose=True)
 
     rows = collect_results(os.path.join(res_dir, "MSE_*.txt"),
                            os.path.join(res_dir, "results.csv"))

@@ -1,0 +1,440 @@
+"""Whole-matrix batched study: the experiment sweep as FOUR device launches.
+
+The per-run path (data.trainers.process_dataset) pays host<->device
+round-trip latency for every fit preamble, predict, and metric fetch —
+fine locally, dominant through a TPU tunnel (measured ~13 s/run of which
+<1 s is compute). The reference's study design is embarrassingly parallel
+and every dataset shares one static shape (same trajectory duration and
+measurement rate -> same N), so this module stacks the WHOLE matrix along
+a dataset axis and runs
+
+    1 vmapped restart-batched L-BFGS launch per model family (MFGP /
+    SFGP / SFGP-TP / NIGP: B datasets x R restarts lanes), then
+    1 vmapped evaluation launch per family (condition -> full-covariance
+    grid posterior -> RMSE + precision-weighted MSE)
+
+with only O(B) scalars/vectors crossing the tunnel. Artifacts are written
+per dataset in the reference's exact schemas, byte-compatible with the
+per-run path (reference/GPTrainers.py:70-170).
+
+Datasets of differing N are grouped by N and each group is batched
+(different shapes cannot share an executable); within the reference's
+sweep design all 90 runs share one N.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfgp_tpu.data.io import (load_gp_dataset, save_gpres, save_hyp_vector,
+                              save_mse)
+from mfgp_tpu.fields.wrbf import parse_field_settings
+from mfgp_tpu.models import gp as gpm
+from mfgp_tpu.models import mfgp as mfm
+from mfgp_tpu.models import nigp as nim
+from mfgp_tpu.ops import kernels as _k
+from mfgp_tpu.ops import linalg as _la
+from mfgp_tpu.utils.configs import SimConfig
+
+_H = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# batched fits (thin vmaps over the module-level restart sweeps)
+# ---------------------------------------------------------------------------
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+def _fit_sf_batch(inits, Xb, yb, kernel, jitter, maxiter, tol):
+    xs, fs = jax.vmap(
+        lambda X, y: gpm._fit_restarts(inits, X, y, kernel, jitter,
+                                       maxiter, tol))(Xb, yb)
+    best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
+    return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+def _fit_mf_batch(inits, Xb, fidb, yb, fixed_rhos, lower, upper, kernel,
+                  jitter, maxiter, tol):
+    xs, fs = jax.vmap(
+        lambda X, f, y: mfm._mf_fit_restarts(inits, X, f, y, fixed_rhos,
+                                             lower, upper, kernel, jitter,
+                                             maxiter, tol))(Xb, fidb, yb)
+    best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
+    return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter):
+    xs, fs = jax.vmap(
+        lambda ini, X, y: nim._nigp_fit_restarts(ini, X, y, lower, upper,
+                                                 maxiter))(initsb, Xb, yb)
+    best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
+    return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# batched evaluation (same mathematics as trainers.evaluate_models)
+# ---------------------------------------------------------------------------
+def _metrics_from_cov(err, cov, normalize):
+    """RMSE + precision-weighted MSE with the non-finite jitter retry of
+    trainers.evaluate_models, branch-free for vmap."""
+    rmse = jnp.sqrt(jnp.mean(err**2))
+    w = _la.weighted_mse(err, cov, normalize=normalize)
+    M = cov.shape[0]
+    # dtype-aware retry jitter: the Cholesky of a near-singular posterior
+    # (NIGP with vanishing noise) needs ~eps * lambda_max to succeed; the
+    # f64-sized 1e-10 * trace/M is invisible at f32
+    eps = jnp.finfo(cov.dtype).eps
+    jit = 10.0 * eps * jnp.trace(cov) + 1e-12
+    w2 = _la.weighted_mse(err, cov + jit * jnp.eye(M, dtype=cov.dtype),
+                          normalize=normalize)
+    return rmse, jnp.where(jnp.isfinite(w), w, w2)
+
+
+def _eval_sf_one(vec, X, y, tp, f_true, kernel, jitter, normalize):
+    D = X.shape[1]
+    p = gpm.GPParams(vec[0], vec[1 : 1 + D], vec[1 + D])
+    kern = _k.KERNELS[kernel]
+    Kn = _la.diag_add(kern(X, X, p.variance, p.lengthscales),
+                      jnp.broadcast_to(p.noise + jitter, (X.shape[0],)))
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    Kxs = kern(tp, X, p.variance, p.lengthscales)
+    mu = _la.posterior_mean(Kxs, alpha)
+    Kss = kern(tp, tp, p.variance, p.lengthscales)
+    cov = _la.posterior_cov(Kss, Kxs, L)
+    cov = _la.diag_add(cov, jnp.broadcast_to(p.noise, (tp.shape[0],)))
+    err = mu - f_true
+    rmse, w = _metrics_from_cov(err, cov, normalize)
+    return rmse, w, mu, jnp.diagonal(cov)
+
+
+def _eval_mf_one(vec, X, fid, y, tp, f_true, F, kernel, jitter, normalize):
+    D = X.shape[1]
+    p = mfm.MFGPParams(jnp.log(vec[: F * (D + 1)].reshape(F, D + 1)[:, 0]),
+                       jnp.log(vec[: F * (D + 1)].reshape(F, D + 1)[:, 1:]),
+                       vec[F * (D + 1) : F * (D + 1) + F - 1],
+                       jnp.log(vec[F * (D + 1) + F - 1 :]))
+    fid_s = jnp.full((tp.shape[0],), F - 1, jnp.int32)
+    Kn = _la.diag_add(
+        _k.ar1_cov(X, fid, X, fid, p.variances, p.lengthscales, p.rhos,
+                   kernel),
+        _k.mf_noise_diag(fid, p.noises) + jitter)
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    Kxs = _k.ar1_cov(tp, fid_s, X, fid, p.variances, p.lengthscales,
+                     p.rhos, kernel)
+    mu = _la.posterior_mean(Kxs, alpha)
+    Kss = _k.ar1_cov(tp, fid_s, tp, fid_s, p.variances, p.lengthscales,
+                     p.rhos, kernel)
+    cov = _la.posterior_cov(Kss, Kxs, L)
+    cov = _la.diag_add(cov, _k.mf_noise_diag(fid_s, p.noises))
+    err = mu - f_true
+    rmse, w = _metrics_from_cov(err, cov, normalize)
+    return rmse, w, mu, jnp.diagonal(cov)
+
+
+def _np_rbf(X1, X2, var, ls):
+    a = np.asarray(X1, np.float64) / ls
+    b = np.asarray(X2, np.float64) / ls
+    r2 = (np.sum(a * a, 1)[:, None] + np.sum(b * b, 1)[None, :]
+          - 2.0 * a @ b.T)
+    return var * np.exp(-0.5 * np.maximum(r2, 0.0))
+
+
+def _host64_wmse(family, vec, X, fid, y, tp, err, normalize):
+    """Host f64 recomputation of one lane's precision-weighted MSE —
+    the fallback when the f32 on-device covariance is numerically
+    indefinite (NIGP with vanishing fitted noise; the reference's
+    explicit inverse silently returns garbage there). RBF base kernels
+    (the fallback is exercised by the study harness, which is RBF)."""
+    from scipy.linalg import cho_factor, cho_solve
+
+    from mfgp_tpu.data.trainers import wmse_host64
+
+    X = np.asarray(X, np.float64)
+    y = np.asarray(y, np.float64)
+    tp = np.asarray(tp, np.float64)
+    vec = np.asarray(vec, np.float64)
+    D = X.shape[1]
+    if family == "sf":
+        var, ls, noise = (np.exp(vec[0]), np.exp(vec[1 : 1 + D]),
+                          np.exp(vec[1 + D]))
+        Kn = _np_rbf(X, X, var, ls) + (noise + 1e-6) * np.eye(X.shape[0])
+        Kxs = _np_rbf(tp, X, var, ls)
+        Kss = _np_rbf(tp, tp, var, ls) + noise * np.eye(tp.shape[0])
+    elif family == "mf":
+        F = 3
+        per = vec[: F * (D + 1)].reshape(F, D + 1)
+        vars_, lss = per[:, 0], per[:, 1:]
+        rhos = vec[F * (D + 1) : F * (D + 1) + F - 1]
+        noises = vec[F * (D + 1) + F - 1 :]
+        C = np.concatenate([[1.0], np.cumprod(rhos)])
+        W = np.zeros((F, F))
+        for m in range(F):
+            for f in range(m, F):
+                W[m, f] = C[f] / C[m]
+        fid = np.asarray(fid)
+        fid_s = np.full(tp.shape[0], F - 1)
+
+        def ar1(A, fa, B, fb):
+            out = np.zeros((A.shape[0], B.shape[0]))
+            for m in range(F):
+                out += (vars_[m] * np.outer(W[m][fa], W[m][fb])
+                        * _np_rbf(A, B, 1.0, lss[m]))
+            return out
+
+        Kn = ar1(X, fid, X, fid) + np.diag(noises[fid] + 1e-6)
+        Kxs = ar1(tp, fid_s, X, fid)
+        Kss = ar1(tp, fid_s, tp, fid_s) + noises[F - 1] * np.eye(
+            tp.shape[0])
+    else:  # nigp
+        ls = np.exp(vec[:D])
+        sf2 = np.exp(vec[D])
+        sy = np.exp(vec[D + 1])
+        sx = np.exp(vec[D + 2 :])
+        K = _np_rbf(X, X, sf2, ls)
+        cf0 = cho_factor(K + sy**2 * np.eye(X.shape[0]), lower=True)
+        alpha0 = cho_solve(cf0, y)
+        grads = (K @ (alpha0[:, None] * X) - X * (K @ alpha0)[:, None])             / ls**2
+        v = np.sum(grads**2 * sx[None, :] ** 2, axis=1)
+        Kn = K + np.diag(sy**2 + v)
+        Kxs = _np_rbf(tp, X, sf2, ls)
+        Kss = _np_rbf(tp, tp, sf2, ls) + 1e-12 * np.eye(tp.shape[0])
+    cf = cho_factor(Kn, lower=True)
+    Vt = cho_solve(cf, Kxs.T)
+    cov = Kss - Kxs @ Vt
+    return wmse_host64(np.asarray(err, np.float64), cov, normalize)
+
+
+def _eval_nigp_one(lh, X, y, tp, f_true, normalize):
+    D = X.shape[1]
+    ls = jnp.exp(lh[:D])
+    sigma_f = jnp.exp(lh[D])
+    sigma_y = jnp.exp(lh[D + 1])
+    sigma_x = jnp.exp(lh[D + 2 :])
+    _, grads = nim.posterior_mean_grads(X, y, ls, sigma_f, sigma_y)
+    v = jnp.sum((grads**2) * (sigma_x[None, :] ** 2), axis=1)
+    Kn = _la.diag_add(_k.rbf(X, X, sigma_f, ls),
+                      jnp.broadcast_to(sigma_y**2, (X.shape[0],)) + v)
+    L = _la.chol(Kn)
+    alpha = _la.solve_posterior(L, y)
+    Kxs = _k.rbf(tp, X, sigma_f, ls)
+    mu = _la.posterior_mean(Kxs, alpha)
+    cov = _la.posterior_cov(_k.rbf(tp, tp, sigma_f, ls), Kxs, L)
+    cov = cov + 1e-12 * jnp.eye(tp.shape[0], dtype=cov.dtype)
+    err = mu - f_true
+    rmse, w = _metrics_from_cov(err, cov, normalize)
+    return rmse, w, mu, jnp.diagonal(cov)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
+                             cfg: SimConfig | None = None,
+                             kernel: str = "rbf", jitter: float = 1e-6,
+                             dtype=np.float32, n_restarts: int = 8,
+                             maxiter: int = 200, tol: float = 1e-3,
+                             nigp_restarts: int = 2, seed: int = 0,
+                             verbose: bool = False):
+    """Fit + evaluate every dataset with four vmapped launches per
+    same-shape group. ``field_settings``: one path, or a list aligned with
+    ``gpdata_paths``. Returns {basename: metrics dict}; writes the
+    per-dataset reference artifacts when ``out_dir`` is given."""
+    cfg = cfg or SimConfig()
+    if isinstance(field_settings, (str, os.PathLike)):
+        field_settings = [field_settings] * len(gpdata_paths)
+    datasets = [load_gp_dataset(p, t_cut=cfg.t_cut) for p in gpdata_paths]
+    tp = np.asarray(cfg.test_points(), dtype)
+    fields = [parse_field_settings(f) for f in field_settings]
+    f_true = np.stack([np.asarray(f(jnp.asarray(tp))) for f in fields])
+    f_true = f_true.astype(dtype)
+    normalize = cfg.normalize_wmse
+
+    groups: dict[int, list[int]] = {}
+    for i, ds in enumerate(datasets):
+        groups.setdefault(ds.n, []).append(i)
+
+    results: dict[str, dict] = {}
+    for n, idxs in sorted(groups.items()):
+        t0 = time.monotonic()
+        B = len(idxs)
+        dss = [datasets[i] for i in idxs]
+        D = dss[0].X_est.shape[1]
+        F = 3
+
+        # stacked arrays (MF rows in emukit fidelity order, like
+        # stack_fidelity_lists)
+        X_sf = jnp.asarray(np.stack([d.X_est for d in dss]), dtype)
+        X_tp = jnp.asarray(np.stack([d.X_true for d in dss]), dtype)
+        y_b = jnp.asarray(np.stack([d.y for d in dss]), dtype)
+        Xmf, fmf, ymf = [], [], []
+        for d in dss:
+            Xs, ys = d.fidelity_lists(use_estimates=True)
+            X, fid, y = mfm.stack_fidelity_lists(Xs, ys)
+            Xmf.append(np.asarray(X))
+            fmf.append(np.asarray(fid))
+            ymf.append(np.asarray(y))
+        Xmf = jnp.asarray(np.stack(Xmf), dtype)
+        fmf = jnp.asarray(np.stack(fmf), jnp.int32)
+        ymf = jnp.asarray(np.stack(ymf), dtype)
+
+        # shared restart inits (identical to the per-run path: default
+        # params + seeded spread, optimize_restarts semantics)
+        rng_key = jax.random.key(seed)
+        x0_sf = np.zeros(D + 2, dtype)  # log-space GPy defaults (all 1.0)
+        inits_sf = np.asarray(
+            x0_sf[None]
+            + np.asarray(jax.random.normal(rng_key, (n_restarts, D + 2)),
+                         dtype))
+        inits_sf[0] = x0_sf
+        n_mf = F + F * D + F  # log vars + log ls + log noises
+        x0_mf = np.zeros(n_mf, dtype)
+        inits_mf = np.asarray(
+            x0_mf[None]
+            + np.asarray(jax.random.normal(rng_key, (n_restarts, n_mf)),
+                         dtype))
+        inits_mf[0] = x0_mf
+        fixed_rhos = jnp.ones((F - 1,), dtype)
+        inf = jnp.full((n_mf,), jnp.inf, dtype)
+
+        # NIGP inits are data-dependent (median pairwise distance):
+        # replicate fit_native's heuristics per dataset on host
+        nig_inits = []
+        nrng = np.random.default_rng(seed)
+        for d in dss:
+            Xn = np.asarray(d.X_est, dtype)
+            pair = np.sqrt(np.maximum(0, np.sum(
+                (Xn[:, None, :] - Xn[None, :, :]) ** 2, axis=2)))
+            pos = pair[pair > 0]
+            med = np.median(pos) if pos.size else 1.0
+            std_y = np.std(np.asarray(d.y)) or 1.0
+            lh0 = np.concatenate([
+                np.log(np.ones(D) * (med if med > 0 else 1.0)),
+                [np.log(std_y), np.log(0.1 * std_y)],
+                np.log(np.maximum(np.ones(D) * 0.01 * np.std(Xn, axis=0),
+                                  1e-8))])
+            ini = (lh0[None, :] + 0.3 * nrng.standard_normal(
+                (max(nigp_restarts, 1), lh0.shape[0])))
+            ini[0] = lh0
+            nig_inits.append(ini)
+        nig_inits = jnp.asarray(np.stack(nig_inits), dtype)
+        nig_lo = jnp.full((2 * D + 2,), np.log(1e-6), dtype)
+        nig_hi = jnp.full((2 * D + 2,), np.log(1e6), dtype)
+
+        # --- four fit launches -------------------------------------------
+        vec_mf = _fit_mf_batch(jnp.asarray(inits_mf), Xmf, fmf, ymf,
+                               fixed_rhos, -inf, inf, kernel, jitter,
+                               maxiter, tol)
+        vec_sf = _fit_sf_batch(jnp.asarray(inits_sf), X_sf, y_b, kernel,
+                               jitter, maxiter, tol)
+        vec_tp = _fit_sf_batch(jnp.asarray(inits_sf), X_tp, y_b, kernel,
+                               jitter, maxiter, tol)
+        vec_ni = _fit_nigp_batch(nig_inits, X_sf, y_b, nig_lo, nig_hi,
+                                 maxiter)
+        t_fit = time.monotonic() - t0
+
+        # --- four eval launches (chunked: B lanes of (M, M) posterior
+        # covariances at once would exceed HBM — 16 lanes = ~1 GB live) --
+        tpj = jnp.asarray(tp)
+        ftj = jnp.asarray(f_true[idxs])
+        # MF eval consumes the GPy param_array layout (positive space)
+        mf_param = jax.vmap(lambda v: mfm.MFGPParams(
+            v[:F], v[F : F + F * D].reshape(F, D), fixed_rhos,
+            v[F + F * D :]))(vec_mf)
+        mf_vec = jax.vmap(lambda p: p.to_vector())(mf_param)
+        sf_vec = jax.vmap(lambda v: jnp.concatenate(
+            [jnp.exp(v[:1]), jnp.exp(v[1 : 1 + D]), jnp.exp(v[1 + D :])])
+        )(vec_sf)
+        tp_vec = jax.vmap(lambda v: jnp.concatenate(
+            [jnp.exp(v[:1]), jnp.exp(v[1 : 1 + D]), jnp.exp(v[1 + D :])])
+        )(vec_tp)
+        f_mf = jax.jit(jax.vmap(
+            lambda v, X, f, y, ft: _eval_mf_one(v, X, f, y, tpj, ft, F,
+                                                kernel, jitter, normalize),
+            in_axes=(0, 0, 0, 0, 0)))
+        f_sf = jax.jit(jax.vmap(
+            lambda v, X, y, ft: _eval_sf_one(v, X, y, tpj, ft, kernel,
+                                             jitter, normalize),
+            in_axes=(0, 0, 0, 0)))
+        f_ni = jax.jit(jax.vmap(
+            lambda v, X, y, ft: _eval_nigp_one(v, X, y, tpj, ft,
+                                               normalize),
+            in_axes=(0, 0, 0, 0)))
+
+        def chunked(fn, *arrs, chunk=16):
+            outs = []
+            for c0 in range(0, B, chunk):
+                outs.append(jax.tree.map(
+                    np.asarray, fn(*(a[c0:c0 + chunk] for a in arrs))))
+            return tuple(np.concatenate(parts) for parts in zip(*outs))
+
+        ev_mf = chunked(f_mf, mf_vec, Xmf, fmf, ymf, ftj)
+        ev_sf = chunked(f_sf, vec_sf, X_sf, y_b, ftj)
+        ev_tp = chunked(f_sf, vec_tp, X_tp, y_b, ftj)
+        ev_ni = chunked(f_ni, vec_ni, X_sf, y_b, ftj)
+        mf_vec_np = np.asarray(mf_vec)
+        ni_np = np.asarray(vec_ni)
+        if verbose:
+            print(f"group N={n}: {B} datasets, fits {t_fit:.1f}s, "
+                  f"total {time.monotonic() - t0:.1f}s", flush=True)
+
+        vec_sf_np = np.asarray(vec_sf)
+        vec_tp_np = np.asarray(vec_tp)
+        for b, i in enumerate(idxs):
+            path = gpdata_paths[i]
+            base = os.path.basename(path)
+            metrics = {
+                "RMSE mf": float(ev_mf[0][b]),
+                "WRMSE mf": float(ev_mf[1][b]),
+                "RMSE sf": float(ev_sf[0][b]),
+                "WRMSE sf": float(ev_sf[1][b]),
+                "RMSE sfTP": float(ev_tp[0][b]),
+                "WRMSE sfTP": float(ev_tp[1][b]),
+                "RMSE nisf": float(ev_ni[0][b]),
+                "WRMSE nisf": float(ev_ni[1][b]),
+            }
+            # host-f64 fallback for lanes whose f32 covariance was
+            # numerically indefinite (rare; see _host64_wmse)
+            fb = [("mf", mf_vec_np[b], Xmf[b], fmf[b], ymf[b], ev_mf),
+                  ("sf", vec_sf_np[b], X_sf[b], None, y_b[b], ev_sf),
+                  ("sfTP", vec_tp_np[b], X_tp[b], None, y_b[b], ev_tp),
+                  ("nisf", ni_np[b], X_sf[b], None, y_b[b], ev_ni)]
+            for key, vec, Xb_, fidb_, yb_, ev in fb:
+                if not np.isfinite(metrics[f"WRMSE {key}"]):
+                    fam = {"sfTP": "sf", "nisf": "nigp"}.get(key, key)
+                    err = ev[2][b] - f_true[i]
+                    metrics[f"WRMSE {key}"] = _host64_wmse(
+                        fam, vec, Xb_, fidb_, yb_, tp, err, normalize)
+            results[base] = metrics
+            if out_dir is None:
+                continue
+            os.makedirs(out_dir, exist_ok=True)
+            stem = base.replace(".csv", "_")
+            save_hyp_vector(os.path.join(out_dir, stem + "emuGP.txt"),
+                            mf_vec_np[b], row=True)
+            sv = np.asarray(sf_vec[b])
+            save_hyp_vector(os.path.join(out_dir, stem + "sfGP.txt"), sv)
+            save_hyp_vector(os.path.join(out_dir, stem + "sfGPTP.txt"),
+                            np.asarray(tp_vec[b]))
+            lh = ni_np[b]
+            nig_params = np.hstack([np.exp(lh[D + 2 :]),
+                                    np.exp(lh[D]), np.exp(lh[D + 1]),
+                                    np.exp(lh[:D])])
+            save_hyp_vector(os.path.join(out_dir, stem + "nisfGP.txt"),
+                            nig_params)
+            save_gpres(os.path.join(out_dir,
+                                    base.replace("GPData", "GPRes")),
+                       tp, f_true[i], ev_sf[2][b], ev_sf[3][b],
+                       ev_mf[2][b], ev_mf[3][b])
+            save_mse(os.path.join(out_dir, base.replace("GPData", "MSE")
+                                  .replace(".csv", ".txt")), metrics)
+    return results

@@ -89,6 +89,31 @@ def train_models(ds: GPDataset, kernel: str = "rbf", jitter: float = 1e-6,
     return TrainedModels(mf, sf, sf_tp, nigp)
 
 
+def wmse_host64(err, cov, normalize: bool = True) -> float:
+    """Precision-weighted MSE in host f64 numpy — the fallback for lanes
+    whose f32 posterior covariance is numerically indefinite (same
+    mathematics as ops.linalg.weighted_mse; trace-scaled jitter retries)."""
+    from scipy.linalg import cho_factor, cho_solve, solve_triangular
+
+    cov = np.asarray(cov, np.float64)
+    err = np.asarray(err, np.float64)
+    n = err.shape[0]
+    jit = 1e-12
+    for _ in range(6):
+        try:
+            cf = cho_factor(cov + jit * np.eye(n), lower=True)
+            break
+        except np.linalg.LinAlgError:
+            jit = max(jit * 1e3, 1e-10 * np.trace(cov) / n)
+    else:
+        return float("nan")
+    quad = float(err @ cho_solve(cf, err))
+    if normalize:
+        A = solve_triangular(np.tril(cf[0]), np.eye(n), lower=True)
+        quad /= float(np.linalg.norm(A.T @ A))
+    return quad / n
+
+
 def evaluate_models(models: TrainedModels, test_points: np.ndarray,
                     true_field: WRBFField, normalize: bool = True):
     """Posterior grids + RMSE/WMSE for all four models
@@ -99,7 +124,8 @@ def evaluate_models(models: TrainedModels, test_points: np.ndarray,
     mu_mf, cov_mf = models.mf.predict(tp, full_cov=True)
     mu_sf, cov_sf = models.sf.predict(tp, full_cov=True)
     mu_tp, cov_tp = models.sf_tp.predict(tp, full_cov=True)
-    mu_ni, cov_ni = models.nigp.predict(tp, return_cov=True)
+    mu_ni, cov_ni = models.nigp.predict(tp, return_cov=True,
+                                        as_numpy=False)
 
     metrics = {}
     grids = {}
@@ -107,21 +133,23 @@ def evaluate_models(models: TrainedModels, test_points: np.ndarray,
                          ("nisf", mu_ni, cov_ni), ("sfTP", mu_tp, cov_tp)):
         err = np.asarray(mu).reshape(-1) - f_true
         metrics[f"RMSE {key}"] = float(np.sqrt(np.mean(err**2)))
-        cov = np.asarray(cov, np.float64)
-        w = float(weighted_mse(jnp.asarray(err), jnp.asarray(cov),
-                               normalize=normalize))
+        # keep the (M, M) covariance ON DEVICE: the WMSE solve consumes it
+        # where it lives and only scalars/diagonals come back (pulling 4
+        # f64 grids through the TPU tunnel cost ~seconds per study run)
+        cov_dev = jnp.asarray(cov)
+        errj = jnp.asarray(err, cov_dev.dtype)
+        w = float(weighted_mse(errj, cov_dev, normalize=normalize))
         if not np.isfinite(w):
-            # near-singular posterior covariance (NIGP with vanishing noise
-            # does this on some datasets — the reference's explicit inverse
-            # returns garbage-but-finite values there); retry with a
-            # trace-scaled jitter
-            jit = 1e-10 * np.trace(cov) / cov.shape[0] + 1e-12
-            w = float(weighted_mse(
-                jnp.asarray(err),
-                jnp.asarray(cov + jit * np.eye(cov.shape[0])),
-                normalize=normalize))
+            # near-singular posterior covariance (NIGP with vanishing
+            # noise does this on some datasets — the reference's explicit
+            # inverse returns garbage-but-finite values there): redo this
+            # one metric in host f64, where the Kss - V^T V cancellation
+            # stays below the jitter (the pre-r3 path did ALL of them
+            # there; now it is the rare-lane fallback)
+            w = wmse_host64(err, np.asarray(cov_dev), normalize)
         metrics[f"WRMSE {key}"] = w
-        grids[key] = (np.asarray(mu).reshape(-1), np.diag(cov))
+        grids[key] = (np.asarray(mu).reshape(-1),
+                      np.asarray(jnp.diagonal(cov_dev)))
     return metrics, grids
 
 
@@ -185,9 +213,15 @@ def dataset_task(fname: str, gpdata_dir: str, field_dir: str, out_dir: str,
 
 def process_directory(gpdata_dir: str, field_dir: str, out_dir: str,
                       cfg: SimConfig | None = None, kernel: str = "rbf",
-                      resume: bool = True, optimize: bool = True):
-    """Sweep a GPDataSets directory (resumable by output existence)."""
-    results = {}
+                      resume: bool = True, optimize: bool = True,
+                      fit_mode: str = "scipy", dtype=np.float64,
+                      verbose: bool = False):
+    """Sweep a GPDataSets directory (resumable by output existence).
+
+    ``fit_mode="device-batched"``: the whole sweep runs as FOUR vmapped
+    device launches per same-shape group (data.study_batched) — the TPU
+    path for the full experiment matrix."""
+    tasks = []
     for fname in sorted(os.listdir(gpdata_dir)):
         if not fname.endswith(".csv"):
             continue
@@ -195,7 +229,17 @@ def process_directory(gpdata_dir: str, field_dir: str, out_dir: str,
             fname, gpdata_dir, field_dir, out_dir, resume)
         if done:
             continue
+        tasks.append((fname, gpdata_path, settings))
+    if fit_mode == "device-batched":
+        from mfgp_tpu.data.study_batched import process_datasets_batched
+
+        return process_datasets_batched(
+            [t[1] for t in tasks], [t[2] for t in tasks], out_dir,
+            cfg=cfg, kernel=kernel, dtype=dtype, verbose=verbose)
+    results = {}
+    for fname, gpdata_path, settings in tasks:
         _, metrics = process_dataset(gpdata_path, settings, out_dir, cfg,
-                                     kernel=kernel, optimize=optimize)
+                                     kernel=kernel, optimize=optimize,
+                                     fit_mode=fit_mode, dtype=dtype)
         results[fname] = metrics
     return results

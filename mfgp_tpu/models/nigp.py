@@ -347,12 +347,14 @@ class NIGP:
         return self._cond_cache
 
     def predict(self, Xs, Xs_input_noise=None, return_var: bool = True,
-                return_cov: bool = False):
+                return_cov: bool = False, as_numpy: bool = True):
         """Heteroscedastic posterior (reference/NIGP.py:269-333).
 
         No output noise on the predictive covariance; optional test-point
         input-noise diagonal via analytic mean-gradients at Xs; 1e-12
-        diagonal floor.
+        diagonal floor. ``as_numpy=False`` returns device arrays (skips
+        the host transfer — the study harness consumes the full
+        covariance on device).
         """
         from mfgp_tpu.ops import covariance as _cc
 
@@ -392,6 +394,8 @@ class NIGP:
 
         cov = cov + 1e-12 * jnp.eye(cov.shape[0], dtype=cov.dtype)
         if return_cov:
+            if not as_numpy:
+                return mean, cov
             return np.asarray(mean), np.asarray(cov)
         var = jnp.maximum(jnp.diag(cov), 1e-12)
         return np.asarray(mean), np.asarray(var)

@@ -40,6 +40,17 @@ via ``updatePathList``); so does this planner, in every cost mode:
   set — ``max_path_points`` is a hard capacity, and extensions that would
   exceed it are simply infeasible (size it >= samples_per_edge *
   ceil(B / min-edge-budget) to make it unreachable).
+* ``sf_logdet`` / ``mf_logdet`` — the batch mutual information over a
+  fixed evaluation grid (host BatchLogDetCost / MFBatchLogDetCost;
+  reference calcPathInfoSFBatch / calculatePathInfoEmuBatch,
+  reference/PhysicalExperimentCode/GraceRIGV3.py:571-617 — what the
+  physical SFGP/MFGP drivers score with). Each beam slot additionally
+  carries the GRID's latent posterior covariance given train+path;
+  conditioning on an edge's S points is a rank-S downdate computed
+  through the same bordered pipeline (O(G S (P + G)) + one G x G
+  Cholesky per candidate), so every eligible extension's exact score is
+  evaluated. Use the coarse IG grid (the reference keeps a 10x6x5 grid
+  beside the dense EID grid) — the carry is O(max_nodes*max_paths*G^2).
 
 Capacity-bounded analogues of the host's unbounded structures:
 

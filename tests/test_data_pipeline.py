@@ -238,3 +238,45 @@ def test_batched_estimates_match_per_file(synth_traj):
     for b, s in zip(batch, singles):
         assert b.data.shape == s.data.shape
         np.testing.assert_allclose(b.data, s.data, rtol=1e-12, atol=1e-12)
+
+
+def test_batched_study_matches_per_run(tmp_path, synth_traj):
+    """data.study_batched: the whole-matrix batched fit+eval launches
+    reproduce the per-run device path's metrics (same inits, same
+    restart-batched L-BFGS lanes under vmap) and write the same artifact
+    files."""
+    import glob
+
+    from mfgp_tpu.data.study_batched import process_datasets_batched
+    from mfgp_tpu.data.trainers import process_dataset
+
+    paths, settings = [], []
+    for seed, vmn in ((1, 0.1), (2, 0.2)):
+        cfg = SimConfig(seed=seed, vmn=vmn)
+        run_pipeline(synth_traj, cfg, out_dir=str(tmp_path))
+        paths.append(str(tmp_path / "GPDataSets" /
+                         f"GPData_0.2_fieldMeas_{seed}_T{seed}_{vmn}.csv"))
+        settings.append(str(tmp_path / "FieldData" /
+                            f"FieldSettings{seed}.txt"))
+    cfg = SimConfig()
+    out = tmp_path / "batched"
+    res_b = process_datasets_batched(paths, settings, out_dir=str(out),
+                                     cfg=cfg, dtype=np.float32)
+    assert len(res_b) == 2
+    # artifact set per dataset: 4 hyp files + GPRes + MSE
+    for p in paths:
+        base = p.split("/")[-1].replace(".csv", "")
+        for suffix in ("_emuGP.txt", "_sfGP.txt", "_sfGPTP.txt",
+                       "_nisfGP.txt"):
+            assert (out / (base + suffix)).exists()
+        assert (out / (base.replace("GPData", "MSE") + ".txt")).exists()
+    assert len(glob.glob(str(out / "GPRes_*.csv"))) == 2
+
+    # per-run parity on the first dataset (same inits => same optimum;
+    # f32 lockstep-vmap arithmetic tolerance)
+    _, m = process_dataset(paths[0], settings[0], out_dir=None, cfg=cfg,
+                           fit_mode="device", dtype=np.float32)
+    mb = res_b[paths[0].split("/")[-1]]
+    for k in ("RMSE mf", "RMSE sf", "RMSE sfTP"):
+        np.testing.assert_allclose(mb[k], m[k], rtol=0.05)
+    assert np.isfinite(mb["WRMSE nisf"]) and np.isfinite(mb["RMSE nisf"])
