@@ -37,7 +37,7 @@ SLOW_FILES = {
     "test_dcn_sweep.py", "test_viz_studies.py", "test_serve.py",
     "test_fault_injection.py", "test_parallel.py", "test_planner.py",
     "test_mfgp.py", "test_mfgp_recursive.py", "test_data_pipeline.py",
-    "test_driver_artifacts.py",
+    "test_driver_artifacts.py", "test_mission_device.py",
 }
 
 

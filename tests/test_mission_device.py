@@ -1,0 +1,120 @@
+"""DeviceMission: the whole exploration experiment as one XLA program.
+
+Correctness anchors:
+* the masked bordered-Cholesky training arena must be EXACT — a host
+  model conditioned from scratch on the harvested rows (same frozen
+  hyperparameters) must reproduce the mission's in-graph test-grid
+  posterior to factorization tolerance;
+* the mission's loop semantics (budget tranches, termination, replan
+  records) must match the host ``ExplorationSim`` contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfgp_tpu.models.gp import GP
+from mfgp_tpu.models.mfgp import MFGP
+from mfgp_tpu.sim.mission_device import DeviceMission
+from mfgp_tpu.utils.configs import ExperimentConfig, SimConfig
+
+SMALL = dict(plan_iters=6, e_max=6, max_nodes=16, samples_per_edge=6,
+             dtype=jnp.float64)
+
+
+def _exp(**kw):
+    base = dict(B=20.0, BD=2, update_hyps=False)
+    base.update(kw)
+    return ExperimentConfig(sim=SimConfig(), **base)
+
+
+def test_mission_runs_ergodic_mf():
+    m = DeviceMission(_exp(multi_fidelity=True, ergodic=True), seed=0,
+                      **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    assert not res.chain_overflow
+    assert np.isfinite(res.rmse)
+    assert res.gp_data.data.shape[0] > 0
+    assert 0.0 < res.budget_used <= 20.0 + 1e-9
+    for r in res.replans:
+        assert np.isfinite(r["info"])
+        assert r["nodes"] >= 1 and r["edges"] >= 1
+        assert 0.0 < r["budget"] <= 20.0 / 2 + 1e-9  # within the tranche
+    # flown rows are valid prefix-masked trajectories with increasing time
+    for k in range(res.n_replans):
+        mask = res.flown_mask[k]
+        t = res.flown[k][mask, 3]
+        assert t.shape[0] > 1 and np.all(np.diff(t) > 0)
+
+
+def test_mission_arena_matches_host_model_mf():
+    """The padded arena + masked bordered extensions = a host MFGP
+    conditioned from scratch on the same rows (machine-precision check of
+    the whole in-graph GP algebra)."""
+    m = DeviceMission(_exp(multi_fidelity=True, ergodic=True), seed=1,
+                      **SMALL)
+    res = m.run()
+    X, fid, y = m.harvested(res)
+    assert X.shape[0] >= 4
+    # dummy initial point (the mission arena starts with it, like the host
+    # loop's initial model)
+    X0 = np.array([[m._x0[0], m._x0[1], 0.0]])
+    Xs = [np.concatenate([X[fid == 0]]),
+          np.concatenate([X[fid == 1]]),
+          np.concatenate([X0, X[fid == 2]])]
+    ys = [y[fid == 0], y[fid == 1], np.concatenate([[0.0], y[fid == 2]])]
+    host = MFGP.from_fidelity_lists(Xs, ys, kernel="rbf", jitter=1e-6)
+    tp = np.asarray(m.cfg.test_points())
+    mu, var = host.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), res.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_mission_arena_matches_host_model_sf():
+    # seed matters at toy budgets: some seeds draw only over-tranche first
+    # edges and legitimately terminate with zero replans (the host loop
+    # breaks the same way); seed 0 plans
+    m = DeviceMission(_exp(multi_fidelity=False, ergodic=True, B=30.0),
+                      seed=0, **SMALL)
+    res = m.run()
+    X, fid, y = m.harvested(res)
+    assert X.shape[0] >= 4
+    X0 = np.array([[m._x0[0], m._x0[1], 0.0]])
+    host = GP(np.concatenate([X0, X]), np.concatenate([[0.0], y]),
+              kernel="rbf", jitter=1e-6)
+    tp = np.asarray(m.cfg.test_points())
+    mu, var = host.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), res.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_mission_gain_mode_sf():
+    """Sequential-gain scoring feeds the planner the mission's own
+    training arena as its conditioned GP state."""
+    m = DeviceMission(_exp(multi_fidelity=False, ergodic=False), seed=3,
+                      **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    assert np.isfinite(res.rmse)
+    for r in res.replans:
+        assert np.isfinite(r["info"])
+
+
+def test_mission_budget_termination():
+    """A one-tranche budget stops after the first replan (host loop's
+    while-condition: remaining > half a tranche)."""
+    m = DeviceMission(_exp(B=8.0, BD=1), seed=0, **SMALL)
+    res = m.run(max_replans=3)
+    assert res.n_replans <= 2  # tranche 8.0; second replan only if >4 left
+    assert res.budget_used <= 8.0 + 1e-9
+
+
+def test_mission_rejects_update_hyps():
+    with pytest.raises(ValueError):
+        DeviceMission(ExperimentConfig(update_hyps=True))
