@@ -175,6 +175,42 @@ def cmd_explore(args):
     print(json.dumps(out))
 
 
+def cmd_mission(args):
+    """The whole exploration experiment as ONE device launch
+    (sim.mission_device.DeviceMission; frozen-hyperparameter regime)."""
+    import time
+
+    _cpu(args)
+    from mfgp_tpu.sim.mission_device import DeviceMission
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    variant = args.variant.upper()
+    exp = ExperimentConfig(multi_fidelity=variant.startswith("MF"),
+                           ergodic=variant in ("MFEGP", "SFEGP"),
+                           ergodic_metric=args.ergodic_metric,
+                           info_cost=args.info_cost, update_hyps=False,
+                           B=args.budget, BD=args.bd)
+    mission = DeviceMission(exp, seed=args.seed,
+                            plan_iters=args.plan_iters, e_max=args.e_max)
+    t0 = time.perf_counter()
+    res = mission.run()
+    compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mission2 = DeviceMission(exp, seed=args.seed + 1,
+                             plan_iters=args.plan_iters, e_max=args.e_max)
+    mission2._run_jit = mission._run_jit  # warm executable, new seed
+    res2 = mission2.run()
+    warm = time.perf_counter() - t0
+    print(json.dumps({
+        "variant": variant, "replans": res.n_replans,
+        "n_data": int(res.gp_data.data.shape[0]),
+        "budget_used": res.budget_used, "rmse": res.rmse,
+        "replans2": res2.n_replans, "rmse2": res2.rmse,
+        "launch_seconds_cold": round(compile_and_run, 3),
+        "launch_seconds_warm": round(warm, 3),
+    }))
+
+
 def cmd_aggregate(args):
     _cpu(args)
     from mfgp_tpu.data import collect_results, summary
@@ -332,6 +368,23 @@ def build_parser():
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")
+
+    p = sub.add_parser(
+        "mission", help="whole experiment as ONE device launch")
+    p.set_defaults(fn=cmd_mission)
+    p.add_argument("--variant", default="MFEGP",
+                   type=lambda s: s.upper(),
+                   choices=["MFEGP", "MFGP", "SFEGP", "SFGP"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=float, default=80.0)
+    p.add_argument("--bd", type=int, default=4)
+    p.add_argument("--plan-iters", type=int, default=40)
+    p.add_argument("--e-max", type=int, default=16,
+                   help="best-path edge capacity per replan")
+    p.add_argument("--ergodic-metric", default="kl",
+                   choices=["kl", "fourier"])
+    p.add_argument("--info-cost", default="sequential",
+                   choices=["sequential", "batch"])
     p.add_argument("--flight", default="kinematic",
                    choices=["kinematic", "dynamic"],
                    help="dynamic = fly plans through the full "
