@@ -177,7 +177,8 @@ def cmd_explore(args):
 
 def cmd_mission(args):
     """The whole exploration experiment as ONE device launch
-    (sim.mission_device.DeviceMission; frozen-hyperparameter regime)."""
+    (sim.mission_device.DeviceMission). ``--update-hyps`` switches from the
+    frozen-hyperparameter regime to in-graph per-replan L-BFGS refits."""
     import time
 
     _cpu(args)
@@ -188,7 +189,8 @@ def cmd_mission(args):
     exp = ExperimentConfig(multi_fidelity=variant.startswith("MF"),
                            ergodic=variant in ("MFEGP", "SFEGP"),
                            ergodic_metric=args.ergodic_metric,
-                           info_cost=args.info_cost, update_hyps=False,
+                           info_cost=args.info_cost,
+                           update_hyps=args.update_hyps,
                            B=args.budget, BD=args.bd)
     mission = DeviceMission(exp, seed=args.seed,
                             plan_iters=args.plan_iters, e_max=args.e_max)
@@ -368,6 +370,10 @@ def build_parser():
     p.add_argument("--waypoints", help="CSV of x,y,z rows (MANUAL variant)")
     p.add_argument("--trajectory-name",
                    help="named reference curve for MANUAL (circle, fig8, ...)")
+    p.add_argument("--flight", default="kinematic",
+                   choices=["kinematic", "dynamic"],
+                   help="dynamic = fly plans through the full "
+                        "sense->estimate->control runtime (hw/runtime.py)")
 
     p = sub.add_parser(
         "mission", help="whole experiment as ONE device launch")
@@ -385,10 +391,10 @@ def build_parser():
                    choices=["kl", "fourier"])
     p.add_argument("--info-cost", default="sequential",
                    choices=["sequential", "batch"])
-    p.add_argument("--flight", default="kinematic",
-                   choices=["kinematic", "dynamic"],
-                   help="dynamic = fly plans through the full "
-                        "sense->estimate->control runtime (hw/runtime.py)")
+    p.add_argument("--update-hyps", action="store_true",
+                   help="per-replan in-graph L-BFGS hyperparameter refits "
+                        "(the reference drivers' default regime) instead "
+                        "of frozen hyperparameters")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

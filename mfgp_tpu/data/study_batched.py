@@ -244,7 +244,7 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                              dtype=np.float32, n_restarts: int = 8,
                              maxiter: int = 200, tol: float = 1e-3,
                              nigp_restarts: int = 2, seed: int = 0,
-                             verbose: bool = False):
+                             verbose: bool = False, eval_chunk: int = 8):
     """Fit + evaluate every dataset with four vmapped launches per
     same-shape group. ``field_settings``: one path, or a list aligned with
     ``gpdata_paths``. Returns {basename: metrics dict}; writes the
@@ -340,7 +340,11 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                                jitter, maxiter, tol)
         vec_ni = _fit_nigp_batch(nig_inits, X_sf, y_b, nig_lo, nig_hi,
                                  maxiter)
+        jax.block_until_ready(vec_ni)
         t_fit = time.monotonic() - t0
+        if verbose:
+            print(f"group N={n}: {B} datasets, 4 fit launches done in "
+                  f"{t_fit:.1f}s", flush=True)
 
         # --- four eval launches (chunked: B lanes of (M, M) posterior
         # covariances at once would exceed HBM — 16 lanes = ~1 GB live) --
@@ -370,11 +374,19 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                                                normalize),
             in_axes=(0, 0, 0, 0)))
 
-        def chunked(fn, *arrs, chunk=16):
+        def chunked(fn, *arrs, chunk=eval_chunk):
+            # fixed-size chunks (pad the tail) so each family compiles ONE
+            # eval executable; (chunk, M, M) covariances bound peak HBM
             outs = []
             for c0 in range(0, B, chunk):
-                outs.append(jax.tree.map(
-                    np.asarray, fn(*(a[c0:c0 + chunk] for a in arrs))))
+                sl = [a[c0:c0 + chunk] for a in arrs]
+                pad = chunk - sl[0].shape[0]
+                if pad:
+                    sl = [jnp.concatenate([a] + [a[-1:]] * pad) for a in sl]
+                out = jax.tree.map(np.asarray, fn(*sl))
+                if pad:
+                    out = jax.tree.map(lambda a: a[:-pad], out)
+                outs.append(out)
             return tuple(np.concatenate(parts) for parts in zip(*outs))
 
         ev_mf = chunked(f_mf, mf_vec, Xmf, fmf, ymf, ftj)

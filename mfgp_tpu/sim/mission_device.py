@@ -50,7 +50,12 @@ hyperparameters — the host loop's ``fit_mode="extend"`` regime):
 * Measurement rows, GPData schema, and the per-replan artifact values
   (best info, plan budget, node/edge counts) match the host sim's.
 
-One deliberate deviation: the host ``_fly`` drops duplicate-timestamp rows
+Two deliberate deviations: (1) the host loop REBUILDS the model from the
+harvested rows alone once it has >= 4 (dropping the start-pose dummy row);
+the mission arena keeps the dummy row (one zero-target observation at the
+start pose) for its whole life — it is one row against hundreds and the
+refit optimizes the same NLML family. (2) the host ``_fly`` drops
+duplicate-timestamp rows
 (each edge's first sample repeats the previous edge's last); here every
 edge contributes its samples 1..S-1 plus the path's very first point — the
 same kept set except that the host also keeps a duplicate first row per
@@ -75,6 +80,7 @@ from mfgp_tpu.models.gp import GP
 from mfgp_tpu.models.mfgp import MFGP
 from mfgp_tpu.ops import kernels as _k
 from mfgp_tpu.ops import linalg as _la
+from mfgp_tpu.ops.optimize import batched_lbfgs
 from mfgp_tpu.planning.rig_device import (DeviceRIG, prepare_mf_gain_state,
                                           prepare_sf_gain_state)
 from mfgp_tpu.utils.configs import ExperimentConfig
@@ -88,6 +94,7 @@ class DeviceMissionResult:
 
     gp_data: Table  # harvested fidelity-binned training rows (GPData schema)
     replans: list  # dicts: plan_num, info, budget, t_flown, nodes, edges
+    theta: np.ndarray  # final log-hyperparameters (= initial when frozen)
     budget_used: float
     rmse: float  # final-model RMSE on the sim test grid vs the true field
     n_replans: int
@@ -109,21 +116,27 @@ class DeviceMission:
     Covers the reference's variant matrix through the device planner's
     cost menu: ergodic / fourier (MFEGP, SFEGP), SF/MF sequential gain and
     SF/MF batch log-det (MFGP, SFGP; reference GraceRIGV3 scoring modes).
-    Hyperparameters are frozen at their initial values — the host loop's
-    ``fit_mode="extend"`` regime (``update_hyps`` is rejected: a per-replan
-    L-BFGS refit inside the program is future work, ROADMAP).
+
+    ``update_hyps``: with ``exp.update_hyps=True`` (the reference's
+    default, exploreExpSettings.py:73) each replan ends with an IN-GRAPH
+    L-BFGS refit of the hyperparameters on the masked arena NLML
+    (warm-started from the current values, like the host ``_fit``; MF
+    rhos stay fixed and lengthscales keep the host's (1e-4, 100) bounds),
+    followed by the host loop's blow-up recovery (params > 90 reset to 1,
+    reference/...MFEGP.py:398-410) and a refactorization of the arena.
+    With ``update_hyps=False`` hyperparameters stay frozen — the host
+    loop's ``fit_mode="extend"`` regime.
     """
 
     def __init__(self, exp: ExperimentConfig | None = None, seed: int = 0,
                  field_env: Optional[WRBFField] = None, plan_iters: int = 40,
                  e_max: int = 16, n_max: Optional[int] = None,
-                 dtype=jnp.float32, **planner_kw):
+                 dtype=jnp.float32, fit_maxiter: int = 100,
+                 fit_tol: float = 1e-4, **planner_kw):
         self.exp = exp or ExperimentConfig()
-        if self.exp.update_hyps:
-            raise ValueError(
-                "DeviceMission runs frozen-hyperparameter missions (the "
-                "host loop's extend regime); set update_hyps=False or use "
-                "sim.ExplorationSim for per-replan refits")
+        self.update_hyps = bool(self.exp.update_hyps)
+        self.fit_maxiter = int(fit_maxiter)
+        self.fit_tol = float(fit_tol)
         if self.exp.plan_wallclock:
             raise ValueError("the device mission is fixed-iteration; set "
                              "plan_iters instead of plan_wallclock")
@@ -181,22 +194,39 @@ class DeviceMission:
             (Xp, fp, Lp, variances, ls, rhos, noises, fl) = \
                 prepare_mf_gain_state(model, self.agent_cfg.fid_levels,
                                       self.n_max, dtype)
-            self._params = (variances, ls, rhos, noises, fl)
-            pa = model.param_array
-            self._prior_sig = float(pa[[0, 4, 8, -1]].sum())
+            self._rhos0 = rhos  # fixed across refits (host fix_rhos=True)
+            self._fl = fl
+            self.F = int(variances.shape[0])
+            self.D = int(np.asarray(model.state.X).shape[1])
+            self._theta0 = jnp.concatenate(
+                [jnp.log(variances), jnp.log(ls).reshape(-1),
+                 jnp.log(noises)])
         else:
             model = GP(dummy_X, np.zeros(1), kernel=self.exp.kernel,
                        jitter=1e-6)
             Xp, Lp, variance, ls, noise = prepare_sf_gain_state(
                 model, self.n_max, dtype)
             fp = jnp.full((self.n_max,), 0, jnp.int32)
-            self._params = (variance, ls, noise)
-            self._prior_sig = float(model.param_array[0]
-                                    + model.param_array[-1])
+            self.D = int(ls.shape[0])
+            self._theta0 = jnp.concatenate(
+                [jnp.log(variance)[None], jnp.log(ls),
+                 jnp.log(noise)[None]])
+        ma0 = jnp.zeros((self.n_max,), bool).at[0].set(True)
         self._arena0 = dict(
             Xa=Xp, fida=fp, La=Lp,
             ya=jnp.zeros((self.n_max,), dtype),
-            cnt=jnp.asarray(1, jnp.int32))
+            cnt=jnp.asarray(1, jnp.int32), ma=ma0)
+        # L-BFGS bounds: MF lengthscales keep the host _fit's (1e-4, 100)
+        # box; everything else unbounded (GPy defaults)
+        n_th = self._theta0.shape[0]
+        lo = np.full(n_th, -np.inf)
+        hi = np.full(n_th, np.inf)
+        if self.mf:
+            F, D = self.F, self.D
+            lo[F:F + F * D] = np.log(1e-4)
+            hi[F:F + F * D] = np.log(100.0)
+        self._fit_lo = jnp.asarray(lo, dtype)
+        self._fit_hi = jnp.asarray(hi, dtype)
 
         tp = np.asarray(cfg.test_points())
         self._test_points = jnp.asarray(tp, dtype)
@@ -206,13 +236,37 @@ class DeviceMission:
         self._run_jit = jax.jit(self._run_impl, static_argnames=("bd",))
 
     # -- in-graph GP algebra over the padded arena ---------------------------
-    def _grid_post(self, Xa, fida, La, alpha, Xs):
+    def _unpack(self, theta):
+        """Log-parameter vector -> positive parameter tuple.
+
+        SF: (variance, lengthscales, noise). MF: (variances (F,),
+        lengthscales (F, D), rhos, noises, fidelity thresholds) — rhos are
+        fixed across refits (host _fit uses fix_rhos=True)."""
+        if self.mf:
+            F, D = self.F, self.D
+            return (jnp.exp(theta[:F]),
+                    jnp.exp(theta[F:F + F * D]).reshape(F, D),
+                    self._rhos0, jnp.exp(theta[F + F * D:]), self._fl)
+        D = self.D
+        return (jnp.exp(theta[0]), jnp.exp(theta[1:1 + D]),
+                jnp.exp(theta[1 + D]))
+
+    def _prior_sig(self, params):
+        """Data-free variance for the EID (host _eid's param_array picks:
+        sum of per-fidelity variances + top noise / variance + noise)."""
+        if self.mf:
+            variances, _, _, noises, _ = params
+            return jnp.sum(variances) + noises[-1]
+        variance, _, noise = params
+        return variance + noise
+
+    def _grid_post(self, params, Xa, fida, La, alpha, Xs):
         """Posterior mean/marginal-variance at Xs (include_noise=True,
         matching models.gp/mfgp.predict defaults used by the host _eid)."""
         kern = _k.KERNELS[self.exp.kernel]
         G = Xs.shape[0]
         if self.mf:
-            variances, ls, rhos, noises, _ = self._params
+            variances, ls, rhos, noises, _ = params
             F = variances.shape[0]
             fid_s = jnp.full((G,), F - 1, jnp.int32)
             Kxg = _k.ar1_cov(Xa, fida, Xs, fid_s, variances, ls, rhos,
@@ -221,7 +275,7 @@ class DeviceMission:
             kss = jnp.sum(W[:, F - 1] ** 2 * variances)
             noise = noises[F - 1]
         else:
-            variance, ls, noise = self._params
+            variance, ls, noise = params
             Kxg = kern(Xa, Xs, variance, ls)
             kss = variance
         mu = Kxg.T @ alpha
@@ -229,20 +283,46 @@ class DeviceMission:
         var = kss - jnp.sum(V * V, axis=0) + noise
         return mu, var
 
-    def _cross_cov(self, X1, f1, X2, f2):
+    def _cross_cov(self, params, X1, f1, X2, f2):
         if self.mf:
-            variances, ls, rhos, _, _ = self._params
+            variances, ls, rhos, _, _ = params
             return _k.ar1_cov(X1, f1, X2, f2, variances, ls, rhos,
                               self.exp.kernel)
-        variance, ls, _ = self._params
+        variance, ls, _ = params
         return _k.KERNELS[self.exp.kernel](X1, X2, variance, ls)
 
-    def _noise_diag(self, fid):
+    def _noise_diag(self, params, fid):
         if self.mf:
-            return _k.mf_noise_diag(fid, self._params[3])
-        return jnp.broadcast_to(self._params[2], fid.shape)
+            return _k.mf_noise_diag(fid, params[3])
+        return jnp.broadcast_to(params[2], fid.shape)
 
-    def _extend_arena(self, ar, newX, newfid, newy, valid):
+    def _masked_cov(self, params, Xa, fida, ma):
+        """Full masked arena covariance: valid block = K + (noise+jitter) I
+        (models.gp/mfgp ``_assemble`` semantics), padding block = identity,
+        zero cross terms — so its Cholesky keeps padding rows as identity
+        rows (the prepare_*_gain_state contract) and its NLML equals the
+        valid-row NLML plus a theta-independent constant."""
+        dt = self.dtype
+        K = self._cross_cov(params, Xa, fida, Xa, fida)
+        K = K * (ma[:, None] & ma[None, :])
+        return K + jnp.diag(jnp.where(
+            ma, self._noise_diag(params, fida) + 1e-6, jnp.asarray(1.0, dt)))
+
+    def _masked_nlml(self, theta, Xa, fida, ya, ma):
+        """NLML of the valid arena rows as a function of the log-parameter
+        vector (padding contributes exactly 0 to the quadratic and the
+        log-det). The refit objective — same minimiser as the host
+        ``_fit``'s full-model NLML."""
+        K = self._masked_cov(self._unpack(theta), Xa, fida, ma)
+        L = _la.chol(K)
+        v = _la.tri_solve(L, ya)
+        n = jnp.sum(ma).astype(self.dtype)
+        val = 0.5 * (v @ v + n * jnp.log(2 * jnp.pi)) \
+            + jnp.sum(jnp.where(ma, jnp.log(jnp.diag(L)), 0.0))
+        return jnp.where(jnp.isfinite(val), val,
+                         jnp.asarray(1e20, self.dtype))
+
+    def _extend_arena(self, params, ar, newX, newfid, newy, valid):
         """Masked rank-S bordered-Cholesky extension of the train arena.
 
         Invalid rows are written as padding (sentinel coordinate, identity
@@ -255,14 +335,14 @@ class DeviceMission:
         vX = jnp.where(valid[:, None], newX,
                        jnp.asarray(SENTINEL_X, dt))
         vf = jnp.where(valid, newfid, 0).astype(jnp.int32)
-        B = self._cross_cov(vX, vf, ar["Xa"], ar["fida"])  # (Sf, n_max)
-        B = B * valid[:, None]
-        C = self._cross_cov(vX, vf, vX, vf)  # (Sf, Sf)
+        B = self._cross_cov(params, vX, vf, ar["Xa"], ar["fida"])
+        B = B * valid[:, None]  # (Sf, n_max)
+        C = self._cross_cov(params, vX, vf, vX, vf)  # (Sf, Sf)
         C = C * (valid[:, None] & valid[None, :])
         # conditioning diagonal: K + (noise + jitter) I on valid rows
         # (models.gp/mfgp _assemble semantics); identity on padding
         C = C + jnp.diag(jnp.where(valid,
-                                   self._noise_diag(vf) + 1e-6,
+                                   self._noise_diag(params, vf) + 1e-6,
                                    jnp.asarray(1.0, dt)))
         L21T = _la.tri_solve(ar["La"], B.T)  # (n_max, Sf); pad rows -> 0
         Lc = _la.chol(C - L21T.T @ L21T)
@@ -280,6 +360,7 @@ class DeviceMission:
                                             (ar["cnt"], zero)),
             ya=jax.lax.dynamic_update_slice(
                 ar["ya"], jnp.where(valid, newy, 0.0), (ar["cnt"],)),
+            ma=jax.lax.dynamic_update_slice(ar["ma"], valid, (ar["cnt"],)),
             cnt=ar["cnt"] + Sf)
 
     # -- best-path chain extraction (in-graph _extract) ----------------------
@@ -329,7 +410,7 @@ class DeviceMission:
         R = self.R
         fidlevels = jnp.asarray(self.cfg.fidlevels, dt)
 
-        def gp_tuple(ar):
+        def gp_tuple(ar, params):
             if self.cost in ("ergodic", "fourier"):
                 z = jnp.zeros((1, 1), dt)
                 if self.mf:
@@ -341,29 +422,31 @@ class DeviceMission:
                 return (jnp.zeros((1, 3), dt), z, jnp.ones((), dt),
                         jnp.ones((3,), dt), jnp.ones((), dt))
             if self.mf:
-                variances, ls, rhos, noises, fl = self._params
+                variances, ls, rhos, noises, fl = params
                 return (ar["Xa"], ar["fida"], ar["La"], variances, ls,
                         rhos, noises, fl)
-            variance, ls, noise = self._params
+            variance, ls, noise = params
             return (ar["Xa"], ar["La"], variance, ls, noise)
 
         def body(r, st):
-            ar = {k: st[k] for k in ("Xa", "fida", "La", "ya", "cnt")}
+            ar = {k: st[k] for k in ("Xa", "fida", "La", "ya", "cnt", "ma")}
+            params = self._unpack(st["theta"])
             remaining = B - st["planned"]
             active = st["active"] & (remaining > 0.5 * B / exp.BD)
             tranche = jnp.minimum(B / exp.BD, remaining)
 
             # 1. arena posterior -> EID on the dense sim grid
             alpha = _la.chol_solve(ar["La"], ar["ya"])
-            mu, sig = self._grid_post(ar["Xa"], ar["fida"], ar["La"],
-                                      alpha, self._grid_j)
+            mu, sig = self._grid_post(params, ar["Xa"], ar["fida"],
+                                      ar["La"], alpha, self._grid_j)
             eid = expected_information_density(
-                mu, sig, self._prior_sig, auto=exp.alpha_auto)
+                mu, sig, self._prior_sig(params), auto=exp.alpha_auto)
 
             # 2. plan (the planner's whole jitted loop, inlined)
             key, kp, kkf, km = jax.random.split(st["key"], 4)
             pst = self.planner._plan_impl(st["x0"], kp, tranche,
-                                          eid.astype(dt), gp_tuple(ar))
+                                          eid.astype(dt),
+                                          gp_tuple(ar, params))
             ok = (pst["best_arena"] >= 0) & active
             chain, n_e, overflow = self._chain(pst)
             ok &= (n_e > 0) & ~overflow
@@ -398,11 +481,37 @@ class DeviceMission:
             #    reference/prepGPData.py rows: X=xh, y=measured field)
             newfid = ((3 - fid) if self.mf
                       else jnp.zeros_like(fid)).astype(jnp.int32)
-            ar2 = self._extend_arena(ar, out["xh"].astype(dt), newfid,
-                                     noisy, meas_mask)
+            ar2 = self._extend_arena(params, ar, out["xh"].astype(dt),
+                                     newfid, noisy, meas_mask)
             ar2["cnt"] = jnp.where(ok, ar2["cnt"], ar["cnt"])
+            theta = st["theta"]
 
-            # 6. bookkeeping + per-replan records
+            # 6. in-graph hyperparameter refit (host loop's update_hyps
+            #    regime: warm-started L-BFGS on the full-data NLML after
+            #    every flight with >= 4 real rows, elementwise blow-up
+            #    recovery, then refactorize the arena at the new params)
+            if self.update_hyps:
+                do_fit = ok & (jnp.sum(ar2["ma"]) >= 5)  # 4 rows + dummy
+
+                def obj(th):
+                    return self._masked_nlml(th, ar2["Xa"], ar2["fida"],
+                                             ar2["ya"], ar2["ma"])
+
+                th_new, _, _ = batched_lbfgs(
+                    obj, theta, lower=self._fit_lo, upper=self._fit_hi,
+                    maxiter=self.fit_maxiter, tol=self.fit_tol)
+                # blow-up recovery: any param with |p| > 90 (or non-finite)
+                # resets to 1 (reference/...MFEGP.py:398-410; host
+                # _recover_hyps) -- elementwise, in positive space
+                p = jnp.exp(th_new)
+                bad = ~jnp.isfinite(p) | (jnp.abs(p) > 90.0)
+                th_new = jnp.where(bad, 0.0, th_new)
+                theta = jnp.where(do_fit, th_new, theta)
+                La_re = _la.chol(self._masked_cov(
+                    self._unpack(theta), ar2["Xa"], ar2["fida"], ar2["ma"]))
+                ar2["La"] = jnp.where(do_fit, La_re, ar2["La"])
+
+            # 7. bookkeeping + per-replan records
             budget = jnp.where(ok, pst["a_budget"][pst["best_arena"]], 0.0)
             t_flown = jnp.where(ok, t_last - t_raw[0], 0.0)
             x0_next = jnp.where(ok, pos_last[:2], st["x0"])
@@ -410,7 +519,7 @@ class DeviceMission:
                 [out["t"][:, None], out["pos"], out["xh"],
                  noisy[:, None], fid[:, None].astype(dt)], axis=1)
             st = dict(
-                st, key=key, x0=x0_next,
+                st, key=key, x0=x0_next, theta=theta,
                 planned=st["planned"] + budget,
                 t_now=st["t_now"] + t_flown,
                 active=active & ok,
@@ -433,6 +542,7 @@ class DeviceMission:
         st = dict(
             arena,
             key=key,
+            theta=self._theta0,
             x0=jnp.asarray(self._x0, dt),
             planned=jnp.asarray(0.0, dt),
             t_now=jnp.asarray(0.0, dt),
@@ -453,7 +563,8 @@ class DeviceMission:
 
         # final posterior on the sim test grid + RMSE vs the true field
         alpha = _la.chol_solve(st["La"], st["ya"])
-        mu, var = self._grid_post(st["Xa"], st["fida"], st["La"], alpha,
+        mu, var = self._grid_post(self._unpack(st["theta"]), st["Xa"],
+                                  st["fida"], st["La"], alpha,
                                   self._test_points)
         st["test_mu"], st["test_var"] = mu, var
         st["rmse"] = jnp.sqrt(jnp.mean((mu - self._f_true) ** 2))
@@ -476,7 +587,7 @@ class DeviceMission:
         gp_data = Table(GPDATA_HEADER.split(","),
                         rows if rows.size else np.zeros((0, 9)))
         return DeviceMissionResult(
-            gp_data=gp_data, replans=replans,
+            gp_data=gp_data, replans=replans, theta=st["theta"],
             budget_used=float(st["planned"]), rmse=float(st["rmse"]),
             n_replans=int(did.sum()), flown=st["flown"],
             flown_mask=st["flown_mask"], test_mu=st["test_mu"],
@@ -484,6 +595,21 @@ class DeviceMission:
             chain_overflow=bool(st["overflow"]))
 
     # -- introspection --------------------------------------------------------
+    def host_params(self, theta):
+        """A mission log-parameter vector as host model params (GPParams /
+        MFGPParams) — for conditioning a host model at the mission's
+        refitted hyperparameters in parity checks."""
+        from mfgp_tpu.models.gp import GPParams
+        from mfgp_tpu.models.mfgp import MFGPParams
+
+        theta = jnp.asarray(theta, self.dtype)
+        if self.mf:
+            F, D = self.F, self.D
+            return MFGPParams(theta[:F], theta[F:F + F * D].reshape(F, D),
+                              self._rhos0, theta[F + F * D:])
+        D = self.D
+        return GPParams(theta[0], theta[1:1 + D], theta[1 + D])
+
     def harvested(self, res: DeviceMissionResult):
         """(X, fid_emukit, y) of the valid harvested training rows — for
         cross-checking the arena posterior against a host-conditioned

@@ -9,10 +9,8 @@ Correctness anchors:
   records) must match the host ``ExplorationSim`` contract.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mfgp_tpu.models.gp import GP
 from mfgp_tpu.models.mfgp import MFGP
@@ -115,6 +113,61 @@ def test_mission_budget_termination():
     assert res.budget_used <= 8.0 + 1e-9
 
 
-def test_mission_rejects_update_hyps():
-    with pytest.raises(ValueError):
-        DeviceMission(ExperimentConfig(update_hyps=True))
+def test_mission_update_hyps_sf():
+    """In-graph L-BFGS refits (the reference drivers' update_hyps regime):
+    hyperparameters move, and the final posterior equals a host GP
+    conditioned AT THE REFITTED PARAMS on the harvested rows — an exactness
+    check of the masked-NLML fit + arena refactorization."""
+    m = DeviceMission(_exp(multi_fidelity=False, ergodic=True,
+                           update_hyps=True), seed=0, **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    assert np.isfinite(res.rmse)
+    assert not np.allclose(res.theta, np.asarray(m._theta0))
+    assert np.all(np.exp(res.theta) <= 90.0 + 1e-9)  # blow-up recovery
+    X, fid, y = m.harvested(res)
+    X0 = np.array([[m._x0[0], m._x0[1], 0.0]])
+    host = GP(np.concatenate([X0, X]), np.concatenate([[0.0], y]),
+              kernel="rbf", jitter=1e-6, params=m.host_params(res.theta))
+    tp = np.asarray(m.cfg.test_points())
+    mu, var = host.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), res.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
+                               rtol=1e-7, atol=1e-8)
+    # the refit IMPROVES the fit: host log-likelihood at the refitted
+    # theta >= at the initial theta (same data)
+    nl_fit = float(host.log_likelihood())
+    host.params = m.host_params(m._theta0)
+    host._state = None
+    nl_init = float(host.log_likelihood())
+    assert nl_fit >= nl_init  # log-likelihood, higher is better
+
+
+def test_mission_update_hyps_mf():
+    """MF refit: lengthscales respect the host _fit's (1e-4, 100) box,
+    rhos stay fixed (fix_rhos=True), and host-parity holds at the
+    refitted params."""
+    m = DeviceMission(_exp(multi_fidelity=True, ergodic=True,
+                           update_hyps=True), seed=1, **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    assert not np.allclose(res.theta, np.asarray(m._theta0))
+    F, D = m.F, m.D
+    ls = np.exp(res.theta[F:F + F * D])
+    assert np.all(ls <= 100.0 + 1e-9) and np.all(ls >= 1e-4 - 1e-12)
+    X, fid, y = m.harvested(res)
+    X0 = np.array([[m._x0[0], m._x0[1], 0.0]])
+    Xs = [X[fid == 0], X[fid == 1], np.concatenate([X0, X[fid == 2]])]
+    ys = [y[fid == 0], y[fid == 1], np.concatenate([[0.0], y[fid == 2]])]
+    host = MFGP.from_fidelity_lists(Xs, ys, kernel="rbf", jitter=1e-6)
+    host.params = m.host_params(res.theta)
+    host._state = None
+    np.testing.assert_allclose(np.asarray(host.params.rhos),
+                               np.asarray(m._rhos0))
+    tp = np.asarray(m.cfg.test_points())
+    mu, var = host.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), res.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
+                               rtol=1e-7, atol=1e-8)
