@@ -82,6 +82,27 @@ def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter):
 # ---------------------------------------------------------------------------
 # batched evaluation (same mathematics as trainers.evaluate_models)
 # ---------------------------------------------------------------------------
+def _chunked_launch(fn, *arrs, chunk):
+    """Run ``fn`` over fixed-size chunks of the leading (dataset) axis.
+
+    The tail chunk is padded by repeating the last lane so every launch
+    shares ONE compiled executable per family; ``np.asarray`` on each
+    chunk's outputs blocks before the next launch, keeping individual
+    device executions small and remote compiles serialized."""
+    outs = []
+    B = arrs[0].shape[0]
+    for c0 in range(0, B, chunk):
+        sl = [a[c0:c0 + chunk] for a in arrs]
+        pad = chunk - sl[0].shape[0]
+        if pad:
+            sl = [jnp.concatenate([a] + [a[-1:]] * pad) for a in sl]
+        out = jax.tree.map(np.asarray, fn(*sl))
+        if pad:
+            out = jax.tree.map(lambda a: a[:-pad], out)
+        outs.append(out)
+    return jax.tree.map(lambda *ps: np.concatenate(ps), *outs)
+
+
 def _metrics_from_cov(err, cov, normalize):
     """RMSE + precision-weighted MSE with the non-finite jitter retry of
     trainers.evaluate_models, branch-free for vmap."""
@@ -244,11 +265,21 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                              dtype=np.float32, n_restarts: int = 8,
                              maxiter: int = 200, tol: float = 1e-3,
                              nigp_restarts: int = 2, seed: int = 0,
-                             verbose: bool = False, eval_chunk: int = 8):
+                             verbose: bool = False, eval_chunk: int = 8,
+                             fit_chunk: int = 8):
     """Fit + evaluate every dataset with four vmapped launches per
     same-shape group. ``field_settings``: one path, or a list aligned with
     ``gpdata_paths``. Returns {basename: metrics dict}; writes the
-    per-dataset reference artifacts when ``out_dir`` is given."""
+    per-dataset reference artifacts when ``out_dir`` is given.
+
+    ``fit_chunk``/``eval_chunk``: the dataset axis is processed in
+    fixed-size chunks (tail padded by repetition) so each model family
+    still compiles exactly ONE fit and ONE eval executable, but every
+    device launch stays small — measured on the axon v5e tunnel, a
+    90-lane restart-batched fit executable faults with a TPU device
+    error while 8-lane launches run fine, and chunking also serializes
+    remote compiles (the compile helper dies under memory pressure when
+    several large programs compile at once)."""
     cfg = cfg or SimConfig()
     if isinstance(field_settings, (str, os.PathLike)):
         field_settings = [field_settings] * len(gpdata_paths)
@@ -330,20 +361,29 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
         nig_lo = jnp.full((2 * D + 2,), np.log(1e-6), dtype)
         nig_hi = jnp.full((2 * D + 2,), np.log(1e6), dtype)
 
-        # --- four fit launches -------------------------------------------
-        vec_mf = _fit_mf_batch(jnp.asarray(inits_mf), Xmf, fmf, ymf,
-                               fixed_rhos, -inf, inf, kernel, jitter,
-                               maxiter, tol)
-        vec_sf = _fit_sf_batch(jnp.asarray(inits_sf), X_sf, y_b, kernel,
-                               jitter, maxiter, tol)
-        vec_tp = _fit_sf_batch(jnp.asarray(inits_sf), X_tp, y_b, kernel,
-                               jitter, maxiter, tol)
-        vec_ni = _fit_nigp_batch(nig_inits, X_sf, y_b, nig_lo, nig_hi,
-                                 maxiter)
-        jax.block_until_ready(vec_ni)
+        # --- four fit sweeps (chunked launches, one executable each) -----
+        i_mf = jnp.asarray(inits_mf)
+        i_sf = jnp.asarray(inits_sf)
+        vec_mf = _chunked_launch(
+            lambda X, f, y: _fit_mf_batch(i_mf, X, f, y, fixed_rhos, -inf,
+                                          inf, kernel, jitter, maxiter,
+                                          tol),
+            Xmf, fmf, ymf, chunk=fit_chunk)
+        vec_sf = _chunked_launch(
+            lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
+                                       maxiter, tol),
+            X_sf, y_b, chunk=fit_chunk)
+        vec_tp = _chunked_launch(
+            lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
+                                       maxiter, tol),
+            X_tp, y_b, chunk=fit_chunk)
+        vec_ni = _chunked_launch(
+            lambda ini, X, y: _fit_nigp_batch(ini, X, y, nig_lo, nig_hi,
+                                              maxiter),
+            nig_inits, X_sf, y_b, chunk=fit_chunk)
         t_fit = time.monotonic() - t0
         if verbose:
-            print(f"group N={n}: {B} datasets, 4 fit launches done in "
+            print(f"group N={n}: {B} datasets, 4 fit sweeps done in "
                   f"{t_fit:.1f}s", flush=True)
 
         # --- four eval launches (chunked: B lanes of (M, M) posterior
@@ -374,25 +414,15 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                                                normalize),
             in_axes=(0, 0, 0, 0)))
 
-        def chunked(fn, *arrs, chunk=eval_chunk):
-            # fixed-size chunks (pad the tail) so each family compiles ONE
-            # eval executable; (chunk, M, M) covariances bound peak HBM
-            outs = []
-            for c0 in range(0, B, chunk):
-                sl = [a[c0:c0 + chunk] for a in arrs]
-                pad = chunk - sl[0].shape[0]
-                if pad:
-                    sl = [jnp.concatenate([a] + [a[-1:]] * pad) for a in sl]
-                out = jax.tree.map(np.asarray, fn(*sl))
-                if pad:
-                    out = jax.tree.map(lambda a: a[:-pad], out)
-                outs.append(out)
-            return tuple(np.concatenate(parts) for parts in zip(*outs))
-
-        ev_mf = chunked(f_mf, mf_vec, Xmf, fmf, ymf, ftj)
-        ev_sf = chunked(f_sf, vec_sf, X_sf, y_b, ftj)
-        ev_tp = chunked(f_sf, vec_tp, X_tp, y_b, ftj)
-        ev_ni = chunked(f_ni, vec_ni, X_sf, y_b, ftj)
+        # (chunk, M, M) posterior covariances bound peak HBM per launch
+        ev_mf = _chunked_launch(f_mf, mf_vec, Xmf, fmf, ymf, ftj,
+                                chunk=eval_chunk)
+        ev_sf = _chunked_launch(f_sf, jnp.asarray(vec_sf), X_sf, y_b, ftj,
+                                chunk=eval_chunk)
+        ev_tp = _chunked_launch(f_sf, jnp.asarray(vec_tp), X_tp, y_b, ftj,
+                                chunk=eval_chunk)
+        ev_ni = _chunked_launch(f_ni, jnp.asarray(vec_ni), X_sf, y_b, ftj,
+                                chunk=eval_chunk)
         mf_vec_np = np.asarray(mf_vec)
         ni_np = np.asarray(vec_ni)
         if verbose:
