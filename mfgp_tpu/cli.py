@@ -192,25 +192,31 @@ def cmd_mission(args):
                            info_cost=args.info_cost,
                            update_hyps=args.update_hyps,
                            B=args.budget, BD=args.bd)
-    mission = DeviceMission(exp, seed=args.seed,
+    mission = DeviceMission(exp, seed=args.seed, flight=args.flight,
                             plan_iters=args.plan_iters, e_max=args.e_max)
     t0 = time.perf_counter()
     res = mission.run()
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
-    mission2 = DeviceMission(exp, seed=args.seed + 1,
+    mission2 = DeviceMission(exp, seed=args.seed + 1, flight=args.flight,
                              plan_iters=args.plan_iters, e_max=args.e_max)
     mission2._run_jit = mission._run_jit  # warm executable, new seed
     res2 = mission2.run()
     warm = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "variant": variant, "replans": res.n_replans,
         "n_data": int(res.gp_data.data.shape[0]),
         "budget_used": res.budget_used, "rmse": res.rmse,
         "replans2": res2.n_replans, "rmse2": res2.rmse,
         "launch_seconds_cold": round(compile_and_run, 3),
         "launch_seconds_warm": round(warm, 3),
-    }))
+    }
+    if args.flight == "dynamic" and res.replans:
+        out["tracking_rmse"] = [round(r["tracking_rmse"], 4)
+                                for r in res.replans]
+        out["flown_budget"] = round(
+            sum(r["flown_budget"] for r in res.replans), 3)
+    print(json.dumps(out))
 
 
 def cmd_aggregate(args):
@@ -395,6 +401,12 @@ def build_parser():
                    help="per-replan in-graph L-BFGS hyperparameter refits "
                         "(the reference drivers' default regime) instead "
                         "of frozen hyperparameters")
+    p.add_argument("--flight", default="kinematic",
+                   choices=["kinematic", "dynamic"],
+                   help="dynamic = fly each plan through the IN-GRAPH "
+                        "sense->estimate->control runtime scan "
+                        "(hw/runtime_device.py) — the whole closed loop, "
+                        "vehicle dynamics included, in one launch")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

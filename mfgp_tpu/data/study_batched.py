@@ -170,12 +170,14 @@ def _np_rbf(X1, X2, var, ls):
     return var * np.exp(-0.5 * np.maximum(r2, 0.0))
 
 
-def _host64_wmse(family, vec, X, fid, y, tp, err, normalize):
-    """Host f64 recomputation of one lane's precision-weighted MSE —
-    the fallback when the f32 on-device covariance is numerically
-    indefinite (NIGP with vanishing fitted noise; the reference's
-    explicit inverse silently returns garbage there). RBF base kernels
-    (the fallback is exercised by the study harness, which is RBF)."""
+def _host64_wmse(family, vec, X, fid, y, tp, f_true, normalize):
+    """Host f64 recomputation of one lane's (RMSE, precision-weighted
+    MSE) — the fallback when the f32 on-device eval is numerically bad
+    (indefinite covariance, or a NaN posterior mean from a blown-up f32
+    fit). Recomputes the WHOLE posterior from the fitted vector in f64,
+    so it also repairs lanes whose f32 mean was non-finite. RBF base
+    kernels (the fallback is exercised by the study harness, which is
+    RBF)."""
     from scipy.linalg import cho_factor, cho_solve
 
     from mfgp_tpu.data.trainers import wmse_host64
@@ -232,7 +234,10 @@ def _host64_wmse(family, vec, X, fid, y, tp, err, normalize):
     cf = cho_factor(Kn, lower=True)
     Vt = cho_solve(cf, Kxs.T)
     cov = Kss - Kxs @ Vt
-    return wmse_host64(np.asarray(err, np.float64), cov, normalize)
+    mu = Kxs @ cho_solve(cf, y)
+    err = mu - np.asarray(f_true, np.float64)
+    rmse = float(np.sqrt(np.mean(err**2)))
+    return rmse, wmse_host64(err, cov, normalize)
 
 
 def _eval_nigp_one(lh, X, y, tp, f_true, normalize):
@@ -451,11 +456,14 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                   ("sfTP", vec_tp_np[b], X_tp[b], None, y_b[b], ev_tp),
                   ("nisf", ni_np[b], X_sf[b], None, y_b[b], ev_ni)]
             for key, vec, Xb_, fidb_, yb_, ev in fb:
-                if not np.isfinite(metrics[f"WRMSE {key}"]):
+                if not (np.isfinite(metrics[f"WRMSE {key}"])
+                        and np.isfinite(metrics[f"RMSE {key}"])):
                     fam = {"sfTP": "sf", "nisf": "nigp"}.get(key, key)
-                    err = ev[2][b] - f_true[i]
-                    metrics[f"WRMSE {key}"] = _host64_wmse(
-                        fam, vec, Xb_, fidb_, yb_, tp, err, normalize)
+                    rm, wm = _host64_wmse(
+                        fam, vec, Xb_, fidb_, yb_, tp, f_true[i],
+                        normalize)
+                    metrics[f"RMSE {key}"] = rm
+                    metrics[f"WRMSE {key}"] = wm
             results[base] = metrics
             if out_dir is None:
                 continue

@@ -299,7 +299,8 @@ class DeviceRuntime:
         u0 = st["mass_pos"] / 100.0
         u1_in = st["pump_pos"] / 100.0
         u2_in = jnp.deg2rad(tail_deg)
-        blue = (self.field(st["px"], st["py"], st["pz"])
+        blue = (jnp.asarray(self.field(st["px"], st["py"], st["pz"]),
+                            dtype)
                 if self.field is not None else jnp.asarray(0.0, dtype))
 
         # --- tail input estimator + input KF + budget (:795-806) ----------
@@ -366,6 +367,9 @@ class DeviceRuntime:
             dP, dvb = body_velocity_observer(
                 R, jnp.array([gx, gy, gz]), st["vb"], depth,
                 st["Phat"][2], u1_in, u2_in, self.glider_params)
+            # the observer's strongly-typed f64 constants promote under
+            # x64; its states live in the runtime dtype
+            dP, dvb = dP.astype(dtype), dvb.astype(dtype)
             Phat = st["Phat"] + dP * dt
             vb = st["vb"] + dvb * dt * (c.dt < 0.5)
             diverged = (jnp.any(jnp.isnan(vb))
@@ -376,7 +380,7 @@ class DeviceRuntime:
                 Phat)
             st["vb"] = jnp.where(diverged,
                                  jnp.asarray([1e-4, 0.0, 1e-4], dtype), vb)
-            vel_obs = R @ st["vb"]
+            vel_obs = (R @ st["vb"]).astype(dtype)
             use_vel = (~jnp.any(jnp.isnan(st["vb"]))
                        & (jnp.abs(ddelta) < math.radians(45)) & ~is_sw)
         else:

@@ -20,6 +20,18 @@ tranches where every stage of every replan —
 the entire mission; nothing crosses the host boundary until the final
 artifacts come home.
 
+``flight="dynamic"`` replaces the kinematic KF flight with the device
+runtime scan (hw/runtime_device.py): each plan's chain assembles
+in-graph into a waypoint/leg program (`_chain_plan`) and is FLOWN
+through the full sense->estimate->control loop — glider plant dynamics,
+sensor noise, the four KFs, the body-velocity observer, and the four
+per-primitive control laws — still inside the same single launch. The
+entire reference experiment, vehicle dynamics included, is then one XLA
+program; samples carry fidelity labels from the live position-KF
+covariance, replans start from the robot's belief (reference
+:428-439), and per-replan tracking RMSE / integrated flight energy are
+recorded.
+
 TPU-first design notes:
 
 * **Static-capacity arena.** The training set grows inside a fixed
@@ -103,6 +115,10 @@ class DeviceMissionResult:
     test_mu: np.ndarray  # final posterior mean on the test grid
     test_var: np.ndarray  # final posterior variance on the test grid
     chain_overflow: bool  # a best path exceeded e_max edges (capacity)
+    # dynamic flight only (flight="dynamic"): per-replan closed-loop stats
+    tracking_rmse: Optional[np.ndarray] = None  # (BD,) 3D RMS to target
+    flown_budget: Optional[np.ndarray] = None  # (BD,) integrated energy
+    meas_overflow: bool = False  # a flight produced more samples than slots
 
 
 class DeviceMission:
@@ -132,8 +148,12 @@ class DeviceMission:
                  field_env: Optional[WRBFField] = None, plan_iters: int = 40,
                  e_max: int = 16, n_max: Optional[int] = None,
                  dtype=jnp.float32, fit_maxiter: int = 100,
-                 fit_tol: float = 1e-4, **planner_kw):
+                 fit_tol: float = 1e-4, flight: str = "kinematic",
+                 runtime_cfg=None, t_cap: int = 8192, **planner_kw):
         self.exp = exp or ExperimentConfig()
+        if flight not in ("kinematic", "dynamic"):
+            raise ValueError(flight)
+        self.flight = flight
         self.update_hyps = bool(self.exp.update_hyps)
         self.fit_maxiter = int(fit_maxiter)
         self.fit_tol = float(fit_tol)
@@ -173,11 +193,40 @@ class DeviceMission:
         S = self.planner.S
         self.R = 1 + self.e_max * (S - 1)  # flight rows per replan
         s_meas = self.R - 1  # measurement rows per replan
+
+        # dynamic flight: the device runtime scan (hw/runtime_device)
+        # flies the chain through the full sense->estimate->control stack
+        # INSIDE the mission program (host analogue: ExplorationSim
+        # flight="dynamic" -> RobotRuntime.fly, reference :761-1033)
+        self.rt = None
+        if flight == "dynamic":
+            from mfgp_tpu.hw.runtime import RuntimeConfig
+            from mfgp_tpu.hw.runtime_device import DeviceRuntime
+
+            self._lp = 2 * self.agent_cfg.num_legs + 1
+            fld = self.field
+
+            def point_field(x, y, z):
+                return fld(jnp.stack([x, y, z])[None])[0]
+
+            self.rt = DeviceRuntime(
+                self.agent_cfg, runtime_cfg or RuntimeConfig(dt=0.1),
+                field=point_field, max_depth=cfg.max_depth, dtype=dtype,
+                w_cap=1 + self.e_max * self._lp,
+                l_cap=self.e_max * self._lp)
+            self.t_cap = int(t_cap)
+            # sample slots per replan: the runtime samples at meas_rate
+            # (plus capped burst sampling); periodic capacity for a full
+            # t_cap flight + burst margin. Excess flags meas_overflow.
+            s_meas = max(s_meas, int(
+                self.t_cap * self.rt.cfg.dt
+                * self.agent_cfg.meas_rate) + 32)
+        self.s_meas = s_meas
         need = 1 + self.exp.BD * s_meas
         self.n_max = int(n_max) if n_max is not None else -(-need // 128) * 128
         if self.n_max < need:
             raise ValueError(f"n_max={n_max} < required {need} "
-                             f"(1 + BD * e_max * (S-1))")
+                             f"(1 + BD * sample slots per replan)")
 
         # initial model: single dummy point at the start pose, like the
         # drivers (reference/PhysicalExperimentCode/...MFEGP.py:621-666)
@@ -402,6 +451,55 @@ class DeviceMission:
                                 jnp.repeat(valid_e, S1)])
         return pts, mask
 
+    def _chain_plan(self, pst, chain, n_e):
+        """In-graph ``hw.runtime.chain_to_flight_plan``: the best-path
+        chain's per-edge primitives and node endpoints assemble into a
+        padded DevicePlan (waypoints + leg rows) for the runtime scan.
+        Padded legs are NOOP rows; padded waypoints hold the final
+        position at strictly increasing times past ``t_end``, so the
+        runtime's interpolation and primitive lookup are unaffected."""
+        from mfgp_tpu.hw.runtime_device import DevicePlan
+        from mfgp_tpu.planning.primitives_device import (
+            NOOP, evaluate_trajectory_device)
+
+        dt = self.dtype
+        e_max, lp = self.e_max, self._lp
+        prims = pst["edge_prims"][chain]  # (e_max, Lp, 4)
+        src = pst["nodes"][pst["edge_src"][chain]]  # (e_max, 2)
+        dst = pst["nodes"][pst["edge_dst"][chain]]
+        valid_e = jnp.arange(e_max) < n_e
+        t_e, _, _, wpnts, _ = jax.vmap(
+            lambda p: evaluate_trajectory_device(p, self.agent_cfg))(prims)
+        t_e = jnp.where(valid_e, t_e, 0.0)
+        bear = jnp.arctan2(dst[:, 1] - src[:, 1], dst[:, 0] - src[:, 0])
+        d = wpnts[:, 1:, 0]  # (e_max, Lp) per-leg cumulative distance
+        xs = src[:, 0, None] + d * jnp.cos(bear)[:, None]
+        ys = src[:, 1, None] + d * jnp.sin(bear)[:, None]
+        zs = wpnts[:, 1:, 1]
+        offs = jnp.concatenate([jnp.zeros((1,), dt),
+                                jnp.cumsum(t_e)[:-1]])
+        ts = wpnts[:, 1:, 2] + offs[:, None]
+        t_end = jnp.sum(t_e)
+        last = jnp.maximum(n_e - 1, 0)
+        fin = (dst[last, 0], dst[last, 1], wpnts[last, lp, 1])
+        ve = jnp.repeat(valid_e, lp)
+        xs = jnp.where(ve, xs.reshape(-1), fin[0])
+        ys = jnp.where(ve, ys.reshape(-1), fin[1])
+        zs = jnp.where(ve, zs.reshape(-1), fin[2])
+        ts = jnp.where(ve, ts.reshape(-1),
+                       t_end + 1.0 + jnp.arange(e_max * lp, dtype=dt))
+        row0 = jnp.stack([src[0, 0], src[0, 1],
+                          jnp.asarray(0.0, dt), jnp.asarray(0.0, dt)])
+        wp = jnp.concatenate(
+            [row0[None], jnp.stack([xs, ys, zs, ts], axis=1)], axis=0)
+        legs = prims.reshape(-1, 4)
+        legs = legs.at[:, 0].set(
+            jnp.where(ve, legs[:, 0], jnp.asarray(float(NOOP), dt)))
+        n_rows = jnp.asarray(1 + e_max * lp, jnp.int32)
+        return DevicePlan(wp=wp.astype(dt), n_wp=n_rows,
+                          legs=legs.astype(dt),
+                          n_legs=n_rows - 1, t_end=t_end)
+
     # -- the mission program --------------------------------------------------
     def _run_impl(self, key, arena, bd):
         dt = self.dtype
@@ -466,16 +564,63 @@ class DeviceMission:
             t_fix = jnp.where(mask, t_raw, t_last + bump)
             pos_fix = jnp.where(mask[:, None], pos_raw, pos_last[None])
 
-            # 4. KF flight + measurement + fidelity binning
-            out = filter_trajectory(self.kf_model, t_fix, pos_fix, kkf)
-            meas_mask = mask[1:]  # row j needs input rows j and j+1
-            vals = self.field(out["pos"]).astype(dt)
-            noisy = jnp.maximum(
-                0.0, vals + self.cfg.meas_noise
-                * jax.random.normal(km, (R - 1,), dt))
-            cov_comp = 0.5 * (out["sig"][:, 0] + out["sig"][:, 1])
-            fid = jnp.where(cov_comp < fidlevels[0], 1,
-                            jnp.where(cov_comp < fidlevels[1], 2, 3))
+            # 4. flight + measurement + fidelity binning
+            rt_st = {}
+            if self.flight == "dynamic":
+                # fly the chain through the full device runtime scan
+                # (host analogue: _fly_dynamic -> RobotRuntime.fly); the
+                # next plan starts where the robot BELIEVES it is
+                # (reference/...MFEGP.py:428-439)
+                rt_prev = {k[3:]: st[k] for k in st
+                           if k.startswith("rt_")}
+                plan_dev = self._chain_plan(pst, chain, n_e)
+                tick_of = ((plan_dev.t_end / self.rt.cfg.dt + 1)
+                           > self.t_cap)
+                ok &= ~tick_of
+                rt_new, rlogs = self.rt._fly_impl(plan_dev, rt_prev, kkf,
+                                                  self.t_cap)
+                rt_new = jax.tree.map(
+                    lambda a, b: jnp.where(ok, a, b), rt_new, rt_prev)
+                n_smp = jnp.sum(rlogs["sample"])
+                idx = jnp.nonzero(rlogs["sample"], size=self.s_meas,
+                                  fill_value=self.t_cap)[0]
+                sval = idx < self.t_cap
+                ci = jnp.clip(idx, 0, self.t_cap - 1)
+                out = dict(t=rlogs["t"][ci].astype(dt),
+                           pos=rlogs["truth"][ci].astype(dt),
+                           xh=rlogs["sample_xh"][ci].astype(dt))
+                noisy = jnp.maximum(
+                    0.0, rlogs["blue"][ci].astype(dt)
+                    + self.cfg.meas_noise
+                    * jax.random.normal(km, (self.s_meas,), dt))
+                fid = rlogs["fid"][ci].astype(jnp.int32)
+                meas_mask = sval & ok
+                t_flown = jnp.where(ok, plan_dev.t_end, 0.0)
+                x0_next = jnp.where(ok, rt_new["xhat"][:2].astype(dt),
+                                    st["x0"])
+                alive = rlogs["alive"]
+                track = jnp.sqrt(jnp.sum(rlogs["err2"] * alive)
+                                 / jnp.maximum(jnp.sum(alive), 1))
+                rt_st = {f"rt_{k}": v for k, v in rt_new.items()}
+                rt_st["track"] = st["track"].at[r].set(
+                    jnp.where(ok, track, 0.0))
+                rt_st["fbudget"] = st["fbudget"].at[r].set(
+                    rt_new["budget"] - rt_prev["budget"])
+                rt_st["m_overflow"] = st["m_overflow"] | (
+                    ok & (n_smp > self.s_meas))
+            else:
+                out = filter_trajectory(self.kf_model, t_fix, pos_fix,
+                                        kkf)
+                meas_mask = mask[1:]  # row j needs input rows j and j+1
+                vals = self.field(out["pos"]).astype(dt)
+                noisy = jnp.maximum(
+                    0.0, vals + self.cfg.meas_noise
+                    * jax.random.normal(km, (R - 1,), dt))
+                cov_comp = 0.5 * (out["sig"][:, 0] + out["sig"][:, 1])
+                fid = jnp.where(cov_comp < fidlevels[0], 1,
+                                jnp.where(cov_comp < fidlevels[1], 2, 3))
+                t_flown = jnp.where(ok, t_last - t_raw[0], 0.0)
+                x0_next = jnp.where(ok, pos_last[:2], st["x0"])
 
             # 5. masked bordered extension (train on ESTIMATED positions,
             #    reference/prepGPData.py rows: X=xh, y=measured field)
@@ -513,13 +658,12 @@ class DeviceMission:
 
             # 7. bookkeeping + per-replan records
             budget = jnp.where(ok, pst["a_budget"][pst["best_arena"]], 0.0)
-            t_flown = jnp.where(ok, t_last - t_raw[0], 0.0)
-            x0_next = jnp.where(ok, pos_last[:2], st["x0"])
+            mask &= ok
             rows9 = jnp.concatenate(
                 [out["t"][:, None], out["pos"], out["xh"],
                  noisy[:, None], fid[:, None].astype(dt)], axis=1)
             st = dict(
-                st, key=key, x0=x0_next, theta=theta,
+                st, key=key, x0=x0_next, theta=theta, **rt_st,
                 planned=st["planned"] + budget,
                 t_now=st["t_now"] + t_flown,
                 active=active & ok,
@@ -556,9 +700,16 @@ class DeviceMission:
             did=jnp.zeros((bd,), bool),
             flown=jnp.zeros((bd, R, 4), dt),
             flown_mask=jnp.zeros((bd, R), bool),
-            rows=jnp.zeros((bd, R - 1, 9), dt),
-            rows_mask=jnp.zeros((bd, R - 1), bool),
+            rows=jnp.zeros((bd, self.s_meas, 9), dt),
+            rows_mask=jnp.zeros((bd, self.s_meas), bool),
         )
+        if self.flight == "dynamic":
+            rt0 = self.rt.init_carry(float(self._x0[0]),
+                                     float(self._x0[1]))
+            st.update({f"rt_{k}": v for k, v in rt0.items()})
+            st["track"] = jnp.zeros((bd,), dt)
+            st["fbudget"] = jnp.zeros((bd,), dt)
+            st["m_overflow"] = jnp.asarray(False)
         st = jax.lax.fori_loop(0, bd, body, st)
 
         # final posterior on the sim test grid + RMSE vs the true field
@@ -577,11 +728,15 @@ class DeviceMission:
         st = self._run_jit(jax.random.key(self.seed), self._arena0, bd=bd)
         st = {k: np.asarray(v) for k, v in st.items()}
         did = st["did"]
+        dyn = self.flight == "dynamic"
         replans = [dict(plan_num=int(r), info=float(st["info"][r]),
                         budget=float(st["budget"][r]),
                         t_flown=float(st["t_flown"][r]),
                         nodes=int(st["nodes"][r]),
-                        edges=int(st["edges"][r]))
+                        edges=int(st["edges"][r]),
+                        **(dict(tracking_rmse=float(st["track"][r]),
+                                flown_budget=float(st["fbudget"][r]))
+                           if dyn else {}))
                    for r in range(bd) if did[r]]
         rows = st["rows"][st["rows_mask"]]
         gp_data = Table(GPDATA_HEADER.split(","),
@@ -592,7 +747,10 @@ class DeviceMission:
             n_replans=int(did.sum()), flown=st["flown"],
             flown_mask=st["flown_mask"], test_mu=st["test_mu"],
             test_var=st["test_var"],
-            chain_overflow=bool(st["overflow"]))
+            chain_overflow=bool(st["overflow"]),
+            tracking_rmse=st["track"] if dyn else None,
+            flown_budget=st["fbudget"] if dyn else None,
+            meas_overflow=bool(st["m_overflow"]) if dyn else False)
 
     # -- introspection --------------------------------------------------------
     def host_params(self, theta):

@@ -171,3 +171,51 @@ def test_mission_update_hyps_mf():
                                rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
                                rtol=1e-7, atol=1e-8)
+
+
+def test_mission_dynamic_flight_sf():
+    """flight="dynamic": the device runtime scan (hw/runtime_device) flies
+    each plan through the full sense->estimate->control stack INSIDE the
+    mission program. Closed-loop stats are recorded, and the arena parity
+    contract is unchanged: a host GP conditioned from scratch on the
+    harvested (estimated-position) rows reproduces the mission's in-graph
+    test-grid posterior."""
+    m = DeviceMission(_exp(multi_fidelity=False, ergodic=True), seed=0,
+                      flight="dynamic", **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    assert np.isfinite(res.rmse)
+    assert not res.meas_overflow
+    for r in res.replans:
+        assert r["tracking_rmse"] > 0.01  # real control, nonzero error
+        assert r["flown_budget"] > 0.0
+        assert r["t_flown"] > 1.0
+    X, fid, y = m.harvested(res)
+    assert X.shape[0] >= 4
+    X0 = np.array([[m._x0[0], m._x0[1], 0.0]])
+    host = GP(np.concatenate([X0, X]), np.concatenate([[0.0], y]),
+              kernel="rbf", jitter=1e-6)
+    tp = np.asarray(m.cfg.test_points())
+    mu, var = host.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), res.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), res.test_var,
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_mission_dynamic_flight_mf_fidelity_from_live_kf():
+    """MF dynamic mission: fidelity labels come from the LIVE position-KF
+    covariance inside the runtime scan (reference :809-819), not the
+    kinematic filter; harvested rows carry a valid {1,2,3} mix and the
+    model retrains on estimated positions."""
+    m = DeviceMission(_exp(multi_fidelity=True, ergodic=True), seed=0,
+                      flight="dynamic", **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    d = res.gp_data.data
+    assert d.shape[0] >= 4
+    fids = set(d[:, 8].astype(int))
+    assert fids <= {1, 2, 3} and len(fids) >= 1
+    # estimated positions differ from truth (real localization error)
+    assert np.abs(d[:, 4:7] - d[:, 1:4]).max() > 1e-4
+    assert np.isfinite(res.rmse)
