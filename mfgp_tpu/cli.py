@@ -216,6 +216,12 @@ def cmd_mission(args):
                                 for r in res.replans]
         out["flown_budget"] = round(
             sum(r["flown_budget"] for r in res.replans), 3)
+    if args.ensemble > 1:
+        t0 = time.perf_counter()
+        ens = mission.run_ensemble(args.ensemble)
+        out["ensemble_seconds"] = round(time.perf_counter() - t0, 3)
+        out["ensemble_rmse"] = [round(e.rmse, 4) for e in ens]
+        out["ensemble_replans"] = [e.n_replans for e in ens]
     print(json.dumps(out))
 
 
@@ -407,6 +413,10 @@ def build_parser():
                         "sense->estimate->control runtime scan "
                         "(hw/runtime_device.py) — the whole closed loop, "
                         "vehicle dynamics included, in one launch")
+    p.add_argument("--ensemble", type=int, default=1,
+                   help="also run K COMPLETE missions (seeds seed..seed+"
+                        "K-1) as one vmapped launch — a Monte-Carlo of "
+                        "whole experiments")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

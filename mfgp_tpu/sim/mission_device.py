@@ -726,7 +726,35 @@ class DeviceMission:
         """Execute the mission: ONE device launch, then unpack."""
         bd = int(self.exp.BD if max_replans is None else max_replans)
         st = self._run_jit(jax.random.key(self.seed), self._arena0, bd=bd)
+        return self._unpack_result(
+            {k: np.asarray(v) for k, v in st.items()}, bd)
+
+    def run_ensemble(self, n: int,
+                     max_replans: Optional[int] = None
+                     ) -> "list[DeviceMissionResult]":
+        """N COMPLETE missions (seeds ``seed..seed+n-1``) as one vmapped
+        launch — a Monte-Carlo of whole experiments (dynamics included in
+        ``flight="dynamic"``). Member i equals
+        ``DeviceMission(..., seed=seed+i).run()`` to near-machine
+        tolerance (same per-mission key; the vmapped executable only
+        reorders reductions), so ensembles are reproducible runs."""
+        bd = int(self.exp.BD if max_replans is None else max_replans)
+        keys = jnp.stack([jax.random.key(self.seed + i)
+                          for i in range(int(n))])
+        if not hasattr(self, "_ens_jit"):
+            self._ens_jit = {}
+        fn = self._ens_jit.get(bd)
+        if fn is None:
+            fn = jax.jit(jax.vmap(
+                lambda k, a: self._run_impl(k, a, bd=bd),
+                in_axes=(0, None)))
+            self._ens_jit[bd] = fn
+        st = fn(keys, self._arena0)
         st = {k: np.asarray(v) for k, v in st.items()}
+        return [self._unpack_result(
+            {k: v[i] for k, v in st.items()}, bd) for i in range(int(n))]
+
+    def _unpack_result(self, st: dict, bd: int) -> DeviceMissionResult:
         did = st["did"]
         dyn = self.flight == "dynamic"
         replans = [dict(plan_num=int(r), info=float(st["info"][r]),

@@ -219,3 +219,25 @@ def test_mission_dynamic_flight_mf_fidelity_from_live_kf():
     # estimated positions differ from truth (real localization error)
     assert np.abs(d[:, 4:7] - d[:, 1:4]).max() > 1e-4
     assert np.isfinite(res.rmse)
+
+
+def test_mission_run_ensemble_matches_individual_runs():
+    """run_ensemble(n): n COMPLETE missions as one vmapped launch; member
+    i equals a solo mission at seed+i to near-machine tolerance (same
+    per-mission key; the vmapped executable only reorders reductions), so
+    Monte-Carlo members are reproducible runs."""
+    exp = _exp(multi_fidelity=False, ergodic=True)
+    m = DeviceMission(exp, seed=0, **SMALL)
+    ens = m.run_ensemble(2)
+    assert len(ens) == 2
+    for i, r in enumerate(ens):
+        solo = DeviceMission(_exp(multi_fidelity=False, ergodic=True),
+                             seed=i, **SMALL)
+        solo._run_jit = m._run_jit
+        sres = solo.run()
+        assert r.n_replans == sres.n_replans
+        np.testing.assert_allclose(r.test_mu, sres.test_mu,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(r.gp_data.data, sres.gp_data.data,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(r.rmse, sres.rmse, rtol=1e-10)
