@@ -193,13 +193,15 @@ def cmd_mission(args):
                            update_hyps=args.update_hyps,
                            B=args.budget, BD=args.bd)
     mission = DeviceMission(exp, seed=args.seed, flight=args.flight,
-                            plan_iters=args.plan_iters, e_max=args.e_max)
+                            plan_iters=args.plan_iters, e_max=args.e_max,
+                            fit_restarts=args.fit_restarts)
     t0 = time.perf_counter()
     res = mission.run()
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
     mission2 = DeviceMission(exp, seed=args.seed + 1, flight=args.flight,
-                             plan_iters=args.plan_iters, e_max=args.e_max)
+                             plan_iters=args.plan_iters, e_max=args.e_max,
+                             fit_restarts=args.fit_restarts)
     mission2._run_jit = mission._run_jit  # warm executable, new seed
     res2 = mission2.run()
     warm = time.perf_counter() - t0
@@ -417,6 +419,11 @@ def build_parser():
                    help="also run K COMPLETE missions (seeds seed..seed+"
                         "K-1) as one vmapped launch — a Monte-Carlo of "
                         "whole experiments")
+    p.add_argument("--fit-restarts", type=int, default=1,
+                   help="with --update-hyps: restart-batched in-graph "
+                        "refits (warm start + K-1 perturbed log-space "
+                        "starts as one vmapped launch, best finite NLML "
+                        "kept)")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

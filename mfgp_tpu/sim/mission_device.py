@@ -140,15 +140,20 @@ class DeviceMission:
     rhos stay fixed and lengthscales keep the host's (1e-4, 100) bounds),
     followed by the host loop's blow-up recovery (params > 90 reset to 1,
     reference/...MFEGP.py:398-410) and a refactorization of the arena.
-    With ``update_hyps=False`` hyperparameters stay frozen — the host
-    loop's ``fit_mode="extend"`` regime.
+    ``fit_restarts > 1`` makes each refit restart-batched (warm start +
+    ``N(0, fit_spread)`` log-space perturbations, the host
+    ``optimize_restarts`` sampling, as one vmapped launch; best finite
+    NLML kept) — robustness to NLML multimodality at ~restarts x the
+    refit cost. With ``update_hyps=False`` hyperparameters stay frozen —
+    the host loop's ``fit_mode="extend"`` regime.
     """
 
     def __init__(self, exp: ExperimentConfig | None = None, seed: int = 0,
                  field_env: Optional[WRBFField] = None, plan_iters: int = 40,
                  e_max: int = 16, n_max: Optional[int] = None,
                  dtype=jnp.float32, fit_maxiter: int = 100,
-                 fit_tol: float = 1e-4, flight: str = "kinematic",
+                 fit_tol: float = 1e-4, fit_restarts: int = 1,
+                 fit_spread: float = 1.0, flight: str = "kinematic",
                  runtime_cfg=None, t_cap: int = 8192, **planner_kw):
         self.exp = exp or ExperimentConfig()
         if flight not in ("kinematic", "dynamic"):
@@ -157,6 +162,10 @@ class DeviceMission:
         self.update_hyps = bool(self.exp.update_hyps)
         self.fit_maxiter = int(fit_maxiter)
         self.fit_tol = float(fit_tol)
+        self.fit_restarts = int(fit_restarts)
+        self.fit_spread = float(fit_spread)
+        if self.fit_restarts < 1:
+            raise ValueError("fit_restarts must be >= 1")
         if self.exp.plan_wallclock:
             raise ValueError("the device mission is fixed-iteration; set "
                              "plan_iters instead of plan_wallclock")
@@ -540,8 +549,11 @@ class DeviceMission:
             eid = expected_information_density(
                 mu, sig, self._prior_sig(params), auto=exp.alpha_auto)
 
-            # 2. plan (the planner's whole jitted loop, inlined)
-            key, kp, kkf, km = jax.random.split(st["key"], 4)
+            # 2. plan (the planner's whole jitted loop, inlined). kf only
+            # feeds restart perturbations, but it is split unconditionally
+            # so fit_restarts does not perturb the flight/measurement
+            # streams (restart vs single-start runs see the same plans).
+            key, kp, kkf, km, kf = jax.random.split(st["key"], 5)
             pst = self.planner._plan_impl(st["x0"], kp, tranche,
                                           eid.astype(dt),
                                           gp_tuple(ar, params))
@@ -642,9 +654,32 @@ class DeviceMission:
                     return self._masked_nlml(th, ar2["Xa"], ar2["fida"],
                                              ar2["ya"], ar2["ma"])
 
-                th_new, _, _ = batched_lbfgs(
-                    obj, theta, lower=self._fit_lo, upper=self._fit_hi,
-                    maxiter=self.fit_maxiter, tol=self.fit_tol)
+                if self.fit_restarts > 1:
+                    # restart-batched refit (host optimize_restarts
+                    # sampling: warm start + N(0, spread) perturbations in
+                    # log space; one vmapped launch runs every trajectory,
+                    # keep the best finite NLML). Index 0 IS the warm
+                    # start, so the result is never worse than the
+                    # single-start refit on the same arena.
+                    n_th = theta.shape[0]
+                    inits = theta[None] + jnp.asarray(
+                        self.fit_spread, dt) * jax.random.normal(
+                            kf, (self.fit_restarts, n_th), dt)
+                    inits = jnp.clip(inits.at[0].set(theta),
+                                     self._fit_lo, self._fit_hi)
+                    th_all, f_all, _ = jax.vmap(
+                        lambda t0: batched_lbfgs(
+                            obj, t0, lower=self._fit_lo,
+                            upper=self._fit_hi,
+                            maxiter=self.fit_maxiter,
+                            tol=self.fit_tol))(inits)
+                    best = jnp.argmin(jnp.where(jnp.isfinite(f_all),
+                                                f_all, jnp.inf))
+                    th_new = th_all[best]
+                else:
+                    th_new, _, _ = batched_lbfgs(
+                        obj, theta, lower=self._fit_lo, upper=self._fit_hi,
+                        maxiter=self.fit_maxiter, tol=self.fit_tol)
                 # blow-up recovery: any param with |p| > 90 (or non-finite)
                 # resets to 1 (reference/...MFEGP.py:398-410; host
                 # _recover_hyps) -- elementwise, in positive space
@@ -730,17 +765,29 @@ class DeviceMission:
             {k: np.asarray(v) for k, v in st.items()}, bd)
 
     def run_ensemble(self, n: int,
-                     max_replans: Optional[int] = None
-                     ) -> "list[DeviceMissionResult]":
+                     max_replans: Optional[int] = None,
+                     mesh=None) -> "list[DeviceMissionResult]":
         """N COMPLETE missions (seeds ``seed..seed+n-1``) as one vmapped
         launch — a Monte-Carlo of whole experiments (dynamics included in
         ``flight="dynamic"``). Member i equals
         ``DeviceMission(..., seed=seed+i).run()`` to near-machine
         tolerance (same per-mission key; the vmapped executable only
-        reorders reductions), so ensembles are reproducible runs."""
+        reorders reductions), so ensembles are reproducible runs.
+
+        ``mesh``: shard the member axis over the mesh's dp extent
+        (members are independent programs — zero collectives, linear
+        scaling; the arena arg is replicated). Host sim analogue: one
+        process per variant/seed; reference analogue: sequential driver
+        re-runs."""
         bd = int(self.exp.BD if max_replans is None else max_replans)
         keys = jnp.stack([jax.random.key(self.seed + i)
                           for i in range(int(n))])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfgp_tpu.parallel.mesh import DP_AXIS
+
+            keys = jax.device_put(keys, NamedSharding(mesh, P(DP_AXIS)))
         if not hasattr(self, "_ens_jit"):
             self._ens_jit = {}
         fn = self._ens_jit.get(bd)

@@ -241,3 +241,60 @@ def test_mission_run_ensemble_matches_individual_runs():
         np.testing.assert_allclose(r.gp_data.data, sres.gp_data.data,
                                    rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(r.rmse, sres.rmse, rtol=1e-10)
+
+
+def test_mission_update_hyps_restart_batched():
+    """fit_restarts>1: restart-batched in-graph refits (the host
+    optimize_restarts sampling — warm start + N(0, spread) log-space
+    perturbations as ONE vmapped launch, best finite NLML kept). The
+    flight/measurement RNG streams are split independently of the refit
+    stream, so at one replan both runs see identical data — the selected
+    theta can then never have a worse NLML than the single-start refit,
+    and posterior exactness at the refitted params is preserved."""
+    from mfgp_tpu.models import GP
+
+    exp = dict(multi_fidelity=False, ergodic=True, update_hyps=True)
+    m1 = DeviceMission(_exp(**exp), seed=0, **SMALL)
+    r1 = m1.run(max_replans=1)
+    m4 = DeviceMission(_exp(**exp), seed=0, fit_restarts=4, **SMALL)
+    r4 = m4.run(max_replans=1)
+    assert r1.n_replans == 1 and r4.n_replans == 1
+    # identical harvested data (the refit stream is independent)
+    np.testing.assert_allclose(r4.gp_data.data, r1.gp_data.data,
+                               rtol=1e-12, atol=1e-12)
+    X, fid, y = m1.harvested(r1)
+    X0 = np.array([[m1._x0[0], m1._x0[1], 0.0]])
+    Xf, yf = np.concatenate([X0, X]), np.concatenate([[0.0], y])
+    h1 = GP(Xf, yf, kernel="rbf", jitter=1e-6,
+            params=m1.host_params(r1.theta))
+    h4 = GP(Xf, yf, kernel="rbf", jitter=1e-6,
+            params=m4.host_params(r4.theta))
+    assert float(h4.log_likelihood()) >= float(h1.log_likelihood()) - 1e-6
+    # posterior exactness at the restart-refitted params
+    tp = np.asarray(m4.cfg.test_points())
+    mu, var = h4.predict(tp)
+    np.testing.assert_allclose(np.asarray(mu).reshape(-1), r4.test_mu,
+                               rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var).reshape(-1), r4.test_var,
+                               rtol=1e-7, atol=1e-8)
+
+
+def test_mission_run_ensemble_mesh_sharded():
+    """run_ensemble(mesh=...): the member axis shards over the mesh's dp
+    extent (independent programs, zero collectives) and the results match
+    the single-device ensemble to near-machine tolerance."""
+    from mfgp_tpu.parallel.mesh import make_mesh
+
+    exp = _exp(multi_fidelity=False, ergodic=True)
+    m = DeviceMission(exp, seed=0, **SMALL)
+    mesh = make_mesh(4, mp=1)
+    ens = m.run_ensemble(4, mesh=mesh)
+    plain = DeviceMission(_exp(multi_fidelity=False, ergodic=True),
+                          seed=0, **SMALL)
+    ref = plain.run_ensemble(4)
+    assert len(ens) == 4
+    for a, b in zip(ens, ref):
+        assert a.n_replans == b.n_replans
+        np.testing.assert_allclose(a.test_mu, b.test_mu,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(a.rmse, b.rmse, rtol=1e-10)
