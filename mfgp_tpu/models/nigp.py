@@ -268,6 +268,7 @@ class NIGP:
                     * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2), axis=1)
         self.noise_diag_train_ = v
         self._cond_cache = None
+        self._cond_inv_cache = None
         return self
 
     def fit_native(self, X, y, n_restarts: int | None = None,
@@ -318,6 +319,7 @@ class NIGP:
             (grads**2) * (jnp.asarray(self.sigma_x_, X.dtype)[None, :] ** 2),
             axis=1)
         self._cond_cache = None
+        self._cond_inv_cache = None
         return self
 
     def _condition(self):
@@ -345,6 +347,58 @@ class NIGP:
         alpha = _la.solve_posterior(L, y)
         self._cond_cache = (L, alpha)
         return self._cond_cache
+
+    def _condition_inv(self):
+        """Explicit-inverse conditioned state (L^-1, alpha), cached.
+
+        The GP/MFGP fast-path rationale (models.mfgp.MFGPStateInv) applied
+        to NIGP: with L^-1 in hand, every posterior-variance substitution
+        becomes a triangular MXU matmul instead of a sequential tri_solve —
+        repeated large-grid predicts (serving, planner scoring) amortize
+        the one-time O(N^3/3) ``tri_inv_recursive``.
+        """
+        cache = getattr(self, "_cond_inv_cache", None)
+        if cache is None:
+            L, alpha = self._condition()
+            cache = (_la.tri_inv_recursive(L), alpha)
+            self._cond_inv_cache = cache
+        return cache
+
+    def predict_blocked(self, Xs, block_size: int = 1024,
+                        include_noise: bool = False):
+        """Blocked heteroscedastic posterior mean/marginal variance via the
+        explicit-inverse state (the GP/MFGP ``predict_blocked_inv``
+        pattern). Matches :meth:`predict`'s marginal-variance path
+        (reference/NIGP.py:269-333 semantics: no output noise by default,
+        1e-12 floor) block by block over large grids.
+        """
+        from mfgp_tpu.models.mfgp import _PRECISIONS
+        from mfgp_tpu.ops import covariance as _cc
+
+        X = self.X_train_
+        Xs = jnp.atleast_2d(jnp.asarray(Xs, X.dtype))
+        ls = jnp.asarray(self.lengthscales_, X.dtype)
+        Linv, alpha = self._condition_inv()
+        prec = _PRECISIONS["highest"]
+        M = Xs.shape[0]
+        nb = -(-M // block_size)
+        pad = nb * block_size - M
+        Xs_pad = jnp.pad(Xs, ((0, pad), (0, 0))).reshape(
+            nb, block_size, Xs.shape[1])
+        noise = self.sigma_y_**2 if include_noise else 0.0
+
+        def one(xb):
+            Kxs = _cc.sf_cross_cov(self.sigma_f_, ls, xb, X, "rbf")
+            mean = _la.posterior_mean(Kxs, alpha)
+            V = _la.tri_lower_matmul(Linv, Kxs.T, precision=prec)
+            kss = jnp.broadcast_to(jnp.asarray(self.sigma_f_, X.dtype),
+                                   (xb.shape[0],))
+            var = kss - jnp.sum(V * V, axis=0) + noise
+            return mean, var
+
+        means, variances = jax.lax.map(one, Xs_pad)
+        return (np.asarray(means.reshape(-1)[:M]),
+                np.asarray(np.maximum(variances.reshape(-1)[:M], 1e-12)))
 
     def predict(self, Xs, Xs_input_noise=None, return_var: bool = True,
                 return_cov: bool = False, as_numpy: bool = True):

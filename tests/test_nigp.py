@@ -128,3 +128,25 @@ def test_native_fit_recovers_input_noise(rng):
     rmse = np.sqrt(np.mean((mu - np.sin(np.linspace(0, 10, 100))) ** 2))
     assert rmse < 0.2
     assert (np.asarray(var) > 0).all()
+
+
+def test_predict_blocked_matches_predict(rng):
+    """The explicit-inverse blocked path (tri_inv + MXU matmuls, the
+    GP/MFGP predict_blocked_inv pattern) equals the tri_solve marginal
+    path to near-machine precision, across block boundaries."""
+    N = 60
+    X = rng.standard_normal((N, 2))
+    y = np.sin(X[:, 0]) + 0.1 * rng.standard_normal(N)
+    m = nm.NIGP(n_restarts=1, iters=2, seed=0)
+    m.fit(X, y)
+    Xt = rng.standard_normal((37, 2))
+    mu_ref, var_ref = m.predict(Xt)
+    mu_b, var_b = m.predict_blocked(Xt, block_size=16)
+    np.testing.assert_allclose(mu_b, np.asarray(mu_ref).reshape(-1),
+                               rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(var_b, np.asarray(var_ref).reshape(-1),
+                               rtol=1e-8, atol=1e-10)
+    # include_noise adds exactly sigma_y^2
+    _, var_n = m.predict_blocked(Xt, block_size=16, include_noise=True)
+    np.testing.assert_allclose(var_n - var_b, m.sigma_y_**2,
+                               rtol=1e-6, atol=1e-10)
