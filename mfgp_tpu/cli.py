@@ -227,6 +227,32 @@ def cmd_mission(args):
     print(json.dumps(out))
 
 
+def cmd_campaign(args):
+    """The reference's 4-driver experiment campaign (SURVEY C25) x repeat
+    seeds as ONE vmapped DeviceMission launch per variant."""
+    import time
+
+    _cpu(args)
+    from mfgp_tpu.sim.mission_device import run_campaign
+
+    t0 = time.perf_counter()
+    camp = run_campaign(
+        variants=[v.strip() for v in args.variants.split(",")],
+        n_seeds=args.seeds, seed=args.seed,
+        exp_kw=dict(B=args.budget, BD=args.bd,
+                    update_hyps=args.update_hyps),
+        plan_iters=args.plan_iters, e_max=args.e_max)
+    out = {"campaign_seconds": round(time.perf_counter() - t0, 3),
+           "runs": sum(len(c["rmse"]) for c in camp.values())}
+    for v, c in camp.items():
+        out[v] = {"rmse_mean": round(float(np.mean(c["rmse"])), 4),
+                  "rmse": [round(r, 4) for r in c["rmse"]],
+                  "replans": c["replans"],
+                  "budget_used": [round(b, 2) for b in c["budget_used"]],
+                  "seconds": round(c["seconds"], 3)}
+    print(json.dumps(out))
+
+
 def cmd_aggregate(args):
     _cpu(args)
     from mfgp_tpu.data import collect_results, summary
@@ -424,6 +450,19 @@ def build_parser():
                         "refits (warm start + K-1 perturbed log-space "
                         "starts as one vmapped launch, best finite NLML "
                         "kept)")
+
+    p = sub.add_parser(
+        "campaign", help="the reference's whole 4-driver experiment "
+        "campaign x seeds as one vmapped mission launch per variant")
+    p.set_defaults(fn=cmd_campaign)
+    p.add_argument("--variants", default="MFEGP,MFGP,SFEGP,SFGP")
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--budget", type=float, default=20.0)
+    p.add_argument("--bd", type=int, default=2)
+    p.add_argument("--plan-iters", type=int, default=40)
+    p.add_argument("--e-max", type=int, default=16)
+    p.add_argument("--update-hyps", action="store_true")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

@@ -853,3 +853,45 @@ class DeviceMission:
         fid = (3 - d[:, 8]).astype(int) if self.mf \
             else np.zeros(d.shape[0], int)
         return X, fid, y
+
+
+def run_campaign(variants=("MFEGP", "MFGP", "SFEGP", "SFGP"),
+                 n_seeds: int = 5, seed: int = 0, exp_kw: dict | None = None,
+                 mesh=None, **mission_kw) -> dict:
+    """The reference's whole experiment CAMPAIGN — its four closed-loop
+    driver scripts x repeat runs (SURVEY C25: GraceExplorationExperiments_
+    {MFEGP,MFGP,SFEGP,SFGP}.py, one multi-hour host loop per run) — as
+    ONE vmapped :class:`DeviceMission` launch per variant.
+
+    Four compiled programs total (the variants differ in cost menu and
+    model family); each launch runs ``n_seeds`` COMPLETE missions (seeds
+    ``seed..seed+n_seeds-1``), sharded over ``mesh``'s dp extent when a
+    mesh is given. Member i of a variant equals
+    ``DeviceMission(exp_of(variant), seed=seed+i).run()`` (the
+    run_ensemble reproducibility contract), so campaign statistics are
+    statistics of real runs.
+
+    Returns ``{variant: {"rmse": [...], "replans": [...],
+    "budget_used": [...], "seconds": float, "results":
+    [DeviceMissionResult, ...]}}``.
+    """
+    import time
+
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    out = {}
+    for v in variants:
+        v = v.upper()
+        kw = dict(exp_kw or {})
+        kw.update(multi_fidelity=v.startswith("MF"),
+                  ergodic=v in ("MFEGP", "SFEGP"))
+        mission = DeviceMission(ExperimentConfig(**kw), seed=seed,
+                                **mission_kw)
+        t0 = time.perf_counter()
+        results = mission.run_ensemble(n_seeds, mesh=mesh)
+        out[v] = dict(rmse=[r.rmse for r in results],
+                      replans=[r.n_replans for r in results],
+                      budget_used=[r.budget_used for r in results],
+                      seconds=time.perf_counter() - t0,
+                      results=results)
+    return out

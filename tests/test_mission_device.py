@@ -298,3 +298,24 @@ def test_mission_run_ensemble_mesh_sharded():
         np.testing.assert_allclose(a.test_mu, b.test_mu,
                                    rtol=1e-10, atol=1e-12)
         np.testing.assert_allclose(a.rmse, b.rmse, rtol=1e-10)
+
+
+def test_run_campaign_two_variants():
+    """run_campaign: the reference's driver campaign as one vmapped
+    launch per variant; member 0 equals a solo mission at the same seed
+    (the run_ensemble reproducibility contract)."""
+    from mfgp_tpu.sim.mission_device import run_campaign
+
+    camp = run_campaign(variants=("SFEGP", "SFGP"), n_seeds=2, seed=0,
+                        exp_kw=dict(B=20.0, BD=2, update_hyps=False),
+                        **SMALL)
+    assert set(camp) == {"SFEGP", "SFGP"}
+    for v, c in camp.items():
+        assert len(c["rmse"]) == 2 and all(np.isfinite(c["rmse"]))
+        assert c["seconds"] > 0
+        assert all(b <= 20.0 + 1e-9 for b in c["budget_used"])
+    solo = DeviceMission(_exp(multi_fidelity=False, ergodic=True),
+                         seed=0, **SMALL).run()
+    np.testing.assert_allclose(camp["SFEGP"]["results"][0].test_mu,
+                               solo.test_mu, rtol=1e-10, atol=1e-12)
+    assert camp["SFEGP"]["replans"][0] == solo.n_replans
