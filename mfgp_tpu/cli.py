@@ -194,14 +194,16 @@ def cmd_mission(args):
                            B=args.budget, BD=args.bd)
     mission = DeviceMission(exp, seed=args.seed, flight=args.flight,
                             plan_iters=args.plan_iters, e_max=args.e_max,
-                            fit_restarts=args.fit_restarts)
+                            fit_restarts=args.fit_restarts,
+                            glide_stride=args.glide_stride)
     t0 = time.perf_counter()
     res = mission.run()
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
     mission2 = DeviceMission(exp, seed=args.seed + 1, flight=args.flight,
                              plan_iters=args.plan_iters, e_max=args.e_max,
-                             fit_restarts=args.fit_restarts)
+                             fit_restarts=args.fit_restarts,
+                             glide_stride=args.glide_stride)
     mission2._run_jit = mission._run_jit  # warm executable, new seed
     res2 = mission2.run()
     warm = time.perf_counter() - t0
@@ -450,6 +452,11 @@ def build_parser():
                         "refits (warm start + K-1 perturbed log-space "
                         "starts as one vmapped launch, best finite NLML "
                         "kept)")
+    p.add_argument("--glide-stride", type=int, default=1,
+                   help="with --flight dynamic: multi-rate runtime scan "
+                        "(steady GLIDE windows advance with one coarse "
+                        "tick of K*dt; everything else stays at the "
+                        "host's fine tick)")
 
     p = sub.add_parser(
         "campaign", help="the reference's whole 4-driver experiment "

@@ -131,7 +131,8 @@ class DeviceRuntime:
                  cfg: RuntimeConfig | None = None,
                  plant_params: PlantParams | None = None,
                  field=None, max_depth: Optional[float] = None,
-                 dtype=jnp.float64, w_cap: int = 64, l_cap: int = 48):
+                 dtype=jnp.float64, w_cap: int = 64, l_cap: int = 48,
+                 glide_stride: int = 1):
         self.agent = agent_cfg
         self.cfg = cfg or RuntimeConfig()
         self.plant = plant_params or PlantParams.from_agent(agent_cfg)
@@ -140,6 +141,9 @@ class DeviceRuntime:
                           else agent_cfg.max_depth)
         self.dtype = dtype
         self.w_cap, self.l_cap = int(w_cap), int(l_cap)
+        self.glide_stride = int(glide_stride)
+        if self.glide_stride < 1:
+            raise ValueError("glide_stride must be >= 1")
         c = self.cfg
         if c.udot_weights is None:
             self.w_udot = np.array(
@@ -182,6 +186,7 @@ class DeviceRuntime:
             vz=jnp.asarray(0.0, dt),
             # estimators
             delta_hat=jnp.asarray(0.0, dt),
+            u2_prev=jnp.asarray(0.0, dt),
             inp_x=jnp.zeros((4,), dt), inp_P=0.1 * jnp.eye(4, dtype=dt),
             pitch_x=jnp.zeros((2,), dt),
             pitch_P=0.1 * jnp.eye(2, dtype=dt),
@@ -225,15 +230,21 @@ class DeviceRuntime:
             t_end=jnp.asarray(wp[-1, 3], dt))
 
     # -- one tick -------------------------------------------------------------
-    def _tick(self, st, plan: DevicePlan, t0, key, i):
+    def _tick(self, st, plan: DevicePlan, t0, key, i, n_sub: int = 1):
+        """One runtime tick of ``n_sub * cfg.dt`` seconds. ``n_sub`` is
+        STATIC: 1 is the host loop's fine tick; >1 is a coarse
+        multi-rate tick (same physics and estimator discretizations, a
+        longer step) used by the glide-stride scan."""
         c, a, pp = self.cfg, self.agent, self.plant
         dtype = self.dtype
-        dt = jnp.asarray(c.dt, dtype)
+        dt_f = c.dt * n_sub
+        dt = jnp.asarray(dt_f, dtype)
         nk = jax.random.fold_in(key, i)
         noise = jax.random.normal(nk, (13,), dtype)
 
         # --- plant step (hw.plant.GliderPlant.step) -----------------------
         st = dict(st)
+        mass_prev, pump_prev = st["mass_pos"], st["pump_pos"]
         st["mass_pos"] += _sat(st["mass_cmd"] - st["mass_pos"],
                                -pp.mass_rate * dt, pp.mass_rate * dt)
         st["pump_pos"] += _sat(st["pump_cmd"] - st["pump_pos"],
@@ -304,24 +315,77 @@ class DeviceRuntime:
                 if self.field is not None else jnp.asarray(0.0, dtype))
 
         # --- tail input estimator + input KF + budget (:795-806) ----------
-        ddelta = c.k_delta * _sat(u2_in - st["delta_hat"], -jnp.pi, jnp.pi)
-        st["delta_hat"] = _sat(
-            st["delta_hat"] + ddelta * dt - 0.5 * c.k_delta * ddelta
-            * dt**2, -math.radians(110), math.radians(110))
-        A_inp = jnp.eye(4, dtype=dtype) + jnp.diag(
-            jnp.array([dt, dt], dtype), 2)
         H_inp = jnp.asarray(
             [[1.0, 0, 0, 0], [0, 1.0, 0, 0]], dtype)
-        ix, iP = _kf(st["inp_x"][:, None], st["inp_P"], A_inp,
-                     jnp.diag(jnp.asarray(c.q_inp, dtype)) * dt,
-                     jnp.array([[u0], [u1_in]]), H_inp,
-                     jnp.diag(jnp.asarray(c.r_inp, dtype)))
-        st["inp_x"], st["inp_P"] = ix[:, 0], iP
-        dmass, dpump = ix[2, 0], ix[3, 0]
-        udot = jnp.array([dmass**2, dpump**2, ddelta**2,
-                          self.time_energy])
-        st["budget"] += jnp.dot(udot, jnp.asarray(self.w_udot, dtype)) * dt
-        A_pitch = jnp.asarray([[1.0, c.dt], [0.0, 1.0]], dtype)
+        if n_sub == 1:
+            A_inp = jnp.eye(4, dtype=dtype) + jnp.diag(
+                jnp.array([dt, dt], dtype), 2)
+            ix, iP = _kf(st["inp_x"][:, None], st["inp_P"], A_inp,
+                         jnp.diag(jnp.asarray(c.q_inp, dtype)) * dt,
+                         jnp.array([[u0], [u1_in]]), H_inp,
+                         jnp.diag(jnp.asarray(c.r_inp, dtype)))
+            st["inp_x"], st["inp_P"] = ix[:, 0], iP
+            dmass, dpump = ix[2, 0], ix[3, 0]
+            ddelta = c.k_delta * _sat(u2_in - st["delta_hat"], -jnp.pi,
+                                      jnp.pi)
+            st["delta_hat"] = _sat(
+                st["delta_hat"] + ddelta * dt - 0.5 * c.k_delta * ddelta
+                * dt**2, -math.radians(110), math.radians(110))
+            udot = jnp.array([dmass**2, dpump**2, ddelta**2,
+                              self.time_energy])
+            st["budget"] += jnp.dot(
+                udot, jnp.asarray(self.w_udot, dtype)) * dt
+            st["u2_prev"] = u2_in
+        else:
+            # coarse tick: the input-rate estimators feed the ENERGY
+            # integral with rate-SQUARED terms, so they must see the
+            # fine actuator ramp, not one coarse jump (the tail
+            # first-order estimator is not even stable past
+            # k_delta * dt = 2). Sub-step the actuator slew + 4-state
+            # input KF + tail recurrence at the FINE dt — cheap scalar /
+            # 4x4 work; the expensive blocks (6-state KF with its 9-row
+            # gated H, observer, control laws) stay on the coarse step.
+            # The sub-stepped slew reproduces the coarse plant endpoint
+            # exactly (saturated approach to a fixed command).
+            dtf = jnp.asarray(c.dt, dtype)
+            A_f = jnp.eye(4, dtype=dtype) + jnp.diag(
+                jnp.array([dtf, dtf], dtype), 2)
+            Q_f = jnp.diag(jnp.asarray(c.q_inp, dtype)) * dtf
+            R_f = jnp.diag(jnp.asarray(c.r_inp, dtype))
+            w = jnp.asarray(self.w_udot, dtype)
+            mp, pq = mass_prev, pump_prev
+            ix, iP = st["inp_x"][:, None], st["inp_P"]
+            rate2 = jnp.asarray(0.0, dtype)
+            dd2 = jnp.asarray(0.0, dtype)
+            ddelta = jnp.asarray(0.0, dtype)
+            u2p = st["u2_prev"]
+            for j in range(n_sub):
+                mp += _sat(st["mass_cmd"] - mp,
+                           -pp.mass_rate * dtf, pp.mass_rate * dtf)
+                pq += _sat(st["pump_cmd"] - pq,
+                           -pp.pump_rate * dtf, pp.pump_rate * dtf)
+                ix, iP = _kf(ix, iP, A_f, Q_f,
+                             jnp.array([[mp / 100.0], [pq / 100.0]]),
+                             H_inp, R_f)
+                rate2 += ix[2, 0]**2 * w[0] + ix[3, 0]**2 * w[1]
+                # the tail estimator tracks the commanded angle, which
+                # on the host ramps per fine tick; feed the sub-steps
+                # the ramp, not one coarse jump (rate^2 energy scales
+                # with jump size)
+                u2_j = u2p + (j + 1) / n_sub * (u2_in - u2p)
+                ddelta = c.k_delta * _sat(u2_j - st["delta_hat"],
+                                          -jnp.pi, jnp.pi)
+                st["delta_hat"] = _sat(
+                    st["delta_hat"] + ddelta * dtf
+                    - 0.5 * c.k_delta * ddelta * dtf**2,
+                    -math.radians(110), math.radians(110))
+                dd2 += ddelta**2
+            st["inp_x"], st["inp_P"] = ix[:, 0], iP
+            dmass, dpump = ix[2, 0], ix[3, 0]
+            st["budget"] += ((rate2 + w[2] * dd2) * dtf
+                             + self.time_energy * w[3] * dt)
+            st["u2_prev"] = u2_in
+        A_pitch = jnp.asarray([[1.0, dt_f], [0.0, 1.0]], dtype)
         px_, pP_ = _kf(st["pitch_x"][:, None], st["pitch_P"], A_pitch,
                        0.0175 * jnp.diag(jnp.asarray([2.0, 3.0], dtype))
                        * dt,
@@ -398,9 +462,9 @@ class DeviceRuntime:
             axis=0)
         dmp = c.damping
         A_x = (jnp.eye(6, dtype=dtype)
-               + jnp.diag(jnp.asarray([c.dt] * 3, dtype), 3)
+               + jnp.diag(jnp.asarray([dt_f] * 3, dtype), 3)
                + jnp.diag(jnp.asarray(
-                   [0, 0, 0, dmp * c.dt, dmp * c.dt, dmp * c.dt], dtype)))
+                   [0, 0, 0, dmp * dt_f, dmp * dt_f, dmp * dt_f], dtype)))
         z = jnp.concatenate([
             jnp.array([st["last_fix"][0], st["last_fix"][1], depth]),
             st["last_fix_vel"], vel_obs])[:, None]
@@ -427,7 +491,14 @@ class DeviceRuntime:
         c_gate = t_abs - st["tlast_ctrl"] > 1.0 / c.control_rate
         u1c = _pump_spd_control2(depth, st["zerr_x"], gains_d,
                                  c.k_max_depth, self.max_depth)
-        pump_new = _sat(100 * u1_in + u1c / c.control_rate, 0, 75)
+        # coarse multi-rate ticks fire each gate once per window; the
+        # increment laws are normalized per-firing at the host cadence,
+        # so scale increments by the gate periods a window spans (1 on
+        # fine ticks) to keep per-second control authority host-equal
+        g_ctrl = max(1.0, dt_f * c.control_rate)
+        g_pctrl = max(1.0, dt_f * c.pitch_control_rate)
+        pump_new = _sat(100 * u1_in + u1c * g_ctrl / c.control_rate,
+                        0, 75)
         # leg params in the host unpacking order
         a1, a2, a3 = leg[1], leg[2], leg[3]
 
@@ -459,7 +530,8 @@ class DeviceRuntime:
                                       jnp.where(is_gl, th_gl, 0.0)))
         u2c = _mass_spd_control(pitch_m, theta_d, st["pitch_x"][1],
                                 gains_p)
-        mass_new = _sat(100 * u0 + u2c / c.pitch_control_rate, 0, 100)
+        mass_new = _sat(100 * u0 + u2c * g_pctrl / c.pitch_control_rate,
+                        0, 100)
         mass_fire_p = (is_fd | is_sw | is_gl) & p_gate
         st["mass_cmd"] = jnp.where(mass_fire_p, mass_new, st["mass_cmd"])
         st["tlast_p_ctrl"] = jnp.where(mass_fire_p, t_abs,
@@ -516,7 +588,7 @@ class DeviceRuntime:
         t0 = carry["t"]
         n_ticks = jnp.ceil(plan.t_end / c.dt).astype(jnp.int32) + 1
 
-        def step(st, i):
+        def fine_step(st, i):
             st2, out = self._tick(st, plan, t0, key, i)
             alive = i < n_ticks
             st = jax.tree.map(lambda n, o: jnp.where(alive, n, o), st2, st)
@@ -524,8 +596,79 @@ class DeviceRuntime:
             out["sample"] &= alive
             return st, out
 
-        carry, logs = jax.lax.scan(step, carry,
-                                   jnp.arange(t_cap, dtype=jnp.int32))
+        stride = self.glide_stride
+        if stride == 1:
+            carry, logs = jax.lax.scan(fine_step, carry,
+                                       jnp.arange(t_cap, dtype=jnp.int32))
+            return carry, logs
+
+        # multi-rate scan: the scan runs over MACRO steps of ``stride``
+        # fine ticks. A window entirely inside one glide/flat-dive leg
+        # (no waypoint crossing, fully alive) advances with ONE coarse
+        # tick of stride*dt — same physics and estimator discretizations,
+        # a longer step; everything else (swims, spirals, leg
+        # transitions, the plan tail) takes the exact fine path. Glide-
+        # dominated plans (the planner's long legs) cut the scan length
+        # ~stride x. Logs still come back with one row per FINE tick
+        # (coarse windows emit one live row + stride-1 dead rows), so
+        # consumers (fly_log, the mission program) are layout-unchanged.
+        # Note: under vmap the branch becomes a select (both sides
+        # execute) — use stride=1 for batched flight ensembles.
+        T = -(-t_cap // stride)
+        leg_codes = jnp.where(
+            jnp.arange(self.l_cap) < plan.n_legs, plan.legs[:, 0], -1.0)
+        valid_wp = jnp.arange(self.w_cap) < plan.n_wp
+        # GLIDE only: the long quasi-steady segments. Flat dives drive
+        # depth with per-tick pump action and swims oscillate the tail —
+        # both need the host's fine control cadence (measured: coarse
+        # flat dives inflate pump energy ~30%)
+        coarse_codes = (float(Leg.GLIDE), float(Leg.GLIDE))
+
+        def macro_step(st, m):
+            i0 = m * stride
+            tw0 = st["t"] + c.dt - t0          # first sub-tick's time
+            tw1 = st["t"] + stride * c.dt - t0  # last sub-tick's time
+            cnt0 = jnp.sum((tw0 > plan.wp[:, 3]) & valid_wp)
+            cnt1 = jnp.sum((tw1 > plan.wp[:, 3]) & valid_wp)
+            p_cnt = jnp.clip(cnt0 - 1, 0, jnp.maximum(plan.n_legs - 1, 0))
+            code = jnp.where((tw0 <= plan.t_end) & (plan.n_legs > 0),
+                             leg_codes[p_cnt], -1.0)
+            dead = i0 >= n_ticks  # whole window past the plan: frozen
+            coarse_ok = dead | ((cnt0 == cnt1) & (tw1 <= plan.t_end)
+                                & ((code == coarse_codes[0])
+                                   | (code == coarse_codes[1]))
+                                & (i0 + stride <= n_ticks))
+
+            def coarse(st):
+                # one coarse tick covers the window; dead windows ride
+                # this branch too (1 tick instead of stride) and freeze
+                st2, out = self._tick(st, plan, t0, key, i0,
+                                      n_sub=stride)
+                st2 = jax.tree.map(
+                    lambda n, o: jnp.where(~dead, n, o), st2, st)
+                outs = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x, (stride,) + jnp.shape(x)), out)
+                live = (jnp.arange(stride) == 0) & ~dead
+                outs = dict(outs, alive=live,
+                            sample=outs["sample"] & live)
+                return st2, outs
+
+            def fine(st):
+                rows = []
+                for j in range(stride):
+                    st, out = fine_step(st, i0 + j)
+                    rows.append(out)
+                return st, jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+
+            return jax.lax.cond(coarse_ok, coarse, fine, st)
+
+        carry, logs = jax.lax.scan(macro_step, carry,
+                                   jnp.arange(T, dtype=jnp.int32))
+        # flatten macro windows back to one row per fine tick (padded
+        # rows past t_cap are dead: alive/sample False)
+        logs = jax.tree.map(
+            lambda x: x.reshape((T * stride,) + x.shape[2:]), logs)
         return carry, logs
 
     def fly(self, plan: DevicePlan, carry, key, t_cap: int):

@@ -154,7 +154,8 @@ class DeviceMission:
                  dtype=jnp.float32, fit_maxiter: int = 100,
                  fit_tol: float = 1e-4, fit_restarts: int = 1,
                  fit_spread: float = 1.0, flight: str = "kinematic",
-                 runtime_cfg=None, t_cap: int = 8192, **planner_kw):
+                 runtime_cfg=None, t_cap: int = 8192,
+                 glide_stride: int = 1, **planner_kw):
         self.exp = exp or ExperimentConfig()
         if flight not in ("kinematic", "dynamic"):
             raise ValueError(flight)
@@ -222,7 +223,8 @@ class DeviceMission:
                 self.agent_cfg, runtime_cfg or RuntimeConfig(dt=0.1),
                 field=point_field, max_depth=cfg.max_depth, dtype=dtype,
                 w_cap=1 + self.e_max * self._lp,
-                l_cap=self.e_max * self._lp)
+                l_cap=self.e_max * self._lp,
+                glide_stride=glide_stride)
             self.t_cap = int(t_cap)
             # sample slots per replan: the runtime samples at meas_rate
             # (plus capped burst sampling); periodic capacity for a full

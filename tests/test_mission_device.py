@@ -319,3 +319,25 @@ def test_run_campaign_two_variants():
     np.testing.assert_allclose(camp["SFEGP"]["results"][0].test_mu,
                                solo.test_mu, rtol=1e-10, atol=1e-12)
     assert camp["SFEGP"]["replans"][0] == solo.n_replans
+
+
+def test_mission_dynamic_glide_stride():
+    """Dynamic missions accept glide_stride (the multi-rate runtime
+    scan): the experiment completes with comparable outcomes and the
+    same measurement capacity contract."""
+    exp = _exp(multi_fidelity=False, ergodic=True, B=12.0, BD=1)
+    m1 = DeviceMission(exp, seed=0, flight="dynamic", t_cap=4096,
+                       **SMALL)
+    r1 = m1.run()
+    m4 = DeviceMission(_exp(multi_fidelity=False, ergodic=True, B=12.0,
+                            BD=1), seed=0, flight="dynamic", t_cap=4096,
+                       glide_stride=4, **SMALL)
+    r4 = m4.run()
+    assert r4.n_replans == r1.n_replans
+    assert not r4.meas_overflow
+    assert np.isfinite(r4.rmse)
+    if r1.n_replans:
+        # flown energy stays within the multi-rate band
+        f1 = sum(r["flown_budget"] for r in r1.replans)
+        f4 = sum(r["flown_budget"] for r in r4.replans)
+        assert 0.6 * f1 < f4 < 1.4 * f1

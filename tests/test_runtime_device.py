@@ -170,3 +170,52 @@ def test_device_runtime_vmapped_flight_ensemble():
     assert np.unique(ends, axis=0).shape[0] == 4
     # frozen ticks beyond each plan's horizon leave carries finite
     assert np.isfinite(np.asarray(fc["budget"])).all()
+
+
+def test_glide_stride_multirate_bounded_divergence():
+    """glide_stride>1 (opt-in multi-rate): windows wholly inside a GLIDE
+    leg advance with ONE coarse tick — same discretizations, longer
+    step; the input-rate estimators sub-step at the fine dt (their
+    rate-squared terms feed the energy integral), the increment control
+    laws scale to per-second authority, and everything else (swims,
+    flat dives, leg transitions, the plan tail) takes the exact fine
+    path. Zero-noise contract vs the fine scan: the flight lands at the
+    same place, keeps the sample schedule, stays within a bounded
+    energy band, and the live tick count drops substantially on
+    glide-heavy plans."""
+    for seed, mix, dist in ((0, (Leg.GLIDE, Leg.GLIDE, Leg.SWIM), 12.0),
+                            (3, (Leg.GLIDE, Leg.FLATDIVE, Leg.GLIDE),
+                             10.0)):
+        way, legs, _, cfg = _plan(seed, mix, dist)
+        fine = DeviceRuntime(cfg, _zero_noise()).fly_log(way, legs,
+                                                         seed=1)
+        multi = DeviceRuntime(cfg, _zero_noise(),
+                              glide_stride=4).fly_log(way, legs, seed=1)
+        # scan shrinks on glide-heavy plans
+        assert multi["truth"].shape[0] < 0.7 * fine["truth"].shape[0]
+        # same destination within coarse-integration tolerance
+        np.testing.assert_allclose(multi["truth"][-1, 1:4],
+                                   fine["truth"][-1, 1:4], atol=1.0)
+        # identical sample schedule length; fidelity labels within one
+        # bin (the position-KF covariance that bins them propagates in
+        # coarser steps)
+        assert multi["samples"].shape[0] == fine["samples"].shape[0]
+        assert np.max(np.abs(multi["samples"][:, -1]
+                             - fine["samples"][:, -1])) <= 1
+        # energy model within a bounded band (closed-loop divergence
+        # included — the fine loop itself is chaotic at 1e-13/3s)
+        assert 0.7 * fine["budget_used"] < multi["budget_used"] \
+            < 1.3 * fine["budget_used"]
+        # tracking stays comparable
+        assert multi["tracking_rmse"] < 2.0 * fine["tracking_rmse"] + 0.5
+
+
+def test_glide_stride_one_is_default_scan():
+    """stride=1 keeps the original single-rate scan (same executable
+    path): results must be bitwise-identical to a default runtime."""
+    way, legs, _, cfg = _plan(0, (Leg.GLIDE, Leg.SWIM), 8.0)
+    a = DeviceRuntime(cfg, _zero_noise()).fly_log(way, legs, seed=1)
+    b = DeviceRuntime(cfg, _zero_noise(), glide_stride=1).fly_log(
+        way, legs, seed=1)
+    np.testing.assert_array_equal(a["truth"], b["truth"])
+    np.testing.assert_array_equal(a["budget_used"], b["budget_used"])
