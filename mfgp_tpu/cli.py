@@ -226,6 +226,9 @@ def cmd_mission(args):
         out["ensemble_seconds"] = round(time.perf_counter() - t0, 3)
         out["ensemble_rmse"] = [round(e.rmse, 4) for e in ens]
         out["ensemble_replans"] = [e.n_replans for e in ens]
+    if args.out:
+        mission.save_artifacts(res, args.out)
+        out["artifacts"] = args.out
     print(json.dumps(out))
 
 
@@ -457,6 +460,10 @@ def build_parser():
                         "(steady GLIDE windows advance with one coarse "
                         "tick of K*dt; everything else stays at the "
                         "host's fine tick)")
+    p.add_argument("--out", default=None,
+                   help="write the reference's per-replan artifact set "
+                        "(plannedTraj{n}.csv, EID{n}.csv, hyps.csv, "
+                        "GPData.csv, replans.csv) to this directory")
 
     p = sub.add_parser(
         "campaign", help="the reference's whole 4-driver experiment "

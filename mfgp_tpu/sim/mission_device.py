@@ -119,6 +119,9 @@ class DeviceMissionResult:
     tracking_rmse: Optional[np.ndarray] = None  # (BD,) 3D RMS to target
     flown_budget: Optional[np.ndarray] = None  # (BD,) integrated energy
     meas_overflow: bool = False  # a flight produced more samples than slots
+    # per-replan artifact logs (reference artifact schemas)
+    thetas: Optional[np.ndarray] = None  # (BD, n_theta) hyps after replan r
+    eids: Optional[np.ndarray] = None  # (BD, G) the EID each replan planned on
 
 
 class DeviceMission:
@@ -707,6 +710,8 @@ class DeviceMission:
                 overflow=st["overflow"] | (overflow & active),
                 info=st["info"].at[r].set(
                     jnp.where(ok, pst["best_score"], -jnp.inf)),
+                thetas=st["thetas"].at[r].set(theta),
+                eids=st["eids"].at[r].set(eid.astype(dt)),
                 budget=st["budget"].at[r].set(budget),
                 t_flown=st["t_flown"].at[r].set(t_flown),
                 nodes=st["nodes"].at[r].set(pst["n_nodes"]),
@@ -730,6 +735,8 @@ class DeviceMission:
             active=jnp.asarray(True),
             overflow=jnp.asarray(False),
             info=jnp.zeros((bd,), dt),
+            thetas=jnp.zeros((bd, self._theta0.shape[0]), dt),
+            eids=jnp.zeros((bd, self.grid.shape[0]), dt),
             budget=jnp.zeros((bd,), dt),
             t_flown=jnp.zeros((bd,), dt),
             nodes=jnp.zeros((bd,), jnp.int32),
@@ -827,7 +834,53 @@ class DeviceMission:
             chain_overflow=bool(st["overflow"]),
             tracking_rmse=st["track"] if dyn else None,
             flown_budget=st["fbudget"] if dyn else None,
-            meas_overflow=bool(st["m_overflow"]) if dyn else False)
+            meas_overflow=bool(st["m_overflow"]) if dyn else False,
+            thetas=st["thetas"], eids=st["eids"])
+
+    # -- artifacts ------------------------------------------------------------
+    def save_artifacts(self, res: DeviceMissionResult, out_dir: str):
+        """Write a mission result as the reference's per-replan artifact
+        set (the schemas ``sim.explore`` emits, SURVEY §5: plannedTraj
+        ``reference/...MFEGP.py:469-483``, EID grids ``:672``, hyp rows
+        per replan ``:412-417``, replans summary) so comparison tooling
+        built for host-loop runs reads device-mission runs unchanged:
+
+        - ``GPData.csv`` — the harvested fidelity-binned training table
+        - ``plannedTraj{n}.csv`` — (x, y, z, t) rows of replan n's plan
+        - ``EID{n}.csv`` — grid coords + the EID replan n planned on
+        - ``hyps.csv`` — per-replan POSITIVE hyperparameters (one row per
+          replan; constant rows under frozen hyperparameters)
+        - ``replans.csv`` — the host loop's summary schema (fitMode
+          "device"; fitSeconds 0 — refits are in-graph)
+        """
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        res.gp_data.save(os.path.join(out_dir, "GPData.csv"))
+        done = [r["plan_num"] for r in res.replans]
+        for n in done:
+            mask = res.flown_mask[n]
+            np.savetxt(os.path.join(out_dir, f"plannedTraj{n}.csv"),
+                       res.flown[n][mask], delimiter=",")
+            np.savetxt(os.path.join(out_dir, f"EID{n}.csv"),
+                       np.column_stack([self.grid, res.eids[n]]),
+                       delimiter=",")
+        if res.thetas is not None and done:
+            np.savetxt(os.path.join(out_dir, "hyps.csv"),
+                       np.exp(res.thetas[done]), delimiter=",")
+        tranche = self.exp.B / self.exp.BD
+        with open(os.path.join(out_dir, "replans.csv"), "w") as f:
+            f.write("planNum,tStart,tranche,bestInfo,nodes,edges,"
+                    "fitSeconds,fitMode,trackingRmse,flownBudget,"
+                    "planTruncated\n")
+            t_start = 0.0
+            for r in res.replans:
+                f.write(f"{r['plan_num']},{t_start},{tranche},"
+                        f"{r['info']},{r['nodes']},{r['edges']},"
+                        f"0.0,device,"
+                        f"{r.get('tracking_rmse', '')},"
+                        f"{r.get('flown_budget', '')},0\n")
+                t_start += r["t_flown"]
 
     # -- introspection --------------------------------------------------------
     def host_params(self, theta):

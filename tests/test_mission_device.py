@@ -341,3 +341,39 @@ def test_mission_dynamic_glide_stride():
         f1 = sum(r["flown_budget"] for r in r1.replans)
         f4 = sum(r["flown_budget"] for r in r4.replans)
         assert 0.6 * f1 < f4 < 1.4 * f1
+
+
+def test_mission_save_artifacts(tmp_path):
+    """save_artifacts writes the reference's per-replan artifact set in
+    the host sim's schemas: plannedTraj rows equal the mission's valid
+    flown rows, EID files carry the grid the replan planned on, hyps.csv
+    has one positive row per replan, replans.csv parses with the host
+    header."""
+    m = DeviceMission(_exp(multi_fidelity=False, ergodic=True), seed=0,
+                      **SMALL)
+    res = m.run()
+    assert res.n_replans >= 1
+    out = str(tmp_path / "arts")
+    m.save_artifacts(res, out)
+    import os
+
+    for r in res.replans:
+        n = r["plan_num"]
+        pts = np.loadtxt(os.path.join(out, f"plannedTraj{n}.csv"),
+                         delimiter=",")
+        np.testing.assert_allclose(pts, res.flown[n][res.flown_mask[n]])
+        eid = np.loadtxt(os.path.join(out, f"EID{n}.csv"), delimiter=",")
+        assert eid.shape == (m.grid.shape[0], 4)
+        assert np.all(eid[:, 3] >= 0)
+    hyps = np.atleast_2d(np.loadtxt(os.path.join(out, "hyps.csv"),
+                                    delimiter=","))
+    assert hyps.shape[0] == res.n_replans and np.all(hyps > 0)
+    with open(os.path.join(out, "replans.csv")) as f:
+        header = f.readline().strip().split(",")
+        rows = [ln.strip().split(",") for ln in f]
+    assert header[:6] == ["planNum", "tStart", "tranche", "bestInfo",
+                          "nodes", "edges"]
+    assert len(rows) == res.n_replans
+    gp = np.loadtxt(os.path.join(out, "GPData.csv"), delimiter=",",
+                    skiprows=1)
+    assert np.atleast_2d(gp).shape[0] == res.gp_data.data.shape[0]
