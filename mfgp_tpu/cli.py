@@ -249,6 +249,10 @@ def cmd_campaign(args):
         plan_iters=args.plan_iters, e_max=args.e_max)
     out = {"campaign_seconds": round(time.perf_counter() - t0, 3),
            "runs": sum(len(c["rmse"]) for c in camp.values())}
+    if args.plot:
+        from mfgp_tpu.viz import plot_campaign
+
+        out["plot"] = plot_campaign(camp, args.plot)
     for v, c in camp.items():
         out[v] = {"rmse_mean": round(float(np.mean(c["rmse"])), 4),
                   "rmse": [round(r, 4) for r in c["rmse"]],
@@ -477,6 +481,9 @@ def build_parser():
     p.add_argument("--plan-iters", type=int, default=40)
     p.add_argument("--e-max", type=int, default=16)
     p.add_argument("--update-hyps", action="store_true")
+    p.add_argument("--plot", default=None,
+                   help="also render the per-variant RMSE figure to "
+                        "this PNG")
 
     p = sub.add_parser("aggregate"); p.set_defaults(fn=cmd_aggregate)
     p.add_argument("pattern"); p.add_argument("--out")

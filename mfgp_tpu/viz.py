@@ -283,3 +283,25 @@ def plot_csv(csv_path: str, out_png: str, x: str | int = 0,
     fig.savefig(out_png, dpi=110)
     plt.close(fig)
     return out_png
+
+
+def plot_campaign(campaign: dict, out_png: str):
+    """Per-variant RMSE distributions of a mission campaign
+    (sim.mission_device.run_campaign output) — the device-mission
+    counterpart of plot_average_errors over the reference's
+    results.csv aggregation (reference/averageErrors.py:56-85)."""
+    plt = _plt()
+    variants = list(campaign)
+    fig, ax = plt.subplots(figsize=(1.6 * max(len(variants), 2) + 2, 4))
+    data = [np.asarray(campaign[v]["rmse"], float) for v in variants]
+    ax.boxplot(data, tick_labels=variants, showmeans=True)
+    for i, d in enumerate(data):
+        ax.plot(np.full(d.shape, i + 1) + 0.08, d, ".", color="C0",
+                alpha=0.6)
+    ax.set_ylabel("final-model RMSE on the sim grid")
+    ax.set_title(f"mission campaign: {sum(len(d) for d in data)} runs")
+    ax.grid(True, axis="y", alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)
+    return out_png

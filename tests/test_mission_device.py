@@ -377,3 +377,15 @@ def test_mission_save_artifacts(tmp_path):
     gp = np.loadtxt(os.path.join(out, "GPData.csv"), delimiter=",",
                     skiprows=1)
     assert np.atleast_2d(gp).shape[0] == res.gp_data.data.shape[0]
+
+
+def test_plot_campaign(tmp_path):
+    """viz.plot_campaign renders a campaign dict to a figure file."""
+    from mfgp_tpu.viz import plot_campaign
+
+    camp = {"SFEGP": {"rmse": [1.7, 1.8, 1.75]},
+            "SFGP": {"rmse": [1.72, 1.81]}}
+    out = plot_campaign(camp, str(tmp_path / "camp.png"))
+    import os
+
+    assert os.path.getsize(out) > 1000
