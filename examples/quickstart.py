@@ -120,7 +120,26 @@ def example_device_planner():
           round(res.info, 3), "budget", round(res.budget, 2))
 
 
-# 7. Serving: batched HTTP posterior queries, multi-model routing ------------
+# 7. Whole-mission-as-one-program + Monte-Carlo ensembles --------------------
+def example_mission():
+    import jax.numpy as jnp
+
+    from mfgp_tpu.sim.mission_device import DeviceMission
+    from mfgp_tpu.utils.configs import ExperimentConfig
+
+    exp = ExperimentConfig(B=24.0, BD=2, update_hyps=False,
+                           multi_fidelity=False, ergodic=True)
+    mission = DeviceMission(exp, seed=0, plan_iters=8, e_max=6,
+                            max_nodes=16, samples_per_edge=6,
+                            dtype=jnp.float64)
+    res = mission.run()  # the ENTIRE experiment: one device launch
+    ens = mission.run_ensemble(3)  # 3 complete missions, one launch
+    print("mission:", res.n_replans, "replans, rmse",
+          round(res.rmse, 3), "| ensemble rmse",
+          [round(e.rmse, 3) for e in ens])
+
+
+# 8. Serving: batched HTTP posterior queries, multi-model routing ------------
 def example_serving():
     import json
     import http.client
@@ -150,4 +169,5 @@ if __name__ == "__main__":
     example_explore()
     example_sharded()
     example_device_planner()
+    example_mission()
     example_serving()
