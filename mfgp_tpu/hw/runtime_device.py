@@ -493,10 +493,13 @@ class DeviceRuntime:
                                  c.k_max_depth, self.max_depth)
         # coarse multi-rate ticks fire each gate once per window; the
         # increment laws are normalized per-firing at the host cadence,
-        # so scale increments by the gate periods a window spans (1 on
-        # fine ticks) to keep per-second control authority host-equal
-        g_ctrl = max(1.0, dt_f * c.control_rate)
-        g_pctrl = max(1.0, dt_f * c.pitch_control_rate)
+        # so scale increments by the number of host fine-tick firings
+        # the window replaces (n_sub when the gate fires every fine
+        # tick, n_sub*dt*rate when the gate period spans several fine
+        # ticks). EXACTLY 1 on fine ticks (n_sub == 1), whatever
+        # dt*rate is — the host law is per-firing-unscaled there.
+        g_ctrl = max(1.0, n_sub * min(1.0, c.dt * c.control_rate))
+        g_pctrl = max(1.0, n_sub * min(1.0, c.dt * c.pitch_control_rate))
         pump_new = _sat(100 * u1_in + u1c * g_ctrl / c.control_rate,
                         0, 75)
         # leg params in the host unpacking order
@@ -618,11 +621,9 @@ class DeviceRuntime:
         leg_codes = jnp.where(
             jnp.arange(self.l_cap) < plan.n_legs, plan.legs[:, 0], -1.0)
         valid_wp = jnp.arange(self.w_cap) < plan.n_wp
-        # GLIDE only: the long quasi-steady segments. Flat dives drive
-        # depth with per-tick pump action and swims oscillate the tail —
-        # both need the host's fine control cadence (measured: coarse
-        # flat dives inflate pump energy ~30%)
-        coarse_codes = (float(Leg.GLIDE), float(Leg.GLIDE))
+        # the stride-1 scan truncates at t_cap exactly; macro windows
+        # must honor the same capacity (T*stride can exceed t_cap)
+        n_ticks = jnp.minimum(n_ticks, t_cap)
 
         def macro_step(st, m):
             i0 = m * stride
@@ -634,9 +635,12 @@ class DeviceRuntime:
             code = jnp.where((tw0 <= plan.t_end) & (plan.n_legs > 0),
                              leg_codes[p_cnt], -1.0)
             dead = i0 >= n_ticks  # whole window past the plan: frozen
+            # GLIDE only: the long quasi-steady segments. Flat dives
+            # drive depth with per-tick pump action and swims oscillate
+            # the tail — both need the host's fine control cadence
+            # (measured: coarse flat dives inflate pump energy ~30%)
             coarse_ok = dead | ((cnt0 == cnt1) & (tw1 <= plan.t_end)
-                                & ((code == coarse_codes[0])
-                                   | (code == coarse_codes[1]))
+                                & (code == float(Leg.GLIDE))
                                 & (i0 + stride <= n_ticks))
 
             def coarse(st):

@@ -367,38 +367,31 @@ class NIGP:
     def predict_blocked(self, Xs, block_size: int = 1024,
                         include_noise: bool = False):
         """Blocked heteroscedastic posterior mean/marginal variance via the
-        explicit-inverse state (the GP/MFGP ``predict_blocked_inv``
-        pattern). Matches :meth:`predict`'s marginal-variance path
-        (reference/NIGP.py:269-333 semantics: no output noise by default,
-        1e-12 floor) block by block over large grids.
+        explicit-inverse state. Matches :meth:`predict`'s marginal-variance
+        path (reference/NIGP.py:269-333 semantics: no output noise by
+        default, 1e-12 floor) block by block over large grids.
+
+        Delegates to :func:`models.gp.predict_blocked_inv` — the
+        heteroscedastic training noise is already folded into the cached
+        factor, so at predict time NIGP *is* a GP with variance sigma_f
+        and output noise sigma_y^2.
         """
-        from mfgp_tpu.models.mfgp import _PRECISIONS
-        from mfgp_tpu.ops import covariance as _cc
+        from mfgp_tpu.models.gp import (GPParams, GPStateInv,
+                                        predict_blocked_inv)
 
         X = self.X_train_
         Xs = jnp.atleast_2d(jnp.asarray(Xs, X.dtype))
-        ls = jnp.asarray(self.lengthscales_, X.dtype)
         Linv, alpha = self._condition_inv()
-        prec = _PRECISIONS["highest"]
-        M = Xs.shape[0]
-        nb = -(-M // block_size)
-        pad = nb * block_size - M
-        Xs_pad = jnp.pad(Xs, ((0, pad), (0, 0))).reshape(
-            nb, block_size, Xs.shape[1])
-        noise = self.sigma_y_**2 if include_noise else 0.0
-
-        def one(xb):
-            Kxs = _cc.sf_cross_cov(self.sigma_f_, ls, xb, X, "rbf")
-            mean = _la.posterior_mean(Kxs, alpha)
-            V = _la.tri_lower_matmul(Linv, Kxs.T, precision=prec)
-            kss = jnp.broadcast_to(jnp.asarray(self.sigma_f_, X.dtype),
-                                   (xb.shape[0],))
-            var = kss - jnp.sum(V * V, axis=0) + noise
-            return mean, var
-
-        means, variances = jax.lax.map(one, Xs_pad)
-        return (np.asarray(means.reshape(-1)[:M]),
-                np.asarray(np.maximum(variances.reshape(-1)[:M], 1e-12)))
+        params = GPParams(
+            jnp.log(jnp.asarray(self.sigma_f_, X.dtype)),
+            jnp.log(jnp.asarray(self.lengthscales_, X.dtype)),
+            jnp.log(jnp.asarray(self.sigma_y_**2, X.dtype)))
+        state = GPStateInv(X, self.y_train_, Linv, alpha)
+        mean, var = predict_blocked_inv(params, state, Xs, kernel="rbf",
+                                        include_noise=include_noise,
+                                        block_size=block_size)
+        return (np.asarray(mean),
+                np.asarray(np.maximum(np.asarray(var), 1e-12)))
 
     def predict(self, Xs, Xs_input_noise=None, return_var: bool = True,
                 return_cov: bool = False, as_numpy: bool = True):

@@ -170,6 +170,14 @@ class DeviceMission:
         self.fit_spread = float(fit_spread)
         if self.fit_restarts < 1:
             raise ValueError("fit_restarts must be >= 1")
+        if self.fit_restarts > 1 and not self.update_hyps:
+            raise ValueError("fit_restarts > 1 requires "
+                             "exp.update_hyps=True (frozen-hyperparameter "
+                             "missions never refit)")
+        if int(glide_stride) != 1 and flight != "dynamic":
+            raise ValueError("glide_stride != 1 requires "
+                             "flight='dynamic' (kinematic missions have "
+                             "no runtime scan to coarsen)")
         if self.exp.plan_wallclock:
             raise ValueError("the device mission is fixed-iteration; set "
                              "plan_iters instead of plan_wallclock")
@@ -796,6 +804,11 @@ class DeviceMission:
 
             from mfgp_tpu.parallel.mesh import DP_AXIS
 
+            dp = mesh.shape[DP_AXIS]
+            if int(n) % dp:
+                raise ValueError(
+                    f"ensemble size {n} must be a multiple of the mesh "
+                    f"dp extent {dp} (the member axis shards over dp)")
             keys = jax.device_put(keys, NamedSharding(mesh, P(DP_AXIS)))
         if not hasattr(self, "_ens_jit"):
             self._ens_jit = {}
@@ -937,6 +950,9 @@ def run_campaign(variants=("MFEGP", "MFGP", "SFEGP", "SFGP"),
     out = {}
     for v in variants:
         v = v.upper()
+        if v not in ("MFEGP", "MFGP", "SFEGP", "SFGP"):
+            raise ValueError(f"unknown variant {v!r} (the reference "
+                             "campaign is MFEGP/MFGP/SFEGP/SFGP)")
         kw = dict(exp_kw or {})
         kw.update(multi_fidelity=v.startswith("MF"),
                   ergodic=v in ("MFEGP", "SFEGP"))

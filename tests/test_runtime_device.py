@@ -219,3 +219,22 @@ def test_glide_stride_one_is_default_scan():
         way, legs, seed=1)
     np.testing.assert_array_equal(a["truth"], b["truth"])
     np.testing.assert_array_equal(a["budget_used"], b["budget_used"])
+
+
+def test_zero_noise_parity_coarse_config_dt():
+    """Host parity must hold at ANY configured dt on the default
+    stride-1 path — a config with dt * control_rate > 1 must not
+    trigger the multi-rate increment scaling (regression: g_ctrl
+    scaled by absolute dt*rate instead of per-window firings)."""
+    way, legs, _, cfg = _plan(0, (Leg.GLIDE, Leg.SWIM), 8.0)
+    host = RobotRuntime(cfg, _zero_noise(dt=0.2), seed=1)
+    hlog = host.fly(way, legs)
+    dev = DeviceRuntime(cfg, _zero_noise(dt=0.2))
+    dlog = dev.fly_log(way, legs, seed=1)
+    # 40 s window: dt=0.2 doubles the per-tick step, so the chaotic
+    # amplification window shrinks vs the dt=0.1 tests
+    n = min(200, hlog.truth.shape[0])
+    np.testing.assert_allclose(dlog["truth"][:n, 1:4],
+                               hlog.truth[:n, 1:4], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dlog["budget_used"], hlog.budget_used,
+                               rtol=2e-2)
