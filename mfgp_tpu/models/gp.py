@@ -149,8 +149,24 @@ def _gp_vg_core(params: GPParams, X, y, extra_noise_diag=0.0,
         Linv = None
     else:
         from mfgp_tpu.models.mfgp import _PRECISIONS
+        from mfgp_tpu.ops import covariance as _covd
 
         Linv = _la.tri_inv_recursive(L)
+        if inv_mode == "highest" and _covd.use_pallas(X.dtype, kernel):
+            # fused F=1 path: K^-1 tiles generated from Linv and
+            # contracted into the gradient sums in one Pallas pass
+            # (mfgp's syrk_grad_fused; K^-1 never touches HBM)
+            from mfgp_tpu.ops.pallas_kernels import syrk_grad_fused
+
+            g_v, g_l, g_n = syrk_grad_fused(
+                Linv, alpha, X, jnp.zeros((N,), jnp.int32),
+                jnp.reshape(params.variance, (1,)),
+                jnp.reshape(params.lengthscales, (1, -1)),
+                jnp.zeros((0,), X.dtype),
+                jnp.reshape(params.noise, (1,)), kern=kernel,
+                interpret=jax.default_backend() != "tpu")
+            grad = GPParams(g_v[0], g_l[0], g_n[0])
+            return val, grad, L, alpha, Linv
         Kinv = _la.syrk_tri_lower(Linv, precision=_PRECISIONS[inv_mode])
     W = Kinv - alpha[:, None] * alpha[None, :]
     A = W * K  # == W o (dK/dlog variance)

@@ -250,7 +250,9 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
 
             g_logvar, g_logls, g_lognoise = syrk_grad_fused(
                 Linv, alpha, X, fid, params.variances,
-                params.lengthscales, params.rhos, params.noises)
+                params.lengthscales, params.rhos, params.noises,
+                kern=kernel,
+                interpret=jax.default_backend() != "tpu")
             grad = MFGPParams(g_logvar, g_logls,
                               jnp.zeros_like(params.rhos), g_lognoise)
             return val, grad, L, alpha, Linv

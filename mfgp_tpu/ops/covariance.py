@@ -13,7 +13,7 @@ The XLA composition (ops.kernels.ar1_cov) remains the implementation for
   forward-only by design — the analytic-gradient path (models/mfgp
   ``nlml_value_and_grad``) does its own trace-identity contractions,
 * f64 / CPU execution (tests, parity fixtures),
-* Matern32 (the Pallas kernel implements the RBF base).
+* base kernels beyond rbf/matern32.
 
 Dispatch is decided at trace time from the dtype/kernel/backend; set
 ``MFGP_TPU_DISABLE_PALLAS=1`` (before first trace) to force XLA everywhere.
@@ -21,6 +21,7 @@ Dispatch is decided at trace time from the dtype/kernel/backend; set
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -31,10 +32,12 @@ from mfgp_tpu.ops import linalg as _la
 
 
 def use_pallas(dtype, kernel: str) -> bool:
-    """True when the fused Pallas path applies (TPU, f32, RBF base)."""
+    """True when the fused Pallas path applies (TPU, f32, rbf or
+    matern32 base)."""
     if os.environ.get("MFGP_TPU_DISABLE_PALLAS"):
         return False
-    return (kernel == "rbf" and jnp.dtype(dtype) == jnp.float32
+    return (kernel in ("rbf", "matern32")
+            and jnp.dtype(dtype) == jnp.float32
             and jax.default_backend() == "tpu")
 
 
@@ -46,7 +49,7 @@ def mf_train_cov(variances, lengthscales, rhos, noises, X, fid,
         from mfgp_tpu.ops.pallas_kernels import ar1_cov_fused
 
         return ar1_cov_fused(X, fid, X, fid, variances, lengthscales,
-                             rhos, noise_diag=noise)
+                             rhos, noise_diag=noise, kern=kernel)
     K = _k.ar1_cov(X, fid, X, fid, variances, lengthscales, rhos, kernel)
     return _la.diag_add(K, noise)
 
@@ -58,7 +61,7 @@ def mf_cross_cov(variances, lengthscales, rhos, X1, fid1, X2, fid2,
         from mfgp_tpu.ops.pallas_kernels import ar1_cov_fused
 
         return ar1_cov_fused(X1, fid1, X2, fid2, variances, lengthscales,
-                             rhos)
+                             rhos, kern=kernel)
     return _k.ar1_cov(X1, fid1, X2, fid2, variances, lengthscales, rhos,
                       kernel)
 
@@ -80,31 +83,34 @@ def _ar1_terms(variances, lengthscales, rhos, X, fid, F):
     return W, W[:, fid]
 
 
-@jax.custom_vjp
-def _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ar1_train_cov_fused(kern, variances, lengthscales, rhos, X, fid):
     from mfgp_tpu.ops.pallas_kernels import ar1_cov_fused
 
     # interpret mode keeps this callable (and testable) off-TPU; the
     # dispatcher only routes here on TPU, so interpret is test-only
     return ar1_cov_fused(X, fid, X, fid, variances, lengthscales, rhos,
-                         interpret=jax.default_backend() != "tpu")
+                         interpret=jax.default_backend() != "tpu",
+                         kern=kern)
 
 
-def _ar1_fwd(variances, lengthscales, rhos, X, fid):
-    K = _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid)
+def _ar1_fwd(kern, variances, lengthscales, rhos, X, fid):
+    K = _ar1_train_cov_fused(kern, variances, lengthscales, rhos, X, fid)
     return K, (variances, lengthscales, rhos, X, fid)
 
 
-def _ar1_bwd(res, Ct):
+def _ar1_bwd(kern, res, Ct):
     """Cotangents of (variances, lengthscales, rhos); X/fid non-diff.
 
     With T_m = v_m (w_m w_m^T) o K_m and general (possibly asymmetric)
     cotangent Ct:
 
       v_bar_m   = sum(Ct o T_m) / v_m
-      l_bar_{m,d} = sum((Ct o T_m) o (x_d - x'_d)^2) / l_{m,d}^3
+      l_bar_{m,d} = sum((Ct o dK_m/dl_d-base) o (x_d - x'_d)^2) / l^3
                   = (x_d^2 . r + c . x_d^2 - 2 x_d^T A x_d) / l^3,
-                    A = Ct o T_m, r = A 1, c = A^T 1
+                    A = Ct o base, r = A 1, c = A^T 1; for rbf the base
+                    IS T_m (dK/dl_d = K d^2/l^3), for matern32 it is
+                    v_m (w w^T) 3 e^{-sqrt3 r} (dK/dl_d = 3 v e d^2/l^3)
       rho_bar_l = sum_m sum_ij (Ct o v_m K_m)_ij (g_i w_j + w_i g_j),
                     g_i = dW[m, fid_i]/drho_l  (product form, no division)
     """
@@ -118,16 +124,25 @@ def _ar1_bwd(res, Ct):
     v_bar, l_bar = [], []
     rho_bar = jnp.zeros_like(rhos)
     for m in range(F):
-        Km = _k.KERNELS["rbf"](X, X, 1.0, lengthscales[m])
+        Km = _k.KERNELS[kern](X, X, 1.0, lengthscales[m])
         B = Ct * (variances[m] * Km)  # Ct o v_m K_m
-        A = B * (w[m][:, None] * w[m][None, :])  # Ct o T_m
+        wprod = w[m][:, None] * w[m][None, :]
+        A = B * wprod  # Ct o T_m
         onesX = jnp.concatenate([jnp.ones((N, 1), X.dtype), X], axis=1)
         rA = jnp.dot(A, onesX, precision=_H)  # [A1 | A X]
         cA = jnp.dot(A.T, onesX, precision=_H)  # [A^T 1 | A^T X]
         v_bar.append(jnp.sum(rA[:, 0]) / variances[m])
-        quad = (jnp.sum((X**2) * (rA[:, :1] + cA[:, :1]), axis=0)
-                - jnp.sum(X * (rA[:, 1:] + cA[:, 1:]), axis=0))
-        l_bar.append(quad * inv_ls[m] ** 3)  # v_m already inside A
+        if kern == "rbf":
+            rE, cE = rA, cA
+        else:
+            r = jnp.sqrt(_k.sqdist(X, X, inv_ls[m]) + 1e-36)
+            E = Ct * (variances[m] * 3.0
+                      * jnp.exp(-_k._SQRT3 * r)) * wprod
+            rE = jnp.dot(E, onesX, precision=_H)
+            cE = jnp.dot(E.T, onesX, precision=_H)
+        quad = (jnp.sum((X**2) * (rE[:, :1] + cE[:, :1]), axis=0)
+                - jnp.sum(X * (rE[:, 1:] + cE[:, 1:]), axis=0))
+        l_bar.append(quad * inv_ls[m] ** 3)  # v_m already inside A/E
         # rho cotangent: product-form dW, two matvecs against w
         if F > 1:
             Bw = jnp.dot(B, w[m], precision=_H)
@@ -162,7 +177,8 @@ def ar1_cov_diff(variances, lengthscales, rhos, X, fid,
     closed-form contractions above; elsewhere the plain XLA composition
     (fully autodiff, incl. matern32)."""
     if use_pallas(X.dtype, kernel):
-        return _ar1_train_cov_fused(variances, lengthscales, rhos, X, fid)
+        return _ar1_train_cov_fused(kernel, variances, lengthscales, rhos,
+                                    X, fid)
     return _k.ar1_cov(X, fid, X, fid, variances, lengthscales, rhos, kernel)
 
 
@@ -175,7 +191,7 @@ def sf_cov_diff(variance, lengthscales, X, kernel: str) -> jax.Array:
         ls = jnp.asarray(lengthscales, X.dtype).reshape(1, -1)
         rhos = jnp.zeros((0,), X.dtype)
         fid = jnp.zeros((X.shape[0],), jnp.int32)
-        return _ar1_train_cov_fused(v, ls, rhos, X, fid)
+        return _ar1_train_cov_fused(kernel, v, ls, rhos, X, fid)
     return _k.KERNELS[kernel](X, X, variance, lengthscales)
 
 
@@ -187,7 +203,7 @@ def sf_train_cov(variance, lengthscales, noise_diag, X,
 
         return rbf_cov_fused(X, X, variance, lengthscales,
                              noise_diag=jnp.broadcast_to(
-                                 noise_diag, (X.shape[0],)))
+                                 noise_diag, (X.shape[0],)), kern=kernel)
     K = _k.KERNELS[kernel](X, X, variance, lengthscales)
     return _la.diag_add(K, jnp.broadcast_to(noise_diag, (X.shape[0],)))
 
@@ -197,5 +213,5 @@ def sf_cross_cov(variance, lengthscales, X1, X2, kernel: str) -> jax.Array:
     if use_pallas(X1.dtype, kernel):
         from mfgp_tpu.ops.pallas_kernels import rbf_cov_fused
 
-        return rbf_cov_fused(X1, X2, variance, lengthscales)
+        return rbf_cov_fused(X1, X2, variance, lengthscales, kern=kernel)
     return _k.KERNELS[kernel](X1, X2, variance, lengthscales)

@@ -33,14 +33,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256
+_SQRT3 = 1.7320508075688772
 
 
 def _cdiv(a, b):
     return -(-a // b)
 
 
+def _base(r2, kern: str):
+    """Unit-variance base kernel from the ARD squared distance.
+
+    ``rbf``: exp(-r2/2). ``matern32``: (1 + sqrt(3) r) exp(-sqrt(3) r)
+    (ops.kernels.matern32 semantics incl. its 1e-36 sqrt guard).
+    """
+    if kern == "rbf":
+        return jnp.exp(-0.5 * r2)
+    r = jnp.sqrt(r2 + 1e-36)
+    return (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+
+
 def _ar1_tile_kernel(a_ref, b_ref, na_ref, nb_ref, w1_ref, w2_ref,
-                     noise_ref, out_ref, *, F: int, with_noise: bool):
+                     noise_ref, out_ref, *, F: int, with_noise: bool,
+                     kern: str):
     """One (TILE, TILE) output tile of the fused AR1 covariance.
 
     a_ref/b_ref: (F, TILE, D) lengthscale-scaled inputs; na/nb: (F, TILE)
@@ -60,7 +74,7 @@ def _ar1_tile_kernel(a_ref, b_ref, na_ref, nb_ref, w1_ref, w2_ref,
             precision=jax.lax.Precision.HIGHEST)
         r2 = na_ref[m][:, None] + nb_ref[m][None, :] - 2.0 * cross
         r2 = jnp.maximum(r2, 0.0)
-        acc += (w1_ref[m][:, None] * w2_ref[m][None, :]) * jnp.exp(-0.5 * r2)
+        acc += (w1_ref[m][:, None] * w2_ref[m][None, :]) * _base(r2, kern)
     if with_noise:
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -103,10 +117,11 @@ def _pad_axis(x, axis, mult):
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "kern"))
 def ar1_cov_fused(X1, fid1, X2, fid2, variances, lengthscales, rhos,
-                  noise_diag=None, interpret: bool = False):
-    """Fused AR1 covariance via Pallas (RBF base kernels).
+                  noise_diag=None, interpret: bool = False,
+                  kern: str = "rbf"):
+    """Fused AR1 covariance via Pallas (``kern``: rbf or matern32 base).
 
     Same contract as ``ops.kernels.ar1_cov`` (+ optional fused noise
     diagonal, valid when X1 is X2-aligned, i.e. the training Gram matrix).
@@ -138,7 +153,8 @@ def ar1_cov_fused(X1, fid1, X2, fid2, variances, lengthscales, rhos,
 
     grid = (Np // TILE, Mp // TILE)
     out = pl.pallas_call(
-        functools.partial(_ar1_tile_kernel, F=F, with_noise=with_noise),
+        functools.partial(_ar1_tile_kernel, F=F, with_noise=with_noise,
+                          kern=kern),
         grid=grid,
         in_specs=[
             pl.BlockSpec((F, TILE, D), lambda i, j: (0, i, 0),
@@ -169,17 +185,21 @@ def ar1_cov_fused(X1, fid1, X2, fid2, variances, lengthscales, rhos,
     return out[:N, :M]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "kern"))
 def rbf_cov_fused(X1, X2, variance, lengthscales, noise_diag=None,
-                  interpret: bool = False):
-    """Fused single-fidelity RBF covariance: the F=1 special case."""
+                  interpret: bool = False, kern: str = "rbf"):
+    """Fused single-fidelity covariance: the F=1 special case (the name
+    predates matern32 support; ``kern`` selects the base)."""
     F1 = jnp.ones((1,), jnp.float32)
     z1 = jnp.zeros((X1.shape[0],), jnp.int32)
     z2 = jnp.zeros((X2.shape[0],), jnp.int32)
+    ls = jnp.broadcast_to(
+        jnp.asarray(lengthscales, jnp.float32).reshape(-1),
+        (X1.shape[1],))
     return ar1_cov_fused(
         X1, z1, X2, z2, jnp.asarray([variance], jnp.float32),
-        jnp.asarray(lengthscales, jnp.float32).reshape(1, -1),
-        F1[:0], noise_diag=noise_diag, interpret=interpret)
+        ls.reshape(1, -1), F1[:0], noise_diag=noise_diag,
+        interpret=interpret, kern=kern)
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +229,17 @@ _SG_TILE = 640
 def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
                       Lki_ref, Lkj_ref, Ai_ref, Aj_ref, nAi_ref, nAj_ref,
                       wi_ref, wj_ref, xiT_ref, xjT_ref, ai_ref, aj_ref,
-                      svr_ref, svc_ref, dw_ref, acc, *, F: int, T: int):
+                      svr_ref, svc_ref, dw_ref, *rest, F: int, T: int,
+                      kern: str):
+    if kern == "rbf":
+        (acc,) = rest
+        svr2_ref = svc2_ref = None
+    else:
+        # matern32: the lengthscale derivative is NOT proportional to the
+        # covariance (dK/dlog l_d = 3 v e^{-sqrt3 r} d_d^2/l_d^2), so a
+        # second matrix M2 = W o (w w^T 3 e^{-sqrt3 r}) is contracted
+        # alongside the covariance-based M
+        svr2_ref, svc2_ref, acc = rest
     p = pl.program_id(0)
     is_first = first[p] == 1
     is_last = last[p] == 1
@@ -221,6 +251,9 @@ def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
         svr_ref[:] = jnp.zeros_like(svr_ref)
         svc_ref[:] = jnp.zeros_like(svc_ref)
         dw_ref[:] = jnp.zeros_like(dw_ref)
+        if kern != "rbf":
+            svr2_ref[:] = jnp.zeros_like(svr2_ref)
+            svc2_ref[:] = jnp.zeros_like(svc2_ref)
 
     acc[:] = acc[:] + jax.lax.dot_general(
         Lki_ref[:], Lkj_ref[:], (((0,), (0,)), ((), ())),
@@ -240,8 +273,15 @@ def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
             r2 = jnp.maximum(
                 nAi_ref[m][:, None] + nAj_ref[m][None, :] - 2.0 * cross,
                 0.0)
-            Tm = (wi_ref[m][:, None] * wj_ref[m][None, :]) * jnp.exp(
-                -0.5 * r2)
+            wprod = wi_ref[m][:, None] * wj_ref[m][None, :]
+            if kern == "rbf":
+                Am2 = None
+                Tm = wprod * jnp.exp(-0.5 * r2)
+            else:
+                r = jnp.sqrt(r2 + 1e-36)
+                e = jnp.exp(-_SQRT3 * r)
+                Tm = wprod * ((1.0 + _SQRT3 * r) * e)
+                Am2 = Wt * (wprod * (3.0 * e))
             Am = Wt * Tm
             # row side: sv_i += A @ xj, stored transposed (4, T)
             svr_ref[0, m] = jax.lax.dot_general(
@@ -256,19 +296,34 @@ def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
                     xiT_ref[:], Am, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
+            if kern != "rbf":
+                svr2_ref[0, m] = jax.lax.dot_general(
+                    xjT_ref[:], Am2, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                svc2_ref[0, m] = jnp.where(
+                    is_diag, 0.0,
+                    jax.lax.dot_general(
+                        xiT_ref[:], Am2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
         dw_ref[0, 0] = jnp.where(
             is_diag, jnp.sum(jnp.where(row == col, Wt, 0.0), axis=1), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile", "kern"))
 def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
                     noises, interpret: bool = False,
-                    tile: int = _SG_TILE):
+                    tile: int = _SG_TILE, kern: str = "rbf"):
     """(g_logvar, g_logls, g_lognoise) of the AR1 NLML via the fused
-    syrk+contraction kernel (RBF base kernels; see block comment above).
+    syrk+contraction kernel (``kern``: rbf or matern32 base; see block
+    comment above).
 
     Exact mathematics of models/mfgp._nlml_vg_core's contraction phase at
-    inv_mode precision HIGHEST, without materialising K^-1.
+    inv_mode precision HIGHEST, without materialising K^-1. The matern32
+    base emits a second contraction pair (its lengthscale derivative is
+    not proportional to the covariance) — ~2x the gradient-contraction
+    FLOPs of the rbf path, still zero K^-1 HBM traffic.
     """
     T = tile
     N, D = X.shape
@@ -306,58 +361,60 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
     mk = lambda a: jnp.asarray(a, jnp.int32)  # noqa: E731
     steps = len(i_of)
 
+    in_specs = [
+        pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], i[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], j[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T, D),
+                     lambda p, i, j, k, pr, f, l: (0, i[p], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T, D),
+                     lambda p, i, j, k, pr, f, l: (0, j[p], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
+                     memory_space=pltpu.VMEM),
+    ]
+    sv_spec = pl.BlockSpec((1, F, 1 + D, T),
+                           lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_specs = [
+        sv_spec, sv_spec,
+        pl.BlockSpec((1, 1, T),
+                     lambda p, i, j, k, pr, f, l: (pr[p], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    sv_shape = jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32)
+    out_shape = [sv_shape, sv_shape,
+                 jax.ShapeDtypeStruct((npairs, 1, T), jnp.float32)]
+    if kern != "rbf":
+        out_specs += [sv_spec, sv_spec]
+        out_shape += [sv_shape, sv_shape]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], i[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, T), lambda p, i, j, k, pr, f, l: (k[p], j[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T, D),
-                         lambda p, i, j, k, pr, f, l: (0, i[p], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T, D),
-                         lambda p, i, j, k, pr, f, l: (0, j[p], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((F, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1 + D, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, i[p]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda p, i, j, k, pr, f, l: (0, j[p]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, F, 1 + D, T),
-                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, F, 1 + D, T),
-                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T),
-                         lambda p, i, j, k, pr, f, l: (pr[p], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((T, T), jnp.float32)],
     )
-    svr, svc, dw = pl.pallas_call(
-        functools.partial(_syrk_grad_kernel, F=F, T=T),
+    outs = pl.pallas_call(
+        functools.partial(_syrk_grad_kernel, F=F, T=T, kern=kern),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
-            jax.ShapeDtypeStruct((npairs, F, 1 + D, T), jnp.float32),
-            jax.ShapeDtypeStruct((npairs, 1, T), jnp.float32),
-        ],
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * steps * T * T * T,
             bytes_accessed=steps * 2 * T * T * 4,
@@ -371,19 +428,35 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
         interpret=interpret,
     )(mk(i_of), mk(j_of), mk(k_of), mk(pair_of), mk(first), mk(last),
       Lp, Lp, Apad, Apad, nApad, nApad, wpad, wpad, xT, xT, ap, ap)
+    if kern == "rbf":
+        svr, svc, dw = outs
+        svr2 = svc2 = None
+    else:
+        svr, svc, dw, svr2, svc2 = outs
 
     pr_i = mk([i for i in range(nb) for j in range(i + 1)])
     pr_j = mk([j for i in range(nb) for j in range(i + 1)])
-    SVi = jax.ops.segment_sum(svr, pr_i, num_segments=nb)
-    SVj = jax.ops.segment_sum(svc, pr_j, num_segments=nb)
-    SV = (SVi + SVj).transpose(1, 2, 0, 3).reshape(F, 1 + D, Np)[:, :, :N]
+
+    def _assemble(r, c):
+        SVi = jax.ops.segment_sum(r, pr_i, num_segments=nb)
+        SVj = jax.ops.segment_sum(c, pr_j, num_segments=nb)
+        return (SVi + SVj).transpose(1, 2, 0, 3).reshape(
+            F, 1 + D, Np)[:, :, :N]
+
+    SV = _assemble(svr, svc)
     s = SV[:, 0, :]  # (F, N) row sums of W o T_m
-    Ax = SV[:, 1:, :]  # (F, D, N)
     Xf = jnp.asarray(X, jnp.float32)
     g_logvar = 0.5 * jnp.sum(s, axis=1)
     inv_ls = 1.0 / jnp.asarray(lengthscales, jnp.float32)
-    g_logls = (jnp.einsum("nd,mn->md", Xf**2, s)
-               - jnp.einsum("nd,mdn->md", Xf, Ax)) * (inv_ls**2)
+    if kern == "rbf":
+        # dK/dlog l_d = K o d_d^2/l_d^2 — proportional to the covariance,
+        # so the same SV serves the lengthscale quadratic
+        s2, Ax2 = s, SV[:, 1:, :]
+    else:
+        SV2 = _assemble(svr2, svc2)
+        s2, Ax2 = SV2[:, 0, :], SV2[:, 1:, :]
+    g_logls = (jnp.einsum("nd,mn->md", Xf**2, s2)
+               - jnp.einsum("nd,mdn->md", Xf, Ax2)) * (inv_ls**2)
     # diagonal tiles are the pairs with i == j
     diag_pairs = mk([pr for pr, (ii, jj) in enumerate(
         [(i, j) for i in range(nb) for j in range(i + 1)]) if ii == jj])

@@ -84,9 +84,10 @@ def test_covariance_dispatch(rng, monkeypatch):
 
     # decision logic
     assert not cov.use_pallas(jnp.float64, "rbf")  # f64 -> XLA
-    assert not cov.use_pallas(jnp.float32, "matern32")  # kernel -> XLA
+    assert not cov.use_pallas(jnp.float32, "cosine")  # kernel -> XLA
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert cov.use_pallas(jnp.float32, "rbf")
+    assert cov.use_pallas(jnp.float32, "matern32")  # fused since r3
     monkeypatch.setenv("MFGP_TPU_DISABLE_PALLAS", "1")
     assert not cov.use_pallas(jnp.float32, "rbf")  # kill switch
     monkeypatch.undo()
@@ -111,11 +112,13 @@ def test_covariance_dispatch(rng, monkeypatch):
         rtol=1e-12)
 
 
-def test_ar1_custom_vjp_gradients_match_autodiff(rng):
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_ar1_custom_vjp_gradients_match_autodiff(rng, kernel):
     """The fused covariance's custom VJP (Pallas forward in interpret mode
     here, closed-form contraction backward) matches plain autodiff through
     the XLA composition for ALL parameters — variances, lengthscales, AND
-    rhos (which even the analytic NLML path treats as fixed)."""
+    rhos (which even the analytic NLML path treats as fixed) — for both
+    base kernels."""
     import jax
     import jax.numpy as jnp
 
@@ -131,10 +134,11 @@ def test_ar1_custom_vjp_gradients_match_autodiff(rng):
     rhos = jnp.asarray([0.9, 0.7], jnp.float32)
 
     def loss_fused(v, ls, rhos):
-        return jnp.sum(R * cov._ar1_train_cov_fused(v, ls, rhos, X, fid))
+        return jnp.sum(R * cov._ar1_train_cov_fused(kernel, v, ls, rhos,
+                                                    X, fid))
 
     def loss_xla(v, ls, rhos):
-        return jnp.sum(R * _k.ar1_cov(X, fid, X, fid, v, ls, rhos, "rbf"))
+        return jnp.sum(R * _k.ar1_cov(X, fid, X, fid, v, ls, rhos, kernel))
 
     g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(v, ls, rhos)
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(v, ls, rhos)
@@ -143,8 +147,8 @@ def test_ar1_custom_vjp_gradients_match_autodiff(rng):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
     # values agree too
     np.testing.assert_allclose(
-        np.asarray(cov._ar1_train_cov_fused(v, ls, rhos, X, fid)),
-        np.asarray(_k.ar1_cov(X, fid, X, fid, v, ls, rhos, "rbf")),
+        np.asarray(cov._ar1_train_cov_fused(kernel, v, ls, rhos, X, fid)),
+        np.asarray(_k.ar1_cov(X, fid, X, fid, v, ls, rhos, kernel)),
         rtol=1e-5, atol=1e-5)
 
 
@@ -174,3 +178,102 @@ def test_sf_cov_diff_gradients(rng, monkeypatch):
     np.testing.assert_allclose(float(g1[0]), float(g2[0]), rtol=2e-4)
     np.testing.assert_allclose(np.asarray(g1[1]).reshape(-1),
                                np.asarray(g2[1]), rtol=2e-4, atol=2e-4)
+
+
+def test_ar1_fused_matern32_matches_xla(problem):
+    """The fused kernel's matern32 base equals the XLA composition
+    (kernels.matern32 semantics incl. the sqrt guard)."""
+    X1, f1, X2, f2, var, ls, rho = problem
+    K_ref = np.asarray(k.ar1_cov(
+        jnp.asarray(X1), jnp.asarray(f1), jnp.asarray(X2), jnp.asarray(f2),
+        var, ls, rho, "matern32"))
+    K_pal = np.asarray(ar1_cov_fused(X1, f1, X2, f2, var, ls, rho,
+                                     interpret=True, kern="matern32"))
+    np.testing.assert_allclose(K_pal, K_ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_syrk_grad_fused_matches_xla_contractions(rng, kernel):
+    """syrk_grad_fused (interpret mode) reproduces the XLA analytic
+    contraction path's (g_logvar, g_logls, g_lognoise) — the fused
+    kernel's first CPU-verifiable parity test, for BOTH base kernels
+    (matern32 contracts a second per-fidelity matrix in-kernel since its
+    lengthscale derivative is not proportional to the covariance)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.models import mfgp as mm
+    from mfgp_tpu.ops.pallas_kernels import syrk_grad_fused
+
+    N, D, F = 180, 3, 2
+    X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    fid = jnp.asarray(rng.integers(0, F, N), jnp.int32)
+    y = jnp.asarray(rng.normal(size=N), jnp.float32)
+    params = mm.MFGPParams(
+        jnp.log(jnp.asarray([1.4, 0.8], jnp.float32)),
+        jnp.log(jnp.asarray(rng.uniform(0.7, 1.8, (F, D)), jnp.float32)),
+        jnp.asarray([0.9], jnp.float32),
+        jnp.log(jnp.asarray([0.05, 0.02], jnp.float32)))
+    # CPU backend -> use_pallas False -> the XLA contraction branch runs
+    val, grad, L, alpha, Linv = mm._nlml_vg_core(
+        params, X, fid, y, kernel, 1e-6, inv_mode="highest")
+    assert Linv is not None
+    g_v, g_l, g_n = syrk_grad_fused(
+        Linv, alpha, X, fid, params.variances, params.lengthscales,
+        params.rhos, params.noises, interpret=True, tile=128, kern=kernel)
+    np.testing.assert_allclose(np.asarray(g_v),
+                               np.asarray(grad.log_variances),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_l),
+                               np.asarray(grad.log_lengthscales),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_n),
+                               np.asarray(grad.log_noises),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_model_fused_grad_branch_matches_solve_path(rng, kernel,
+                                                    monkeypatch):
+    """The models' fused-gradient branches (GP F=1 and MFGP), forced on
+    off-TPU via use_pallas + interpret mode, match the triangular-solve
+    analytic gradient for both base kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfgp_tpu.models import gp as gm
+    from mfgp_tpu.models import mfgp as mm
+    from mfgp_tpu.ops import covariance as cov
+
+    monkeypatch.setattr(cov, "use_pallas", lambda *a: True)
+
+    N, D, F = 150, 3, 2
+    X = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=N), jnp.float32)
+
+    gp_params = gm.GPParams(jnp.log(jnp.float32(1.3)),
+                            jnp.log(jnp.asarray(
+                                rng.uniform(0.7, 1.5, D), jnp.float32)),
+                            jnp.log(jnp.float32(0.05)))
+    v0, g0, *_ = gm._gp_vg_core(gp_params, X, y, 0.0, kernel, 1e-6,
+                                inv_mode=None)
+    v1, g1, *_ = gm._gp_vg_core(gp_params, X, y, 0.0, kernel, 1e-6,
+                                inv_mode="highest")
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+    fid = jnp.asarray(rng.integers(0, F, N), jnp.int32)
+    mf_params = mm.MFGPParams(
+        jnp.log(jnp.asarray([1.4, 0.8], jnp.float32)),
+        jnp.log(jnp.asarray(rng.uniform(0.7, 1.8, (F, D)), jnp.float32)),
+        jnp.asarray([0.9], jnp.float32),
+        jnp.log(jnp.asarray([0.05, 0.02], jnp.float32)))
+    v0, g0, *_ = mm._nlml_vg_core(mf_params, X, fid, y, kernel, 1e-6,
+                                  inv_mode=None)
+    v1, g1, *_ = mm._nlml_vg_core(mf_params, X, fid, y, kernel, 1e-6,
+                                  inv_mode="highest")
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
