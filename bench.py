@@ -80,7 +80,7 @@ def _theta(D=D_IN, dtype=np.float64):
 # ---------------------------------------------------------------------------
 # TPU unit
 # ---------------------------------------------------------------------------
-def run_tpu(N, M, repeats=3, fast=False):
+def run_tpu(N, M, repeats=3, fast=False, kernel="rbf"):
     import jax
     import jax.numpy as jnp
 
@@ -112,10 +112,12 @@ def run_tpu(N, M, repeats=3, fast=False):
     # warm per-phase sub-metrics below come free).
     mode = "high" if fast else "highest"
     vgs = jax.jit(
-        lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj, jitter=1e-6,
+        lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj,
+                                               kernel=kernel, jitter=1e-6,
                                                inv_mode=mode))
     post = jax.jit(
-        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj, precision=mode))
+        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj, kernel=kernel,
+                                            precision=mode))
 
     def unit():
         val, g, state = vgs(params)
@@ -136,7 +138,7 @@ def run_tpu(N, M, repeats=3, fast=False):
     from mfgp_tpu.ops import linalg as _la
 
     chol_fn = jax.jit(
-        lambda p: _la.chol(_assemble_noisy_cov(p, Xj, fj, 1e-6, "rbf")))
+        lambda p: _la.chol(_assemble_noisy_cov(p, Xj, fj, 1e-6, kernel)))
     jax.block_until_ready(chol_fn(params))
     t0 = time.perf_counter()
     jax.block_until_ready(chol_fn(params))
@@ -267,6 +269,11 @@ def main():
     ap.add_argument("--n", type=int, default=N_TRAIN)
     ap.add_argument("--m", type=int, default=M_GRID)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--kernel", default="rbf",
+                    choices=("rbf", "matern32"),
+                    help="base kernel for the measured unit (matern32 "
+                         "rides the same fused Pallas stack since r3; "
+                         "the recorded-NLML cross-check is rbf-only)")
     ap.add_argument("--fast", action="store_true",
                     help="HIGH-precision matmuls on the K^-1/posterior "
                          "phases (~5e-2 max posterior-variance rel err vs "
@@ -279,7 +286,8 @@ def main():
 
     baseline = (args.baseline_seconds if args.baseline_seconds is not None
                 else BASELINE_CPU_SECONDS)
-    stats = run_tpu(args.n, args.m, args.repeats, fast=args.fast)
+    stats = run_tpu(args.n, args.m, args.repeats, fast=args.fast,
+                    kernel=args.kernel)
     value = stats["seconds"]
     out = {
         "metric": "mfgp_n20k_train_step_plus_grid_wallclock",
@@ -290,7 +298,9 @@ def main():
         "chol_seconds": round(stats["chol_seconds"], 4),
         "grid_points_per_sec": round(stats["grid_points_per_sec"], 1),
     }
-    if args.n == N_TRAIN:
+    if args.kernel != "rbf":
+        out["metric"] = out["metric"].replace("mfgp_", f"mfgp_{args.kernel}_")
+    if args.n == N_TRAIN and args.kernel == "rbf":
         # same-answer proof: the TPU f32 unit reproduces the measured f64
         # NumPy baseline's NLML (the 4-sig-fig recorded value)
         out["nlml_tpu"] = round(stats["nlml_tpu"], 2)
