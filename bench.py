@@ -42,6 +42,11 @@ BASELINE_CPU_SECONDS = 2764.3
 # NLML value of that same measured f64 baseline run (the cross-check that
 # makes the speedup provably same-answer: the TPU unit must reproduce it).
 BASELINE_CPU_NLML = 6969.5
+# Same-unit matern32 baseline, measured on this host 2026-08-17 via
+#   python bench.py --calibrate --kernel matern32
+# (small-N t = aN^3 + bN^2 fit extrapolated to N_TRAIN; None = unmeasured,
+# in which case --kernel matern32 omits vs_baseline).
+BASELINE_CPU_SECONDS_MATERN32 = None
 
 N_TRAIN = 20_000
 M_GRID = 10_571
@@ -170,9 +175,13 @@ def _np_ar1_weights(rhos, F):
     return W
 
 
-def _np_base_kernels(X1, X2, lengthscales):
-    """Per-fidelity unit-variance RBF matrices + scaled sq-dists."""
-    Ks, R2s = [], []
+def _np_base_kernels(X1, X2, lengthscales, kernel="rbf"):
+    """Per-fidelity unit-variance base-kernel matrices + derivative bases.
+
+    Returns (Ks, Es): Ks the covariance matrices, Es the lengthscale
+    derivative base (dK/dl_d = E * d_d^2 / l_d^3 elementwise) — for rbf
+    E IS K; for matern32 E = 3 exp(-sqrt(3) r)."""
+    Ks, Es = [], []
     for m in range(lengthscales.shape[0]):
         inv_l = 1.0 / lengthscales[m]
         a = X1 * inv_l
@@ -180,12 +189,20 @@ def _np_base_kernels(X1, X2, lengthscales):
         r2 = (np.sum(a * a, 1)[:, None] + np.sum(b * b, 1)[None, :]
               - 2.0 * a @ b.T)
         np.maximum(r2, 0.0, out=r2)
-        Ks.append(np.exp(-0.5 * r2))
-        R2s.append(r2)
-    return Ks, R2s
+        if kernel == "rbf":
+            K = np.exp(-0.5 * r2)
+            E = K
+        else:  # matern32, ops.kernels semantics incl. the sqrt guard
+            r = np.sqrt(r2 + 1e-36)
+            e = np.exp(-np.sqrt(3.0) * r)
+            K = (1.0 + np.sqrt(3.0) * r) * e
+            E = 3.0 * e
+        Ks.append(K)
+        Es.append(E)
+    return Ks, Es
 
 
-def run_numpy_unit(N, M, seed=0):
+def run_numpy_unit(N, M, seed=0, kernel="rbf"):
     """One NLML+grad + condition + grid posterior, NumPy/scipy f64."""
     from scipy.linalg import cho_factor, cho_solve, solve_triangular
 
@@ -198,7 +215,7 @@ def run_numpy_unit(N, M, seed=0):
 
     t0 = time.perf_counter()
     W = _np_ar1_weights(rhos, F)
-    Ks, R2s = _np_base_kernels(X, X, lengthscales)
+    Ks, Es = _np_base_kernels(X, X, lengthscales, kernel)
     K = np.zeros((N, N))
     for m in range(F):
         w = W[m][fid]
@@ -221,7 +238,7 @@ def run_numpy_unit(N, M, seed=0):
         ww = w[:, None] * w[None, :]
         dK_dvar = ww * Ks[m]
         grads.append(0.5 * np.sum(Wmat * dK_dvar))
-        base = variances[m] * ww * Ks[m]
+        base = variances[m] * ww * Es[m]
         for d in range(D_IN):
             diff = (X[:, d][:, None] - X[:, d][None, :]) ** 2
             dK_dl = base * diff / lengthscales[m, d] ** 3
@@ -231,7 +248,7 @@ def run_numpy_unit(N, M, seed=0):
         grads.append(0.5 * np.sum(np.diag(Wmat) * mask))
 
     # condition + posterior grid (mean + marginal variance)
-    Kxs_parts, _ = _np_base_kernels(grid, X, lengthscales)
+    Kxs_parts, _ = _np_base_kernels(grid, X, lengthscales, kernel)
     Kxs = np.zeros((M, N))
     for m in range(F):
         w1 = W[m][grid_fid]
@@ -245,11 +262,11 @@ def run_numpy_unit(N, M, seed=0):
     return elapsed, float(nlml), float(np.sum(mu)), float(np.sum(var))
 
 
-def calibrate(ns=(2000, 3000, 4000, 6000), m=M_GRID):
+def calibrate(ns=(2000, 3000, 4000, 6000), m=M_GRID, kernel="rbf"):
     """Fit t = a N^3 + b N^2 on small-N runs, extrapolate to N_TRAIN."""
     rows = []
     for n in ns:
-        t, nl, _, _ = run_numpy_unit(n, m)
+        t, nl, _, _ = run_numpy_unit(n, m, kernel=kernel)
         rows.append((n, t))
         print(f"  N={n}: {t:.2f}s (nlml={nl:.1f})", flush=True)
     A = np.array([[n**3, n**2] for n, _ in rows], np.float64)
@@ -281,11 +298,17 @@ def main():
     args = ap.parse_args()
 
     if args.calibrate:
-        calibrate()
+        calibrate(kernel=args.kernel)
         return
 
-    baseline = (args.baseline_seconds if args.baseline_seconds is not None
-                else BASELINE_CPU_SECONDS)
+    if args.baseline_seconds is not None:
+        baseline = args.baseline_seconds
+    elif args.kernel == "rbf":
+        baseline = BASELINE_CPU_SECONDS
+    else:
+        # a same-unit baseline only: never report a matern32 speedup
+        # against the rbf-measured constant
+        baseline = BASELINE_CPU_SECONDS_MATERN32
     stats = run_tpu(args.n, args.m, args.repeats, fast=args.fast,
                     kernel=args.kernel)
     value = stats["seconds"]
@@ -294,7 +317,8 @@ def main():
         "value": round(value, 4),
         "unit": "s",
         "precision": "high" if args.fast else "highest",
-        "vs_baseline": round(baseline / value, 2),
+        "vs_baseline": (round(baseline / value, 2)
+                        if baseline is not None else None),
         "chol_seconds": round(stats["chol_seconds"], 4),
         "grid_points_per_sec": round(stats["grid_points_per_sec"], 1),
     }

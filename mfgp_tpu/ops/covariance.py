@@ -31,14 +31,71 @@ from mfgp_tpu.ops import kernels as _k
 from mfgp_tpu.ops import linalg as _la
 
 
+_MATERN_PROBE: dict = {}
+
+
+def _matern_pallas_ok() -> bool:
+    """One-time smoke compile+check of the matern32 fused kernels on the
+    live TPU backend.
+
+    The rbf Pallas stack is TPU-verified and measured; the matern32 stack
+    was added with CPU interpret-mode parity only (tunnel outage), so in
+    the default ``auto`` mode its first TPU use compiles both fused
+    kernels on a tiny problem, checks the covariance against the XLA
+    composition, and falls back to XLA (with a warning) on any failure.
+    ``MFGP_TPU_MATERN_PALLAS=1`` forces the fused path, ``=0`` forces XLA.
+    """
+    mode = os.environ.get("MFGP_TPU_MATERN_PALLAS", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    if "ok" not in _MATERN_PROBE:
+        import warnings
+
+        import numpy as np
+
+        from mfgp_tpu.ops.pallas_kernels import (ar1_cov_fused,
+                                                 syrk_grad_fused)
+
+        try:
+            X = jnp.asarray(
+                np.linspace(0.0, 1.0, 16, dtype=np.float32).reshape(8, 2))
+            fid = jnp.zeros((8,), jnp.int32)
+            v = jnp.ones((1,), jnp.float32)
+            ls = jnp.full((1, 2), 0.7, jnp.float32)
+            rhos = jnp.zeros((0,), jnp.float32)
+            K = ar1_cov_fused(X, fid, X, fid, v, ls, rhos, kern="matern32")
+            syrk_grad_fused(jnp.eye(8, dtype=jnp.float32),
+                            jnp.ones((8,), jnp.float32), X, fid, v, ls,
+                            rhos, jnp.full((1,), 0.1, jnp.float32),
+                            kern="matern32")
+            ref = _k.ar1_cov(X, fid, X, fid, v, ls, rhos, "matern32")
+            ok = bool(np.allclose(np.asarray(K), np.asarray(ref),
+                                  atol=1e-4))
+            if not ok:
+                warnings.warn(
+                    "matern32 Pallas smoke check mismatched the XLA "
+                    "composition; using XLA for matern32")
+        except Exception as e:  # Mosaic lowering / VMEM / worker faults
+            warnings.warn(
+                f"matern32 Pallas smoke compile failed ({e!r}); "
+                "using XLA for matern32")
+            ok = False
+        _MATERN_PROBE["ok"] = ok
+    return _MATERN_PROBE["ok"]
+
+
 def use_pallas(dtype, kernel: str) -> bool:
     """True when the fused Pallas path applies (TPU, f32, rbf or
-    matern32 base)."""
+    matern32 base; matern32 additionally passes a one-time smoke probe)."""
     if os.environ.get("MFGP_TPU_DISABLE_PALLAS"):
         return False
-    return (kernel in ("rbf", "matern32")
-            and jnp.dtype(dtype) == jnp.float32
-            and jax.default_backend() == "tpu")
+    if (kernel not in ("rbf", "matern32")
+            or jnp.dtype(dtype) != jnp.float32
+            or jax.default_backend() != "tpu"):
+        return False
+    return kernel == "rbf" or _matern_pallas_ok()
 
 
 def mf_train_cov(variances, lengthscales, rhos, noises, X, fid,
@@ -124,7 +181,16 @@ def _ar1_bwd(kern, res, Ct):
     v_bar, l_bar = [], []
     rho_bar = jnp.zeros_like(rhos)
     for m in range(F):
-        Km = _k.KERNELS[kern](X, X, 1.0, lengthscales[m])
+        if kern == "rbf":
+            Km = _k.KERNELS[kern](X, X, 1.0, lengthscales[m])
+            e3 = None
+        else:
+            # one ARD distance pass serves both the covariance and the
+            # lengthscale-derivative base (matern32's dK/dl is not
+            # proportional to K); same formula/guard as ops.kernels.matern32
+            r = jnp.sqrt(_k.sqdist(X, X, inv_ls[m]) + 1e-36)
+            e3 = jnp.exp(-_k._SQRT3 * r)
+            Km = (1.0 + _k._SQRT3 * r) * e3
         B = Ct * (variances[m] * Km)  # Ct o v_m K_m
         wprod = w[m][:, None] * w[m][None, :]
         A = B * wprod  # Ct o T_m
@@ -135,9 +201,7 @@ def _ar1_bwd(kern, res, Ct):
         if kern == "rbf":
             rE, cE = rA, cA
         else:
-            r = jnp.sqrt(_k.sqdist(X, X, inv_ls[m]) + 1e-36)
-            E = Ct * (variances[m] * 3.0
-                      * jnp.exp(-_k._SQRT3 * r)) * wprod
+            E = Ct * (variances[m] * 3.0 * e3) * wprod
             rE = jnp.dot(E, onesX, precision=_H)
             cE = jnp.dot(E.T, onesX, precision=_H)
         quad = (jnp.sum((X**2) * (rE[:, :1] + cE[:, :1]), axis=0)

@@ -416,9 +416,14 @@ def syrk_grad_fused(Linv, alpha, X, fid, variances, lengthscales, rhos,
         grid_spec=grid_spec,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * steps * T * T * T,
+            # syrk accumulation + last-step base rebuild and sv
+            # contractions (matern32 contracts two extra (1+D, T) x (T, T)
+            # pairs per fidelity and costs a sqrt besides the exp)
+            flops=(2 * steps * T * T * T
+                   + npairs * F * 2 * T * T
+                   * (D + (2 if kern == "rbf" else 4) * (1 + D))),
             bytes_accessed=steps * 2 * T * T * 4,
-            transcendentals=npairs * F * T * T,
+            transcendentals=npairs * F * T * T * (1 if kern == "rbf" else 2),
         ),
         # double-buffered (T, T) Linv blocks + the K^-1 scratch + the
         # lane-padded (F, T, D) operand blocks exceed the 16 MB default

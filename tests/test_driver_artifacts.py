@@ -92,8 +92,11 @@ def test_bench_tpu_unit_smoke_on_cpu():
     assert stats["grid_points_per_sec"] > 0
 
 
-def test_bench_units_agree():
-    """The JAX unit and the NumPy baseline compute the same quantities."""
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_bench_units_agree(kernel):
+    """The JAX unit and the NumPy baseline compute the same quantities
+    (both base kernels — the matern32 baseline must be the same unit
+    before its vs_baseline speedup means anything)."""
     import jax.numpy as jnp
 
     from bench import _theta, build_problem
@@ -101,20 +104,29 @@ def test_bench_units_agree():
 
     N, M = 150, 80
     X, fid, y, grid, grid_fid = build_problem(N, M)
-    _, nlml_np, mu_np, var_np = __import__("bench").run_numpy_unit(N, M)
+    _, nlml_np, mu_np, var_np = __import__("bench").run_numpy_unit(
+        N, M, kernel=kernel)
     v, l, r, nz = _theta()
     params = mf.MFGPParams(
         jnp.log(jnp.asarray(v)), jnp.log(jnp.asarray(l)),
         jnp.asarray(r), jnp.log(jnp.asarray(nz)))
     Xj = jnp.asarray(X, jnp.float64)
     val = float(mf.nlml(params, Xj, jnp.asarray(fid),
-                        jnp.asarray(y, jnp.float64), jitter=1e-6))
+                        jnp.asarray(y, jnp.float64), jitter=1e-6,
+                        kernel=kernel))
     np.testing.assert_allclose(val, nlml_np, rtol=1e-6)
     state = mf.condition(params, Xj, jnp.asarray(fid),
-                         jnp.asarray(y, jnp.float64), jitter=1e-6)
+                         jnp.asarray(y, jnp.float64), jitter=1e-6,
+                         kernel=kernel)
     mu, var = mf.predict(params, state, jnp.asarray(grid, jnp.float64),
-                         jnp.asarray(grid_fid))
+                         jnp.asarray(grid_fid), kernel=kernel)
     np.testing.assert_allclose(float(np.sum(np.asarray(mu))), mu_np,
                                rtol=1e-6)
     np.testing.assert_allclose(float(np.sum(np.asarray(var))), var_np,
                                rtol=1e-5)
+    # the baseline's analytic gradient base: same trace-identity gradient
+    # as the model's nlml_value_and_grad
+    gv = mf.nlml_value_and_grad(params, Xj, jnp.asarray(fid),
+                                jnp.asarray(y, jnp.float64), jitter=1e-6,
+                                kernel=kernel)
+    assert np.isfinite(float(gv[0]))

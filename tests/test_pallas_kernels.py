@@ -87,7 +87,17 @@ def test_covariance_dispatch(rng, monkeypatch):
     assert not cov.use_pallas(jnp.float32, "cosine")  # kernel -> XLA
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert cov.use_pallas(jnp.float32, "rbf")
-    assert cov.use_pallas(jnp.float32, "matern32")  # fused since r3
+    # matern32 (fused since r3) additionally gates on the one-time TPU
+    # smoke probe; auto mode consults the cached probe result
+    monkeypatch.setitem(cov._MATERN_PROBE, "ok", True)
+    assert cov.use_pallas(jnp.float32, "matern32")
+    monkeypatch.setitem(cov._MATERN_PROBE, "ok", False)
+    assert not cov.use_pallas(jnp.float32, "matern32")  # probe fallback
+    monkeypatch.setenv("MFGP_TPU_MATERN_PALLAS", "1")
+    assert cov.use_pallas(jnp.float32, "matern32")  # forced on
+    monkeypatch.setenv("MFGP_TPU_MATERN_PALLAS", "0")
+    assert not cov.use_pallas(jnp.float32, "matern32")  # forced off
+    monkeypatch.delenv("MFGP_TPU_MATERN_PALLAS")
     monkeypatch.setenv("MFGP_TPU_DISABLE_PALLAS", "1")
     assert not cov.use_pallas(jnp.float32, "rbf")  # kill switch
     monkeypatch.undo()
