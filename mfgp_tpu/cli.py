@@ -334,12 +334,17 @@ def cmd_serve(args):
         return bool(sep) and name.isidentifier()
 
     if all(is_pair(c) for c in args.checkpoint):
+        if args.plan_cost:
+            raise SystemExit("--plan-cost serves ONE model (no name=path "
+                             "routing)")
         paths = dict(c.split("=", 1) for c in args.checkpoint)
         serve_checkpoints(paths, host=args.host, port=args.port)
     else:
         if len(args.checkpoint) != 1:
             raise SystemExit("either ONE checkpoint or name=path pairs")
-        serve_checkpoint(args.checkpoint[0], host=args.host, port=args.port)
+        serve_checkpoint(args.checkpoint[0], host=args.host, port=args.port,
+                         plan_cost=args.plan_cost,
+                         plan_iters=args.plan_iters)
 
 
 def cmd_plot(args):
@@ -514,6 +519,14 @@ def build_parser():
                         "multi-model routing")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--plan-cost", default=None,
+                   choices=("ergodic", "fourier", "sf_gain", "mf_gain",
+                            "sf_logdet", "mf_logdet"),
+                   help="enable POST /plan (replan-as-a-service via the "
+                        "one-launch device planner) with this scoring "
+                        "family")
+    p.add_argument("--plan-iters", type=int, default=100,
+                   help="device-planner iterations per /plan request")
 
     p = sub.add_parser("plot"); p.set_defaults(fn=cmd_plot)
     p.add_argument("csv"); p.add_argument("--out", required=True)

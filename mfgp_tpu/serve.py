@@ -250,6 +250,126 @@ class ModelServer:
         self.batcher.close()
 
 
+class PlannerService:
+    """Replan-as-a-service around a ModelServer.
+
+    The reference robot replans on-board inside a 45 s wall-clock budget
+    (reference/PhysicalExperimentCode/exploreExpSettings.py:214-218); this
+    service answers the same decision over HTTP from the one-launch device
+    planner (planning/rig_device), so a fleet of robots can offload
+    replanning to one TPU host:
+
+      POST /plan   body {"start": [x, y], "budget": B, "seed": 0,
+                         "alpha": 1/11, "n_plans": 1}
+                   -> {"path": [[x, y, z, t], ...], "budget": b,
+                       "info": i, "n_nodes": n, "n_edges": e,
+                       "plan_seconds": s}
+
+    ``cost`` fixes the scoring family at construction (one compiled
+    executable serves every request; start/budget/seed/EID are traced
+    arguments): "ergodic" (default) / "fourier" score against the EID
+    computed from the wrapped model over the workspace grid; "sf_gain" /
+    "mf_gain" condition the sequential information gain on the model's
+    training set; "sf_logdet" / "mf_logdet" use the coarse IG grid
+    (reference's separate 10x6x5 grid, exploreExpSettings.py:158-173).
+    Every other route passes through to the wrapped ModelServer.
+    """
+
+    _GAIN_COSTS = ("sf_gain", "mf_gain", "sf_logdet", "mf_logdet")
+
+    def __init__(self, model_server: ModelServer, cost: str = "ergodic",
+                 plan_iters: int = 100, exp=None, n_plans: int = 1):
+        from mfgp_tpu.metrics.eid import eid_grid
+        from mfgp_tpu.planning.rig_device import DeviceRIGAdapter
+        from mfgp_tpu.utils.configs import ExperimentConfig
+
+        self.model_server = model_server
+        self.exp = exp or ExperimentConfig()
+        cfg = self.exp.sim
+        ws = np.asarray(cfg.WS, float)
+        bounds = [list(b) for b in cfg.WS]
+        self.grid = np.asarray(eid_grid(bounds, cfg.max_depth))
+        self.cost = cost
+        model = model_server.model
+        if cost in self._GAIN_COSTS:
+            needs_mf = cost.startswith("mf")
+            has_state = (hasattr(model, "state") and hasattr(model, "params")
+                         and hasattr(model, "X"))
+            if not has_state:
+                raise ValueError(
+                    f"cost={cost!r} needs a conditioned GP/MFGP model, "
+                    f"got {type(model).__name__}")
+            is_mf = hasattr(getattr(model, "state"), "fid")
+            if needs_mf != is_mf:
+                raise ValueError(
+                    f"cost={cost!r} does not match model "
+                    f"{type(model).__name__}")
+        plan_grid = (np.asarray(eid_grid(bounds, cfg.max_depth,
+                                         nums=(10, 6, 5)))
+                     if cost.endswith("_logdet") else self.grid)
+        self.agent_cfg = cfg.agent()
+        self._adapter = DeviceRIGAdapter(
+            n_plans=n_plans,
+            cfg=self.agent_cfg, delta=cfg.step_size, B=self.exp.B,
+            WS=ws, R=cfg.near_rad, Rd=cfg.Rd,
+            same_node_distance=cfg.same_node_distance,
+            budget_cutoff=0.9, max_iter=plan_iters, grid=plan_grid,
+            kernel=getattr(model, "kernel", "rbf"), cost=cost)
+        self._gain_nmax = None
+        self._plan_lock = threading.Lock()  # one planner launch at a time
+
+    def _eid(self, alpha):
+        from mfgp_tpu.metrics.eid import expected_information_density
+
+        mu, var = self.model_server._predict_device(self.grid)
+        return np.asarray(expected_information_density(
+            mu, var, self.model_server.prior_sig, alpha=alpha))
+
+    def _gain_state(self):
+        from mfgp_tpu.planning.rig_device import (prepare_mf_gain_state,
+                                                  prepare_sf_gain_state)
+
+        model = self.model_server.model
+        n = int(np.asarray(model.X).shape[0])
+        # size the static train pad generously so the compiled plan()
+        # survives model growth (same policy as sim/explore.py)
+        if self._gain_nmax is None or n > self._gain_nmax:
+            self._gain_nmax = 1 << max(9, (4 * max(n, 1) - 1).bit_length())
+        if self.cost.startswith("mf"):
+            return prepare_mf_gain_state(
+                model, self.agent_cfg.fid_levels, self._gain_nmax)
+        return prepare_sf_gain_state(model, self._gain_nmax)
+
+    def handle(self, route: str, payload: dict) -> dict:
+        if route != "/plan":
+            return self.model_server.handle(route, payload)
+        start = np.asarray(payload.get("start", ()), np.float64).reshape(-1)
+        if start.size < 2:
+            raise ValueError("start must give at least [x, y]")
+        B = float(payload.get("budget", self.exp.B))
+        seed = int(payload.get("seed", 0))
+        eid = gp = None
+        if self.cost in self._GAIN_COSTS:
+            gp = self._gain_state()
+        else:
+            eid = self._eid(payload.get("alpha", 1.0 / 11))
+        t0 = time.perf_counter()
+        with self._plan_lock:
+            best = self._adapter.plan(start, seed=seed, B=B, eid=eid, gp=gp)
+        dt = time.perf_counter() - t0
+        pts = self._adapter.best_path_points()
+        summary = self._adapter.graph_summary()
+        return {"path": np.asarray(pts).tolist() if pts is not None else [],
+                "budget": float(best.budget),
+                "info": float(best.info),
+                "n_nodes": int(summary["nodes"]),
+                "n_edges": int(summary["edges"]),
+                "plan_seconds": round(dt, 4)}
+
+    def close(self):
+        self.model_server.close()
+
+
 class ModelRouter:
     """Routes requests across multiple named models.
 
@@ -326,9 +446,17 @@ def make_http_server(server, host: str = "127.0.0.1",
     return ThreadingHTTPServer((host, port), Handler)
 
 
-def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080):
-    """Blocking entry point: load checkpoint, serve forever."""
-    srv = make_http_server(ModelServer.from_checkpoint(path), host, port)
+def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080,
+                     plan_cost: str | None = None, plan_iters: int = 100):
+    """Blocking entry point: load checkpoint, serve forever.
+
+    ``plan_cost`` additionally enables POST /plan (PlannerService) with
+    that scoring family."""
+    server = ModelServer.from_checkpoint(path)
+    if plan_cost:
+        server = PlannerService(server, cost=plan_cost,
+                                plan_iters=plan_iters)
+    srv = make_http_server(server, host, port)
     print(f"serving on {srv.server_address}")
     srv.serve_forever()
 

@@ -186,3 +186,78 @@ def test_nigp_checkpoint_serves(rng_module):
         assert cov.shape == (3, 3)
     finally:
         srv.close()
+
+
+def test_plan_endpoint_ergodic(rng_module):
+    """Replan-as-a-service: POST /plan runs the one-launch device planner
+    against the served model's EID and returns a flyable path."""
+    from mfgp_tpu.serve import PlannerService
+
+    X = np.column_stack([rng_module.uniform(0, 10, 25),
+                         rng_module.uniform(0, 20, 25),
+                         rng_module.uniform(0, 10, 25)])
+    y = np.sin(X[:, 0]) + 0.1 * rng_module.standard_normal(25)
+    svc = PlannerService(ModelServer(GP(X, y, jitter=1e-8)),
+                         cost="ergodic", plan_iters=12)
+    srv = make_http_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, out = _req(srv.server_address, "POST", "/plan",
+                         {"start": [1.0, 1.0], "budget": 20.0, "seed": 0})
+        assert code == 200
+        path = np.asarray(out["path"])
+        assert path.ndim == 2 and path.shape[1] == 4  # x, y, z, t
+        assert 0.0 < out["budget"] <= 20.0
+        assert np.isfinite(out["info"]) and out["n_nodes"] > 0
+        assert out["plan_seconds"] > 0
+        # deterministic per seed
+        code, out2 = _req(srv.server_address, "POST", "/plan",
+                          {"start": [1.0, 1.0], "budget": 20.0, "seed": 0})
+        assert out2["path"] == out["path"]
+        # non-plan routes pass through to the model server
+        code, h = _req(srv.server_address, "GET", "/health")
+        assert code == 200 and h["status"] == "ok"
+        code, _ = _req(srv.server_address, "POST", "/plan", {"start": []})
+        assert code == 400
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_plan_endpoint_gain(rng_module):
+    """sf_gain /plan conditions the sequential info gain on the served
+    model's training set (prepare_sf_gain_state path)."""
+    from mfgp_tpu.serve import PlannerService
+
+    X = np.column_stack([rng_module.uniform(0, 10, 20),
+                         rng_module.uniform(0, 20, 20),
+                         rng_module.uniform(0, 10, 20)])
+    y = np.sin(X[:, 0])
+    svc = PlannerService(ModelServer(GP(X, y, jitter=1e-8)),
+                         cost="sf_gain", plan_iters=10)
+    try:
+        out = svc.handle("/plan", {"start": [2.0, 3.0], "budget": 15.0})
+        assert np.asarray(out["path"]).shape[0] > 0
+        assert np.isfinite(out["info"])
+    finally:
+        svc.close()
+
+
+def test_plan_cost_model_mismatch(rng_module):
+    """mf_gain needs an MFGP; NIGP lacks the conditioned state entirely."""
+    from mfgp_tpu.models.nigp import NIGP
+    from mfgp_tpu.serve import PlannerService
+
+    X = rng_module.uniform(0, 5, (15, 3))
+    y = np.sin(X[:, 0])
+    srv = ModelServer(GP(X, y, jitter=1e-8))
+    with pytest.raises(ValueError, match="does not match"):
+        PlannerService(srv, cost="mf_gain")
+    srv.close()
+    m = NIGP(iters=1, n_restarts=1)
+    m.fit(X, y)
+    srv2 = ModelServer(m)
+    with pytest.raises(ValueError, match="conditioned"):
+        PlannerService(srv2, cost="sf_gain")
+    srv2.close()
