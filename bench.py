@@ -42,11 +42,12 @@ BASELINE_CPU_SECONDS = 2764.3
 # NLML value of that same measured f64 baseline run (the cross-check that
 # makes the speedup provably same-answer: the TPU unit must reproduce it).
 BASELINE_CPU_NLML = 6969.5
-# Same-unit matern32 baseline, measured on this host 2026-08-17 via
-#   python bench.py --calibrate --kernel matern32
-# (small-N t = aN^3 + bN^2 fit extrapolated to N_TRAIN; None = unmeasured,
-# in which case --kernel matern32 omits vs_baseline).
+# Same-unit matern32 baseline: one full N=20000 f64 run on this host
+# (run_numpy_unit(N_TRAIN, M_GRID, kernel="matern32")); None = unmeasured,
+# in which case --kernel matern32 omits vs_baseline and the NLML
+# cross-check.
 BASELINE_CPU_SECONDS_MATERN32 = None
+BASELINE_CPU_NLML_MATERN32 = None
 
 N_TRAIN = 20_000
 M_GRID = 10_571
@@ -324,14 +325,16 @@ def main():
     }
     if args.kernel != "rbf":
         out["metric"] = out["metric"].replace("mfgp_", f"mfgp_{args.kernel}_")
-    if args.n == N_TRAIN and args.kernel == "rbf":
+    recorded_nlml = (BASELINE_CPU_NLML if args.kernel == "rbf"
+                     else BASELINE_CPU_NLML_MATERN32)
+    if args.n == N_TRAIN and recorded_nlml is not None:
         # same-answer proof: the TPU f32 unit reproduces the measured f64
-        # NumPy baseline's NLML (the 4-sig-fig recorded value)
+        # NumPy baseline's NLML (the recorded value for this kernel)
         out["nlml_tpu"] = round(stats["nlml_tpu"], 2)
-        out["nlml_numpy_f64"] = BASELINE_CPU_NLML
+        out["nlml_numpy_f64"] = recorded_nlml
         out["nlml_rel_err"] = round(
-            abs(stats["nlml_tpu"] - BASELINE_CPU_NLML)
-            / abs(BASELINE_CPU_NLML), 6)
+            abs(stats["nlml_tpu"] - recorded_nlml)
+            / abs(recorded_nlml), 6)
     print(json.dumps(out))
 
 

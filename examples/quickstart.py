@@ -162,6 +162,34 @@ def example_serving():
     srv.shutdown()
 
 
+# 9. Replan-as-a-service: POST /plan answers the robot's replan ------------
+def example_plan_service():
+    import json
+    import http.client
+    import threading
+
+    from mfgp_tpu.models.gp import GP
+    from mfgp_tpu.serve import (ModelServer, PlannerService,
+                                make_http_server)
+
+    rng = np.random.default_rng(0)
+    X = np.column_stack([rng.uniform(0, 10, 25), rng.uniform(0, 20, 25),
+                         rng.uniform(0, 10, 25)])
+    svc = PlannerService(ModelServer(GP(X, np.sin(X[:, 0]), jitter=1e-8)),
+                         cost="ergodic", plan_iters=12)
+    srv = make_http_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    conn = http.client.HTTPConnection(*srv.server_address)
+    conn.request("POST", "/plan", body=json.dumps(
+        {"start": [1.0, 1.0], "budget": 20.0, "seed": 0}))
+    out = json.loads(conn.getresponse().read())
+    print("plan service:", len(out["path"]), "path points,",
+          f"budget {out['budget']:.2f} (the reference robot spends 45 s "
+          "on-board per replan)")
+    srv.shutdown()
+    svc.close()
+
+
 if __name__ == "__main__":
     example_sfgp()
     example_mfgp()
@@ -171,3 +199,4 @@ if __name__ == "__main__":
     example_device_planner()
     example_mission()
     example_serving()
+    example_plan_service()

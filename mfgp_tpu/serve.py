@@ -354,11 +354,13 @@ class PlannerService:
         else:
             eid = self._eid(payload.get("alpha", 1.0 / 11))
         t0 = time.perf_counter()
+        # the lock covers plan + extraction: the adapter caches its last
+        # result, which a concurrent /plan would overwrite
         with self._plan_lock:
             best = self._adapter.plan(start, seed=seed, B=B, eid=eid, gp=gp)
+            pts = self._adapter.best_path_points()
+            summary = self._adapter.graph_summary()
         dt = time.perf_counter() - t0
-        pts = self._adapter.best_path_points()
-        summary = self._adapter.graph_summary()
         return {"path": np.asarray(pts).tolist() if pts is not None else [],
                 "budget": float(best.budget),
                 "info": float(best.info),
