@@ -43,11 +43,11 @@ BASELINE_CPU_SECONDS = 2764.3
 # makes the speedup provably same-answer: the TPU unit must reproduce it).
 BASELINE_CPU_NLML = 6969.5
 # Same-unit matern32 baseline: one full N=20000 f64 run on this host
-# (run_numpy_unit(N_TRAIN, M_GRID, kernel="matern32")); None = unmeasured,
-# in which case --kernel matern32 omits vs_baseline and the NLML
-# cross-check.
-BASELINE_CPU_SECONDS_MATERN32 = None
-BASELINE_CPU_NLML_MATERN32 = None
+# (run_numpy_unit(N_TRAIN, M_GRID, kernel="matern32"), idle 1-core host,
+# 2026-08-18: 5175.5 s, nlml 15576.08 — the extra sqrt/exp over every
+# N^2 pass costs ~1.9x the rbf unit in NumPy).
+BASELINE_CPU_SECONDS_MATERN32 = 5175.5
+BASELINE_CPU_NLML_MATERN32 = 15576.08
 
 N_TRAIN = 20_000
 M_GRID = 10_571
