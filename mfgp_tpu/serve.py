@@ -278,7 +278,8 @@ class PlannerService:
     _GAIN_COSTS = ("sf_gain", "mf_gain", "sf_logdet", "mf_logdet")
 
     def __init__(self, model_server: ModelServer, cost: str = "ergodic",
-                 plan_iters: int = 100, exp=None, n_plans: int = 1):
+                 plan_iters: int = 100, exp=None, n_plans: int = 1,
+                 warm: bool = False):
         from mfgp_tpu.metrics.eid import eid_grid
         from mfgp_tpu.planning.rig_device import DeviceRIGAdapter
         from mfgp_tpu.utils.configs import ExperimentConfig
@@ -317,6 +318,13 @@ class PlannerService:
             kernel=getattr(model, "kernel", "rbf"), cost=cost)
         self._gain_nmax = None
         self._plan_lock = threading.Lock()  # one planner launch at a time
+        if warm:
+            # pre-compile the planner executable at startup so the first
+            # request doesn't pay the trace+compile (one compiled plan()
+            # serves every request: start/budget/seed/EID are traced args)
+            ws_lo = ws[:, 0]
+            self.handle("/plan", {"start": ws_lo.tolist(),
+                                  "budget": float(self.exp.B), "seed": 0})
 
     def _eid(self, alpha):
         from mfgp_tpu.metrics.eid import expected_information_density
@@ -457,7 +465,7 @@ def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080,
     server = ModelServer.from_checkpoint(path)
     if plan_cost:
         server = PlannerService(server, cost=plan_cost,
-                                plan_iters=plan_iters)
+                                plan_iters=plan_iters, warm=True)
     srv = make_http_server(server, host, port)
     print(f"serving on {srv.server_address}")
     srv.serve_forever()

@@ -130,3 +130,38 @@ def test_bench_units_agree(kernel):
                                 jnp.asarray(y, jnp.float64), jitter=1e-6,
                                 kernel=kernel)
     assert np.isfinite(float(gv[0]))
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_bench_cli_json_schema(kernel):
+    """`python bench.py` prints ONE JSON line with the driver's schema;
+    --kernel matern32 renames the metric and uses the matern-measured
+    baseline (never the rbf constant)."""
+    import json
+    import subprocess
+    import sys
+
+    # run hermetically on CPU: drop the axon site customization (which
+    # registers the TPU tunnel backend) and force the CPU platform
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--n", "120", "--m", "64",
+         "--repeats", "1", "--kernel", kernel],
+        capture_output=True, text=True, timeout=600, check=True,
+        cwd=repo_root, env=env)
+    line = out.stdout.strip().splitlines()[-1]
+    obj = json.loads(line)
+    assert obj["unit"] == "s" and obj["value"] > 0
+    import bench as b
+
+    # obj["value"] is rounded in the JSON, so compare as a ratio — still
+    # sharp enough to catch the wrong baseline (they differ by 1.9x)
+    if kernel == "rbf":
+        assert obj["metric"].startswith("mfgp_n20k")
+        expect = b.BASELINE_CPU_SECONDS / obj["value"]
+    else:
+        assert obj["metric"].startswith("mfgp_matern32_")
+        expect = b.BASELINE_CPU_SECONDS_MATERN32 / obj["value"]
+    assert abs(obj["vs_baseline"] - expect) / expect < 0.02

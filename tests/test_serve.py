@@ -235,7 +235,7 @@ def test_plan_endpoint_gain(rng_module):
                          rng_module.uniform(0, 10, 20)])
     y = np.sin(X[:, 0])
     svc = PlannerService(ModelServer(GP(X, y, jitter=1e-8)),
-                         cost="sf_gain", plan_iters=10)
+                         cost="sf_gain", plan_iters=10, warm=True)
     try:
         out = svc.handle("/plan", {"start": [2.0, 3.0], "budget": 15.0})
         assert np.asarray(out["path"]).shape[0] > 0
