@@ -315,7 +315,8 @@ def cmd_study(args):
         duration=args.duration,
         fit_mode=args.fit_mode,
         dtype=(np.float32 if args.fit_mode.startswith("device")
-               else np.float64))
+               else np.float64),
+        fit_chunk=args.fit_chunk, eval_chunk=args.eval_chunk)
     print(json.dumps(rep, indent=1))
 
 
@@ -512,6 +513,15 @@ def build_parser():
                         "device-batched = the WHOLE matrix as four "
                         "vmapped launches (data.study_batched — the TPU "
                         "path)")
+    p.add_argument("--fit-chunk", type=int, default=8,
+                   help="device-batched only: datasets per fit launch "
+                        "(x n_restarts lanes each; one executable either "
+                        "way — larger chunks amortize the while_loop's "
+                        "sequential iteration cost)")
+    p.add_argument("--eval-chunk", type=int, default=8,
+                   help="device-batched only: datasets per eval launch "
+                        "(bounds the live (chunk, M, M) posterior "
+                        "covariances per launch)")
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
     p.add_argument("checkpoint", nargs="+",

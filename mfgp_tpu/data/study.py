@@ -129,7 +129,7 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
               field_seeds=(0,), cfg: SimConfig | None = None,
               closed_loop: bool = False, optimize: bool = True,
               duration: float = 1200.0, fit_mode: str = "scipy",
-              dtype=None):
+              dtype=None, fit_chunk: int = 8, eval_chunk: int = 8):
     """The full sweep. Returns the aggregate summary dict; writes the
     reference's artifact tree under ``out_dir``.
 
@@ -190,7 +190,7 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
             [p for p, _ in staged], [s for _, s in staged],
             out_dir=res_dir, cfg=base_cfg,
             dtype=dtype if dtype is not None else np.float32,
-            verbose=True)
+            verbose=True, fit_chunk=fit_chunk, eval_chunk=eval_chunk)
 
     rows = collect_results(os.path.join(res_dir, "MSE_*.txt"),
                            os.path.join(res_dir, "results.csv"))

@@ -260,8 +260,12 @@ def test_batched_study_matches_per_run(tmp_path, synth_traj):
                             f"FieldSettings{seed}.txt"))
     cfg = SimConfig()
     out = tmp_path / "batched"
+    # eval_chunk=1 exercises the multi-chunk launch path (B=2 -> 2
+    # launches of the one compiled executable); chunking must not change
+    # the mathematics
     res_b = process_datasets_batched(paths, settings, out_dir=str(out),
-                                     cfg=cfg, dtype=np.float32)
+                                     cfg=cfg, dtype=np.float32,
+                                     eval_chunk=1)
     assert len(res_b) == 2
     # artifact set per dataset: 4 hyp files + GPRes + MSE
     for p in paths:
