@@ -50,31 +50,35 @@ _H = jax.lax.Precision.HIGHEST
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
-def _fit_sf_batch(inits, Xb, yb, kernel, jitter, maxiter, tol):
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol",
+                                   "ftol"))
+def _fit_sf_batch(inits, Xb, yb, kernel, jitter, maxiter, tol, ftol=0.0):
     xs, fs = jax.vmap(
         lambda X, y: gpm._fit_restarts(inits, X, y, kernel, jitter,
-                                       maxiter, tol))(Xb, yb)
+                                       maxiter, tol, ftol))(Xb, yb)
     best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
     return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
 
 
-@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol",
+                                   "ftol"))
 def _fit_mf_batch(inits, Xb, fidb, yb, fixed_rhos, lower, upper, kernel,
-                  jitter, maxiter, tol):
+                  jitter, maxiter, tol, ftol=0.0):
     xs, fs = jax.vmap(
         lambda X, f, y: mfm._mf_fit_restarts(inits, X, f, y, fixed_rhos,
                                              lower, upper, kernel, jitter,
-                                             maxiter, tol))(Xb, fidb, yb)
+                                             maxiter, tol,
+                                             ftol))(Xb, fidb, yb)
     best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
     return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter):
+@partial(jax.jit, static_argnames=("maxiter", "ftol"))
+def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter, ftol=0.0):
     xs, fs = jax.vmap(
         lambda ini, X, y: nim._nigp_fit_restarts(ini, X, y, lower, upper,
-                                                 maxiter))(initsb, Xb, yb)
+                                                 maxiter,
+                                                 ftol))(initsb, Xb, yb)
     best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf), axis=1)
     return jnp.take_along_axis(xs, best[:, None, None], 1)[:, 0, :]
 
@@ -271,7 +275,7 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                              maxiter: int = 200, tol: float = 1e-3,
                              nigp_restarts: int = 2, seed: int = 0,
                              verbose: bool = False, eval_chunk: int = 8,
-                             fit_chunk: int = 8):
+                             fit_chunk: int = 8, ftol: float = 1e-6):
     """Fit + evaluate every dataset with four vmapped launches per
     same-shape group. ``field_settings``: one path, or a list aligned with
     ``gpdata_paths``. Returns {basename: metrics dict}; writes the
@@ -284,7 +288,16 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
     90-lane restart-batched fit executable faults with a TPU device
     error while 8-lane launches run fine, and chunking also serializes
     remote compiles (the compile helper dies under memory pressure when
-    several large programs compile at once)."""
+    several large programs compile at once).
+
+    ``ftol``: relative-f stagnation stop for the restart-batched L-BFGS
+    lanes (scipy L-BFGS-B's ``factr`` criterion — the optimizer the
+    reference's GPy fits actually use, reference/GPTrainers.py:68).
+    Under vmap a launch runs until its LAST lane converges; measured on
+    study-shaped fits, typical restarts converge in 20-50 iterations
+    while the odd wandering lane burns all 200, so cutting lanes that
+    decrease f by <ftol*max(1,|f|) per accepted step removes a ~4x
+    straggler tail. Set 0.0 for the pure max|g|<tol criterion."""
     cfg = cfg or SimConfig()
     if isinstance(field_settings, (str, os.PathLike)):
         field_settings = [field_settings] * len(gpdata_paths)
@@ -372,19 +385,19 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
         vec_mf = _chunked_launch(
             lambda X, f, y: _fit_mf_batch(i_mf, X, f, y, fixed_rhos, -inf,
                                           inf, kernel, jitter, maxiter,
-                                          tol),
+                                          tol, ftol),
             Xmf, fmf, ymf, chunk=fit_chunk)
         vec_sf = _chunked_launch(
             lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
-                                       maxiter, tol),
+                                       maxiter, tol, ftol),
             X_sf, y_b, chunk=fit_chunk)
         vec_tp = _chunked_launch(
             lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
-                                       maxiter, tol),
+                                       maxiter, tol, ftol),
             X_tp, y_b, chunk=fit_chunk)
         vec_ni = _chunked_launch(
             lambda ini, X, y: _fit_nigp_batch(ini, X, y, nig_lo, nig_hi,
-                                              maxiter),
+                                              maxiter, ftol),
             nig_inits, X_sf, y_b, chunk=fit_chunk)
         t_fit = time.monotonic() - t0
         if verbose:

@@ -331,8 +331,10 @@ def predict_blocked(params: GPParams, state: GPState, Xs, kernel: str = "rbf",
     return means.reshape(-1)[:M], variances.reshape(-1)[:M]
 
 
-@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
-def _fit_restarts(inits, X, y, kernel, jitter, maxiter, tol=1e-6):
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol",
+                                   "ftol"))
+def _fit_restarts(inits, X, y, kernel, jitter, maxiter, tol=1e-6,
+                  ftol=0.0):
     """Restart-batched projected L-BFGS sweep (module-level so the
     compiled executable is cached across GP instances of the same shape
     — one compile serves a whole study sweep)."""
@@ -358,7 +360,7 @@ def _fit_restarts(inits, X, y, kernel, jitter, maxiter, tol=1e-6):
 
     return jax.vmap(
         lambda v: batched_lbfgs(obj, v, maxiter=maxiter, tol=tol,
-                                value_and_grad=vg)[:2])(inits)
+                                ftol=ftol, value_and_grad=vg)[:2])(inits)
 
 
 @dataclass

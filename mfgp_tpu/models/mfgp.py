@@ -468,9 +468,10 @@ def stack_fidelity_lists(X_list: Sequence, y_list: Sequence | None = None):
     return X, fid, y
 
 
-@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol"))
+@partial(jax.jit, static_argnames=("kernel", "jitter", "maxiter", "tol",
+                                   "ftol"))
 def _mf_fit_restarts(inits, X, fid, y, fixed_rhos, lower, upper, kernel,
-                     jitter, maxiter, tol=1e-6):
+                     jitter, maxiter, tol=1e-6, ftol=0.0):
     """Restart-batched projected L-BFGS sweep for the AR1 MFGP
     (module-level: one compiled executable serves every same-shaped fit
     in a sweep — the 90-run study matrix recompiled per model instance
@@ -501,7 +502,7 @@ def _mf_fit_restarts(inits, X, fid, y, fixed_rhos, lower, upper, kernel,
 
     return jax.vmap(
         lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
-                                maxiter=maxiter, tol=tol,
+                                maxiter=maxiter, tol=tol, ftol=ftol,
                                 value_and_grad=vg)[:2])(inits)
 
 

@@ -163,8 +163,8 @@ def nlml_native(log_hyp, X, y, jitter: float = 1e-8):
             + 0.5 * N * _LOG2PI)
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
-def _nigp_fit_restarts(inits, X, y, lower, upper, maxiter):
+@partial(jax.jit, static_argnames=("maxiter", "ftol"))
+def _nigp_fit_restarts(inits, X, y, lower, upper, maxiter, ftol=0.0):
     """Restart-batched L-BFGS on the fully-coupled NLML (module-level so
     the executable is cached across NIGP instances of one shape — study
     sweeps compile it once)."""
@@ -176,7 +176,7 @@ def _nigp_fit_restarts(inits, X, y, lower, upper, maxiter):
 
     return jax.vmap(
         lambda v: batched_lbfgs(obj, v, lower=lower, upper=upper,
-                                maxiter=maxiter)[:2])(inits)
+                                maxiter=maxiter, ftol=ftol)[:2])(inits)
 
 
 @dataclass

@@ -115,6 +115,7 @@ def batched_lbfgs(
     tol: float = 1e-6,
     max_ls: int = 20,
     value_and_grad: Callable | None = None,
+    ftol: float = 0.0,
 ):
     """Pure-JAX projected L-BFGS with backtracking Armijo line search.
 
@@ -122,6 +123,14 @@ def batched_lbfgs(
     batches. Bounds are enforced by projection of the trial point. Returns
     (x, f, n_iters). ``value_and_grad`` overrides autodiff with a custom
     (value, grad) function (e.g. the analytic NLML gradient).
+
+    ``ftol`` (opt-in, default off): scipy L-BFGS-B ``factr``-style
+    stagnation stop — converge when an accepted step decreases f by less
+    than ``ftol * max(1, |f|)``. Under vmap the while_loop runs until the
+    LAST lane converges, so one wandering restart drags every lane of the
+    launch to ``maxiter`` (measured on study-shaped fits: typical lanes
+    converge in 20-50 iterations, stray lanes hit 200); a relative-f stop
+    cuts those stragglers where they have stopped making progress anyway.
     """
     n = x0.shape[0]
     if lower is None:
@@ -190,6 +199,10 @@ def batched_lbfgs(
 
         gnorm = jnp.max(jnp.abs(gn))
         converged = jnp.logical_or(gnorm < tol, fail)
+        if ftol > 0.0:
+            stagnant = (st.f - fn) <= ftol * jnp.maximum(
+                1.0, jnp.abs(st.f))
+            converged = jnp.logical_or(converged, stagnant)
         return LBFGSState(xn, fn, gn, s_hist, y_hist, rho, st.k + 1, converged)
 
     out = jax.lax.while_loop(cond, body, init)
