@@ -291,7 +291,8 @@ def main():
                     choices=("rbf", "matern32"),
                     help="base kernel for the measured unit (matern32 "
                          "rides the same fused Pallas stack since r3; "
-                         "the recorded-NLML cross-check is rbf-only)")
+                         "both kernels have a recorded-NLML cross-check "
+                         "at the default N)")
     ap.add_argument("--fast", action="store_true",
                     help="HIGH-precision matmuls on the K^-1/posterior "
                          "phases (~5e-2 max posterior-variance rel err vs "

@@ -316,7 +316,8 @@ def cmd_study(args):
         fit_mode=args.fit_mode,
         dtype=(np.float32 if args.fit_mode.startswith("device")
                else np.float64),
-        fit_chunk=args.fit_chunk, eval_chunk=args.eval_chunk)
+        fit_chunk=args.fit_chunk, eval_chunk=args.eval_chunk,
+        ftol=args.ftol)
     print(json.dumps(rep, indent=1))
 
 
@@ -522,6 +523,11 @@ def build_parser():
                    help="device-batched only: datasets per eval launch "
                         "(bounds the live (chunk, M, M) posterior "
                         "covariances per launch)")
+    p.add_argument("--ftol", type=float, default=1e-6,
+                   help="device-batched only: relative-f stagnation stop "
+                        "for the restart-batched L-BFGS lanes (cuts the "
+                        "straggler-lane tail; 0.0 restores the pure "
+                        "max|g|<tol criterion of the per-run fits)")
 
     p = sub.add_parser("serve"); p.set_defaults(fn=cmd_serve)
     p.add_argument("checkpoint", nargs="+",

@@ -129,7 +129,8 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
               field_seeds=(0,), cfg: SimConfig | None = None,
               closed_loop: bool = False, optimize: bool = True,
               duration: float = 1200.0, fit_mode: str = "scipy",
-              dtype=None, fit_chunk: int = 8, eval_chunk: int = 8):
+              dtype=None, fit_chunk: int = 8, eval_chunk: int = 8,
+              ftol: float = 1e-6):
     """The full sweep. Returns the aggregate summary dict; writes the
     reference's artifact tree under ``out_dir``.
 
@@ -137,7 +138,9 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
     per run), then fit + evaluate every dataset with four vmapped device
     launches total (data.study_batched) — the TPU path; the 90-run matrix
     becomes one compile + one execution per model family instead of 360
-    sequential fits."""
+    sequential fits. ``ftol`` (device-batched only) is the batched
+    L-BFGS stagnation stop — 0.0 restores the per-run fits' pure
+    max|g|<tol criterion."""
     base_cfg = cfg or SimConfig()
     os.makedirs(out_dir, exist_ok=True)
     res_dir = os.path.join(out_dir, "GPResults")
@@ -190,7 +193,8 @@ def run_study(out_dir: str, traj_seeds=(0, 1), vmn_levels=(0.0, 0.2),
             [p for p, _ in staged], [s for _, s in staged],
             out_dir=res_dir, cfg=base_cfg,
             dtype=dtype if dtype is not None else np.float32,
-            verbose=True, fit_chunk=fit_chunk, eval_chunk=eval_chunk)
+            verbose=True, fit_chunk=fit_chunk, eval_chunk=eval_chunk,
+            ftol=ftol)
 
     rows = collect_results(os.path.join(res_dir, "MSE_*.txt"),
                            os.path.join(res_dir, "results.csv"))

@@ -260,10 +260,15 @@ class PlannerService:
     replanning to one TPU host:
 
       POST /plan   body {"start": [x, y], "budget": B, "seed": 0,
-                         "alpha": 1/11, "n_plans": 1}
+                         "alpha": 1/11}
                    -> {"path": [[x, y, z, t], ...], "budget": b,
                        "info": i, "n_nodes": n, "n_edges": e,
                        "plan_seconds": s}
+
+    The ensemble width is fixed at construction (``n_plans``), not per
+    request — one compiled executable serves every request. A request's
+    ``start`` may carry extra components (e.g. a 3D robot's z); the
+    planner samples in 2D and only [x, y] are used.
 
     ``cost`` fixes the scoring family at construction (one compiled
     executable serves every request; start/budget/seed/EID are traced
@@ -317,6 +322,12 @@ class PlannerService:
             budget_cutoff=0.9, max_iter=plan_iters, grid=plan_grid,
             kernel=getattr(model, "kernel", "rbf"), cost=cost)
         self._gain_nmax = None
+        # the served model is immutable (ModelServer has no mutation
+        # routes), so the EID (per alpha) and the padded gain state are
+        # computed once and reused across requests instead of re-running
+        # the grid predict / O(nmax^2) re-pad per /plan
+        self._eid_cache: dict = {}
+        self._gain_cache = None
         self._plan_lock = threading.Lock()  # one planner launch at a time
         if warm:
             # pre-compile the planner executable at startup so the first
@@ -329,14 +340,19 @@ class PlannerService:
     def _eid(self, alpha):
         from mfgp_tpu.metrics.eid import expected_information_density
 
-        mu, var = self.model_server._predict_device(self.grid)
-        return np.asarray(expected_information_density(
-            mu, var, self.model_server.prior_sig, alpha=alpha))
+        key = float(alpha)
+        if key not in self._eid_cache:
+            mu, var = self.model_server._predict_device(self.grid)
+            self._eid_cache[key] = np.asarray(expected_information_density(
+                mu, var, self.model_server.prior_sig, alpha=alpha))
+        return self._eid_cache[key]
 
     def _gain_state(self):
         from mfgp_tpu.planning.rig_device import (prepare_mf_gain_state,
                                                   prepare_sf_gain_state)
 
+        if self._gain_cache is not None:
+            return self._gain_cache
         model = self.model_server.model
         n = int(np.asarray(model.X).shape[0])
         # size the static train pad generously so the compiled plan()
@@ -344,9 +360,11 @@ class PlannerService:
         if self._gain_nmax is None or n > self._gain_nmax:
             self._gain_nmax = 1 << max(9, (4 * max(n, 1) - 1).bit_length())
         if self.cost.startswith("mf"):
-            return prepare_mf_gain_state(
+            self._gain_cache = prepare_mf_gain_state(
                 model, self.agent_cfg.fid_levels, self._gain_nmax)
-        return prepare_sf_gain_state(model, self._gain_nmax)
+        else:
+            self._gain_cache = prepare_sf_gain_state(model, self._gain_nmax)
+        return self._gain_cache
 
     def handle(self, route: str, payload: dict) -> dict:
         if route != "/plan":
@@ -354,6 +372,7 @@ class PlannerService:
         start = np.asarray(payload.get("start", ()), np.float64).reshape(-1)
         if start.size < 2:
             raise ValueError("start must give at least [x, y]")
+        start = start[:2]  # planner samples in 2D; ignore z and beyond
         B = float(payload.get("budget", self.exp.B))
         seed = int(payload.get("seed", 0))
         eid = gp = None

@@ -263,9 +263,12 @@ def test_batched_study_matches_per_run(tmp_path, synth_traj):
     # eval_chunk=1 exercises the multi-chunk launch path (B=2 -> 2
     # launches of the one compiled executable); chunking must not change
     # the mathematics
+    # ftol=0.0: disable the batched stagnation stop so the lanes run the
+    # same pure max|g|<tol criterion as the per-run device fits below —
+    # the "same inits => same optimum" contract stays exact
     res_b = process_datasets_batched(paths, settings, out_dir=str(out),
                                      cfg=cfg, dtype=np.float32,
-                                     eval_chunk=1)
+                                     eval_chunk=1, ftol=0.0)
     assert len(res_b) == 2
     # artifact set per dataset: 4 hyp files + GPRes + MSE
     for p in paths:

@@ -164,4 +164,9 @@ def test_bench_cli_json_schema(kernel):
     else:
         assert obj["metric"].startswith("mfgp_matern32_")
         expect = b.BASELINE_CPU_SECONDS_MATERN32 / obj["value"]
-    assert abs(obj["vs_baseline"] - expect) / expect < 0.02
+    # both value (4 dp) and vs_baseline (2 dp) are rounded in the JSON;
+    # widen the tolerance by their worst-case rounding error so a very
+    # fast tiny-N run can't trip it (still far below the 1.9x gap
+    # between the two baselines this test exists to distinguish)
+    tol = 0.02 + 5e-5 / obj["value"] + 0.005 / expect
+    assert abs(obj["vs_baseline"] - expect) / expect < tol
