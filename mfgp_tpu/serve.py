@@ -144,22 +144,26 @@ class BatchingQueue:
 
 
 class ModelServer:
-    """Wraps a restored model for query serving."""
+    """Wraps a restored model for query serving.
+
+    Query routes (/predict, /eid) are read-only; the live-update routes
+    (/extend: bordered-Cholesky online conditioning; /refit:
+    device-batched restart refit) mutate the served model under the same
+    lock the prediction launches take, so a robot in the field can push
+    measurements and retrain between replans — the reference's
+    per-replan `set_data` + `optimize` loop
+    (reference/PhysicalExperimentCode/GraceExplorationExperiments_MFEGP.py:385-397)
+    served over HTTP. A mutation changes the training-set shape, so the
+    next /predict pays one retrace of the compiled launch."""
 
     def __init__(self, model, prior_sig: float | None = None,
                  batch_wait: float = 0.005):
         self.model = model
         self.n_train = int(np.asarray(model.X).shape[0]) if hasattr(
             model, "X") else int(np.asarray(model.X_train_).shape[0])
-        if prior_sig is None:
-            if hasattr(model, "param_array"):
-                pa = np.asarray(model.param_array)
-                prior_sig = float(pa[0] + pa[-1])
-            else:  # NIGP layout [sigma_x (D), sigma_f, sigma_y, ls (D)]
-                pa = np.asarray(model.get_params())
-                D = int(np.asarray(model.X_train_).shape[1])
-                prior_sig = float(pa[D] ** 2 + pa[D + 1] ** 2)
-        self.prior_sig = prior_sig
+        self._prior_sig_inferred = prior_sig is None
+        self.prior_sig = (self._infer_prior_sig(model)
+                          if prior_sig is None else prior_sig)
         self._lock = threading.Lock()
         import inspect
 
@@ -176,6 +180,18 @@ class ModelServer:
 
         ck = load_checkpoint(path)
         return cls(ck.model.restore(), **kw)
+
+    @staticmethod
+    def _infer_prior_sig(model):
+        """Prior variance (kernel + noise) from the model's parameters —
+        the EID's normalizer (reference/exploreExpSettings.py:20-24)."""
+        if hasattr(model, "param_array"):
+            pa = np.asarray(model.param_array)
+            return float(pa[0] + pa[-1])
+        # NIGP layout [sigma_x (D), sigma_f, sigma_y, ls (D)]
+        pa = np.asarray(model.get_params())
+        D = int(np.asarray(model.X_train_).shape[1])
+        return float(pa[D] ** 2 + pa[D + 1] ** 2)
 
     def _dim(self):
         X = getattr(self.model, "X", None)
@@ -215,9 +231,51 @@ class ModelServer:
                     "batched_requests": self.batcher.batched_requests,
                     "max_requests_per_launch":
                         self.batcher.max_requests_per_launch}
+        if route == "/refit":
+            if not hasattr(self.model, "optimize_restarts"):
+                raise ValueError(
+                    f"{type(self.model).__name__} has no device-batched "
+                    "refit (optimize_restarts)")
+            with self._lock:
+                nlml = self.model.optimize_restarts(
+                    n_restarts=int(payload.get("restarts", 8)),
+                    maxiter=int(payload.get("maxiter", 200)),
+                    seed=int(payload.get("seed", 0)))
+                if self._prior_sig_inferred:
+                    self.prior_sig = self._infer_prior_sig(self.model)
+            return {"nlml": float(nlml), "n": self.n_train,
+                    "prior_sig": self.prior_sig}
         pts = np.asarray(payload.get("points", []), np.float64)
         if pts.size == 0:
             raise ValueError("no points")
+        if route == "/extend":
+            if not hasattr(self.model, "extend_data"):
+                raise ValueError(
+                    f"{type(self.model).__name__} has no online "
+                    "conditioning (extend_data)")
+            pts = np.atleast_2d(pts)
+            if pts.shape[1] != self._dim():
+                raise ValueError(
+                    f"points must be (n, {self._dim()})")
+            y_new = np.asarray(payload.get("y", []), np.float64).reshape(-1)
+            if y_new.size != pts.shape[0]:
+                raise ValueError("y must align with points")
+            if hasattr(self.model, "fid"):  # multi-fidelity
+                fid = payload.get("fid")
+                if fid is None:
+                    raise ValueError(
+                        "multi-fidelity model needs per-point fid")
+                fid = np.asarray(fid, int).reshape(-1)
+                if fid.size != pts.shape[0]:
+                    raise ValueError("fid must align with points")
+                with self._lock:
+                    self.model.extend_data(pts, fid, y_new)
+                    self.n_train = int(np.asarray(self.model.X).shape[0])
+            else:
+                with self._lock:
+                    self.model.extend_data(pts, y_new)
+                    self.n_train = int(np.asarray(self.model.X).shape[0])
+            return {"n": self.n_train}
         if route == "/predict":
             if payload.get("full_cov", False):
                 # full covariance bypasses the batching queue (row-slice
@@ -277,7 +335,11 @@ class PlannerService:
     "mf_gain" condition the sequential information gain on the model's
     training set; "sf_logdet" / "mf_logdet" use the coarse IG grid
     (reference's separate 10x6x5 grid, exploreExpSettings.py:158-173).
-    Every other route passes through to the wrapped ModelServer.
+    Every other route passes through to the wrapped ModelServer; the
+    mutation routes (/extend, /refit) additionally invalidate the cached
+    EID / gain state, so the full reference field loop — measure →
+    retrain → replan (GraceExplorationExperiments_MFEGP.py:358-483) —
+    runs over HTTP against one warm planner executable.
     """
 
     _GAIN_COSTS = ("sf_gain", "mf_gain", "sf_logdet", "mf_logdet")
@@ -368,7 +430,16 @@ class PlannerService:
 
     def handle(self, route: str, payload: dict) -> dict:
         if route != "/plan":
-            return self.model_server.handle(route, payload)
+            out = self.model_server.handle(route, payload)
+            if route in ("/extend", "/refit"):
+                # the served model changed: the next /plan recomputes the
+                # EID / re-pads the gain state from the updated posterior
+                # (the compiled planner executable itself survives — EID
+                # and gain state are traced arguments as long as the gain
+                # pad capacity holds, see _gain_state)
+                self._eid_cache.clear()
+                self._gain_cache = None
+            return out
         start = np.asarray(payload.get("start", ()), np.float64).reshape(-1)
         if start.size < 2:
             raise ValueError("start must give at least [x, y]")

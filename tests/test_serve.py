@@ -261,3 +261,111 @@ def test_plan_cost_model_mismatch(rng_module):
     with pytest.raises(ValueError, match="conditioned"):
         PlannerService(srv2, cost="sf_gain")
     srv2.close()
+
+
+def test_extend_route_online_conditioning(rng_module):
+    """/extend appends observations via bordered-Cholesky online
+    conditioning: the served posterior matches a fresh fit-free GP on the
+    concatenated data, and the variance at the pushed point collapses."""
+    X = rng_module.uniform(0, 10, (25, 3))
+    y = np.sin(X[:, 0])
+    srv = ModelServer(GP(X, y, jitter=1e-8))
+    try:
+        q = [[5.0, 5.0, 5.0]]
+        var0 = srv.handle("/predict", {"points": q})["var"][0]
+        out = srv.handle("/extend", {"points": q, "y": [0.3]})
+        assert out["n"] == 26
+        assert srv.handle("/health", {})["n"] == 26
+        var1 = srv.handle("/predict", {"points": q})["var"][0]
+        # one exact-noise observation at q halves the latent variance
+        # there (default hyps: noise ~ signal), so the noisy posterior
+        # variance drops by ~25%
+        assert var1 < 0.8 * var0
+        fresh = GP(np.vstack([X, q]), np.append(y, 0.3), jitter=1e-8)
+        pts = rng_module.uniform(0, 10, (6, 3))
+        mu_s, var_s = srv._predict_device(pts)
+        mu_f, var_f = fresh.predict(pts)
+        np.testing.assert_allclose(mu_s, np.asarray(mu_f).reshape(-1),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(var_s, np.asarray(var_f).reshape(-1),
+                                   rtol=1e-6)
+    finally:
+        srv.close()
+
+
+def test_extend_route_mfgp_fid(rng_module):
+    """Multi-fidelity /extend requires per-point fid labels and grows the
+    AR1 state; /eid stays a distribution on the grown model."""
+    from mfgp_tpu.models.mfgp import MFGP
+
+    Xl = [rng_module.uniform(0, 5, (12, 3)),
+          rng_module.uniform(0, 5, (8, 3)),
+          rng_module.uniform(0, 5, (6, 3))]
+    yl = [np.sin(x[:, 0]) for x in Xl]
+    srv = ModelServer(MFGP.from_fidelity_lists(Xl, yl))
+    try:
+        q = [[2.0, 2.0, 2.0]]
+        with pytest.raises(ValueError, match="fid"):
+            srv.handle("/extend", {"points": q, "y": [0.1]})
+        out = srv.handle("/extend", {"points": q, "y": [0.1], "fid": [2]})
+        assert out["n"] == 27
+        pts = rng_module.uniform(0, 5, (9, 3)).tolist()
+        eid = srv.handle("/eid", {"points": pts})["eid"]
+        assert abs(sum(eid) - 1.0) < 1e-6
+    finally:
+        srv.close()
+
+
+def test_refit_route(rng_module):
+    """/refit runs the device-batched restart fit on the served data and
+    refreshes the inferred prior variance; models without the batched fit
+    (NIGP) reject both mutation routes with a client error."""
+    from mfgp_tpu.models.nigp import NIGP
+
+    X = rng_module.uniform(0, 10, (20, 3))
+    y = np.sin(X[:, 0]) + 0.05 * rng_module.standard_normal(20)
+    srv = ModelServer(GP(X, y, jitter=1e-8))
+    try:
+        out = srv.handle("/refit", {"restarts": 2, "maxiter": 30})
+        assert np.isfinite(out["nlml"]) and out["n"] == 20
+        assert out["prior_sig"] == srv.prior_sig
+    finally:
+        srv.close()
+    m = NIGP(iters=1, n_restarts=1)
+    m.fit(X, y)
+    srv2 = ModelServer(m)
+    try:
+        with pytest.raises(ValueError, match="refit"):
+            srv2.handle("/refit", {})
+        with pytest.raises(ValueError, match="conditioning"):
+            srv2.handle("/extend", {"points": X[:1].tolist(), "y": [0.0]})
+    finally:
+        srv2.close()
+
+
+def test_plan_cache_invalidation_on_extend(rng_module):
+    """/extend invalidates the PlannerService's cached EID, so the next
+    /plan scores against the updated posterior (the compiled planner
+    executable is reused — the EID is a traced argument)."""
+    from mfgp_tpu.serve import PlannerService
+
+    X = np.column_stack([rng_module.uniform(0, 10, 18),
+                         rng_module.uniform(0, 20, 18),
+                         rng_module.uniform(0, 10, 18)])
+    y = np.sin(X[:, 0])
+    svc = PlannerService(ModelServer(GP(X, y, jitter=1e-8)),
+                         cost="ergodic", plan_iters=8)
+    try:
+        out1 = svc.handle("/plan", {"start": [1.0, 1.0], "budget": 15.0,
+                                    "seed": 0})
+        assert np.isfinite(out1["info"]) and svc._eid_cache
+        eid1 = next(iter(svc._eid_cache.values())).copy()
+        svc.handle("/extend", {"points": [[5.0, 10.0, 5.0]], "y": [2.0]})
+        assert not svc._eid_cache and svc._gain_cache is None
+        out2 = svc.handle("/plan", {"start": [1.0, 1.0], "budget": 15.0,
+                                    "seed": 0})
+        eid2 = next(iter(svc._eid_cache.values()))
+        assert not np.allclose(eid1, eid2)
+        assert np.isfinite(out2["info"])
+    finally:
+        svc.close()
