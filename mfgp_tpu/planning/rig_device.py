@@ -242,6 +242,7 @@ class DeviceRIG:
         # every replan (varying budget tranche + refreshed EID)
         self._plan_jit = jax.jit(self._plan_impl)
         self._ensemble_jit = None
+        self._batch_jit = None
 
     # -- per-edge geometry + additive statistics ----------------------------
     def _edge_stats(self, prims, src_xy, dst_xy):
@@ -972,6 +973,39 @@ class DeviceRIG:
         i = int(np.lexsort((budgets, -scores))[0])
         return self._extract(jax.tree.map(lambda a: np.asarray(a)[i], sts))
 
+    def plan_batch(self, x0s, keys, Bs, eid=None,
+                   gp=None) -> list[DevicePlanResult]:
+        """K INDEPENDENT (start, key, budget) planner lanes in ONE vmapped
+        launch — the fleet-serving form of :meth:`plan_ensemble`:
+        concurrent replan requests against the same model (shared
+        ``eid``/``gp``) coalesce into a single executable
+        (serve.PlannerService batches /plan this way). Lanes are padded
+        to the next power of two by repeating lane 0, so the compile
+        cache grows logarithmically in fleet size; the one-hot loop
+        indexing keeps the vmapped cost near-linear in lanes (8 plans =
+        1.6x one plan measured on v5e, plan_ensemble docstring)."""
+        x0s = np.atleast_2d(np.asarray(x0s, float))
+        K = x0s.shape[0]
+        if keys.shape[0] != K:
+            raise ValueError("keys must align with x0s")
+        Bs = np.broadcast_to(np.asarray(Bs, float).reshape(-1), (K,))
+        # defaults/validation shared across lanes
+        _, _, eidj, gpj = self._args(x0s[0], None, eid, gp)
+        pad = 1
+        while pad < K:
+            pad *= 2
+        idx = np.concatenate([np.arange(K), np.zeros(pad - K, np.intp)])
+        x0j = jnp.asarray(x0s[idx], self.dtype)
+        Bj = jnp.asarray(Bs[idx], self.dtype)
+        keysj = keys[jnp.asarray(idx)]
+        if self._batch_jit is None:
+            self._batch_jit = jax.jit(jax.vmap(
+                self._plan_impl, in_axes=(0, 0, 0, None, None)))
+        sts = dict(self._batch_jit(x0j, keysj, Bj, eidj, gpj))
+        sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
+        return [self._extract(jax.tree.map(lambda a: np.asarray(a)[i], sts))
+                for i in range(K)]
+
     def _extract(self, st) -> DevicePlanResult:
         best = int(st["best_arena"])
         n_nodes = int(st["n_nodes"])
@@ -1100,6 +1134,19 @@ class DeviceRIGAdapter:
             segments = r.points if r.points.shape[0] else None
 
         return _Best()
+
+    def plan_batch(self, x0s, seeds, Bs, eid=None,
+                   gp=None) -> list[DevicePlanResult]:
+        """Independent per-request plans as ONE vmapped launch (see
+        DeviceRIG.plan_batch). Stateless: does NOT update the
+        ``best_path_points``/``graph_summary`` cache — each returned
+        DevicePlanResult carries its own path/summary fields."""
+        if self._n_plans > 1:
+            raise ValueError("plan_batch is for single-plan services; "
+                             "n_plans>1 ensembles already batch")
+        keys = jax.vmap(jax.random.key)(
+            jnp.asarray(list(seeds), jnp.uint32))
+        return self._planner.plan_batch(x0s, keys, Bs, eid=eid, gp=gp)
 
     def best_path_points(self, dense: bool = True):
         if self._res is None or self._res.points.shape[0] == 0:

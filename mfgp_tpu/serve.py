@@ -143,6 +143,102 @@ class BatchingQueue:
                 p.event.set()
 
 
+class _PendingPlan:
+    __slots__ = ("x0", "B", "seed", "alpha", "event", "res", "err")
+
+    def __init__(self, x0, B, seed, alpha):
+        self.x0, self.B, self.seed, self.alpha = x0, B, seed, alpha
+        self.event = threading.Event()
+        self.res = self.err = None
+
+
+class PlanBatchingQueue:
+    """Coalesces concurrent /plan requests into single planner launches.
+
+    The planner analogue of :class:`BatchingQueue`: requests arriving
+    within the batching window become independent (start, budget, seed)
+    lanes of ONE vmapped DeviceRIG.plan_batch launch (near-linear lane
+    cost — the one-hot loop indexing vmaps to dense masked ops), so a
+    fleet of robots replanning against the same served model costs one
+    device program instead of one launch per HTTP connection. Requests
+    are grouped by ``alpha`` (they must share the EID).
+    """
+
+    def __init__(self, launch_fn, max_batch: int = 8,
+                 max_wait: float = 0.01):
+        self.launch_fn = launch_fn  # list[_PendingPlan] -> list[result]
+        self.max_batch = max_batch
+        self.max_wait = max_wait
+        self._queue: list[_PendingPlan] = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self.launches = 0
+        self.batched_requests = 0
+        self.max_requests_per_launch = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, x0, B, seed, alpha):
+        p = _PendingPlan(np.asarray(x0, float).reshape(-1), float(B),
+                         int(seed), float(alpha))
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("queue closed")
+            self._queue.append(p)
+            self._cv.notify()
+        p.event.wait()
+        if p.err is not None:
+            raise p.err
+        return p.res
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _take_batch(self) -> list[_PendingPlan]:
+        with self._cv:
+            while not self._queue and not self._stop:
+                self._cv.wait(timeout=0.1)
+            if self._stop and not self._queue:
+                return []
+        time.sleep(self.max_wait)  # batching window
+        with self._cv:
+            if not self._queue:
+                return []
+            alpha = self._queue[0].alpha
+            batch, rest = [], []
+            for p in self._queue:
+                if p.alpha == alpha and len(batch) < self.max_batch:
+                    batch.append(p)
+                else:
+                    rest.append(p)
+            self._queue = rest
+            return batch
+
+    def _loop(self):
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                if self._stop:
+                    return
+                continue
+            try:
+                results = self.launch_fn(batch)
+                self.launches += 1
+                self.batched_requests += len(batch)
+                self.max_requests_per_launch = max(
+                    self.max_requests_per_launch, len(batch))
+                for p, r in zip(batch, results):
+                    p.res = r
+            except Exception as e:  # noqa: BLE001 — delivered to callers
+                for p in batch:
+                    p.err = e
+            for p in batch:
+                p.event.set()
+
+
 class ModelServer:
     """Wraps a restored model for query serving.
 
@@ -328,6 +424,13 @@ class PlannerService:
     ``start`` may carry extra components (e.g. a 3D robot's z); the
     planner samples in 2D and only [x, y] are used.
 
+    Concurrent /plan requests coalesce: a fleet of robots replanning
+    within the batching window becomes independent (start, budget, seed)
+    lanes of ONE vmapped planner launch (``PlanBatchingQueue`` →
+    DeviceRIG.plan_batch; near-linear lane cost, so 8 concurrent replans
+    cost ~1.6x one). Lane counts pad to powers of two, so each distinct
+    padded width compiles once.
+
     ``cost`` fixes the scoring family at construction (one compiled
     executable serves every request; start/budget/seed/EID are traced
     arguments): "ergodic" (default) / "fourier" score against the EID
@@ -391,6 +494,11 @@ class PlannerService:
         self._eid_cache: dict = {}
         self._gain_cache = None
         self._plan_lock = threading.Lock()  # one planner launch at a time
+        # fleet coalescing: concurrent single-plan requests become lanes
+        # of ONE vmapped plan_batch launch (ensemble services keep the
+        # direct path — they already batch internally)
+        self.plan_queue = (PlanBatchingQueue(self._launch_plans)
+                           if n_plans == 1 else None)
         if warm:
             # pre-compile the planner executable at startup so the first
             # request doesn't pay the trace+compile (one compiled plan()
@@ -408,6 +516,18 @@ class PlannerService:
             self._eid_cache[key] = np.asarray(expected_information_density(
                 mu, var, self.model_server.prior_sig, alpha=alpha))
         return self._eid_cache[key]
+
+    def _launch_plans(self, batch):
+        """PlanBatchingQueue launch: one vmapped lane per request."""
+        eid = gp = None
+        if self.cost in self._GAIN_COSTS:
+            gp = self._gain_state()
+        else:
+            eid = self._eid(batch[0].alpha)
+        return self._adapter.plan_batch(
+            np.stack([p.x0 for p in batch]),
+            [p.seed for p in batch],
+            np.asarray([p.B for p in batch]), eid=eid, gp=gp)
 
     def _gain_state(self):
         from mfgp_tpu.planning.rig_device import (prepare_mf_gain_state,
@@ -446,6 +566,17 @@ class PlannerService:
         start = start[:2]  # planner samples in 2D; ignore z and beyond
         B = float(payload.get("budget", self.exp.B))
         seed = int(payload.get("seed", 0))
+        if self.plan_queue is not None:
+            t0 = time.perf_counter()
+            res = self.plan_queue.submit(
+                start, B, seed, payload.get("alpha", 1.0 / 11))
+            dt = time.perf_counter() - t0
+            return {"path": np.asarray(res.points).tolist(),
+                    "budget": float(res.budget),
+                    "info": float(res.info),
+                    "n_nodes": int(res.n_nodes),
+                    "n_edges": int(res.n_feasible_edges),
+                    "plan_seconds": round(dt, 4)}
         eid = gp = None
         if self.cost in self._GAIN_COSTS:
             gp = self._gain_state()
@@ -467,6 +598,8 @@ class PlannerService:
                 "plan_seconds": round(dt, 4)}
 
     def close(self):
+        if self.plan_queue is not None:
+            self.plan_queue.close()
         self.model_server.close()
 
 

@@ -129,6 +129,31 @@ def test_plan_ensemble_sharded_over_mesh(setup):
     np.testing.assert_array_equal(a.points, b.points)
 
 
+def test_plan_batch_lanes_match_solo(setup):
+    """plan_batch: K independent (start, key, budget) lanes in ONE vmapped
+    launch — each lane's result matches the solo plan() with the same
+    arguments, and padding lanes (K=3 pads to 4) are discarded."""
+    _, _, _, _, planner = setup
+    starts = np.array([[1.0, 1.0], [5.0, 10.0], [8.0, 18.0]])
+    keys = jax.vmap(jax.random.key)(jnp.arange(3, dtype=jnp.uint32))
+    Bs = np.array([20.0, 15.0, 20.0])
+    batch = planner.plan_batch(starts, keys, Bs)
+    assert len(batch) == 3
+    for i in range(3):
+        solo = planner.plan(starts[i], jax.random.key(i), B=Bs[i])
+        np.testing.assert_allclose(batch[i].info, solo.info,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(batch[i].budget, solo.budget,
+                                   rtol=1e-5)
+        assert batch[i].points.shape == solo.points.shape
+        np.testing.assert_allclose(batch[i].points, solo.points,
+                                   rtol=1e-4, atol=1e-4)
+        assert batch[i].budget <= Bs[i] + 1e-6
+
+    with pytest.raises(ValueError, match="align"):
+        planner.plan_batch(starts, keys[:2], Bs)
+
+
 def test_near_neighbors_phases(setup):
     """near_neighbors=2: K near-phase extensions per iteration grow the
     graph faster, same invariants."""

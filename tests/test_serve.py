@@ -244,6 +244,60 @@ def test_plan_endpoint_gain(rng_module):
         svc.close()
 
 
+def test_concurrent_plans_coalesce_into_one_launch(rng_module):
+    """A fleet replanning at once: >=4 concurrent /plan requests become
+    lanes of ONE vmapped planner launch (PlanBatchingQueue ->
+    DeviceRIG.plan_batch), and each caller's result matches a solo
+    request with the same (start, budget, seed)."""
+    from mfgp_tpu.serve import PlannerService
+
+    X = np.column_stack([rng_module.uniform(0, 10, 25),
+                         rng_module.uniform(0, 20, 25),
+                         rng_module.uniform(0, 10, 25)])
+    y = np.sin(X[:, 0]) + 0.1 * rng_module.standard_normal(25)
+    svc = PlannerService(ModelServer(GP(X, y, jitter=1e-8)),
+                         cost="ergodic", plan_iters=12)
+    assert svc.plan_queue is not None
+    svc.plan_queue.max_wait = 0.25  # widen the window: threads must land
+    try:
+        n_clients = 5
+        barrier = threading.Barrier(n_clients)
+        results = [None] * n_clients
+
+        def client(i):
+            barrier.wait()
+            results[i] = svc.handle(
+                "/plan", {"start": [1.0 + i, 2.0], "budget": 20.0,
+                          "seed": i})
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        q = svc.plan_queue
+        assert q.max_requests_per_launch >= 4
+        assert q.launches <= 2
+        assert q.batched_requests == n_clients
+        n_finite = 0
+        for i in range(n_clients):
+            assert results[i] is not None
+            # lane parity: a solo request (1-lane launch) agrees — even
+            # for lanes that found no feasible path (info -inf == -inf)
+            solo = svc.handle("/plan", {"start": [1.0 + i, 2.0],
+                                        "budget": 20.0, "seed": i})
+            np.testing.assert_allclose(results[i]["info"], solo["info"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(results[i]["path"]),
+                                       np.asarray(solo["path"]),
+                                       rtol=1e-4, atol=1e-4)
+            n_finite += np.isfinite(results[i]["info"])
+        assert n_finite >= 3  # most lanes found a plan at these settings
+    finally:
+        svc.close()
+
+
 def test_plan_cost_model_mismatch(rng_module):
     """mf_gain needs an MFGP; NIGP lacks the conditioned state entirely."""
     from mfgp_tpu.models.nigp import NIGP
