@@ -981,9 +981,12 @@ class DeviceRIG:
         ``eid``/``gp``) coalesce into a single executable
         (serve.PlannerService batches /plan this way). Lanes are padded
         to the next power of two by repeating lane 0, so the compile
-        cache grows logarithmically in fleet size; the one-hot loop
-        indexing keeps the vmapped cost near-linear in lanes (8 plans =
-        1.6x one plan measured on v5e, plan_ensemble docstring)."""
+        cache grows logarithmically in fleet size. Batching x0/B along
+        with the keys costs nothing extra: measured on v5e at
+        sim-default ergodic settings (200 iters), 8 plan_batch lanes =
+        742 ms vs plan_ensemble's 733 ms at identical settings, both
+        ~4.7x one 159 ms plan — 1.7x cheaper than serial replans, plus
+        only one tunnel round-trip for the whole fleet."""
         x0s = np.atleast_2d(np.asarray(x0s, float))
         K = x0s.shape[0]
         if keys.shape[0] != K:
@@ -1003,7 +1006,8 @@ class DeviceRIG:
                 self._plan_impl, in_axes=(0, 0, 0, None, None)))
         sts = dict(self._batch_jit(x0j, keysj, Bj, eidj, gpj))
         sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
-        return [self._extract(jax.tree.map(lambda a: np.asarray(a)[i], sts))
+        sts = jax.tree.map(np.asarray, sts)  # ONE device->host transfer
+        return [self._extract(jax.tree.map(lambda a: a[i], sts))
                 for i in range(K)]
 
     def _extract(self, st) -> DevicePlanResult:
