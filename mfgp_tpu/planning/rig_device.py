@@ -952,8 +952,11 @@ class DeviceRIG:
         one-hot contractions (_row/_rows/_set_row), which vmap to dense
         masked reductions instead of batched gathers/scatters — measured
         on v5e (ergodic, 200 iters): 8 plans in 1.6x one plan's
-        wall-clock (r2's gather-based loop paid ~45x). Under ``mesh``
-        sharding the instances partition over dp with zero collectives.
+        wall-clock (r2's gather-based loop paid ~45x). The ratio is
+        edge-mix dependent: at sim defaults (traj_count=3) 8 plans
+        measured 4.6x one plan — still 1.7x cheaper than serial. Under
+        ``mesh`` sharding the instances partition over dp with zero
+        collectives.
         """
         x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
         keys = jax.random.split(key, n_plans)
