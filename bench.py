@@ -299,6 +299,10 @@ def main():
                          "~1e-3 at the HIGHEST default)")
     args = ap.parse_args()
 
+    from mfgp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.calibrate:
         calibrate(kernel=args.kernel)
         return

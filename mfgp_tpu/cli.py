@@ -32,6 +32,10 @@ def _cpu(args):
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    else:
+        from mfgp_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
 
 def cmd_sfgp(args):

@@ -86,16 +86,20 @@ def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter, ftol=0.0):
 # ---------------------------------------------------------------------------
 # batched evaluation (same mathematics as trainers.evaluate_models)
 # ---------------------------------------------------------------------------
-def _chunked_launch(fn, *arrs, chunk):
+def _chunked_launch(fn, *arrs, chunk, label=None):
     """Run ``fn`` over fixed-size chunks of the leading (dataset) axis.
 
     The tail chunk is padded by repeating the last lane so every launch
     shares ONE compiled executable per family; ``np.asarray`` on each
     chunk's outputs blocks before the next launch, keeping individual
-    device executions small and remote compiles serialized."""
+    device executions small and remote compiles serialized.
+
+    ``label``: print per-chunk wall times — chunk 0 carries the compile,
+    so the printout is the compile-vs-execute breakdown."""
     outs = []
     B = arrs[0].shape[0]
     for c0 in range(0, B, chunk):
+        t0 = time.monotonic()
         sl = [a[c0:c0 + chunk] for a in arrs]
         pad = chunk - sl[0].shape[0]
         if pad:
@@ -104,6 +108,10 @@ def _chunked_launch(fn, *arrs, chunk):
         if pad:
             out = jax.tree.map(lambda a: a[:-pad], out)
         outs.append(out)
+        if label:
+            word = "compile+run" if c0 == 0 else "run"
+            print(f"  {label} chunk {c0 // chunk} ({word}): "
+                  f"{time.monotonic() - t0:.1f}s", flush=True)
     return jax.tree.map(lambda *ps: np.concatenate(ps), *outs)
 
 
@@ -382,23 +390,24 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
         # --- four fit sweeps (chunked launches, one executable each) -----
         i_mf = jnp.asarray(inits_mf)
         i_sf = jnp.asarray(inits_sf)
+        lbl = (lambda s: s if verbose else None)
         vec_mf = _chunked_launch(
             lambda X, f, y: _fit_mf_batch(i_mf, X, f, y, fixed_rhos, -inf,
                                           inf, kernel, jitter, maxiter,
                                           tol, ftol),
-            Xmf, fmf, ymf, chunk=fit_chunk)
+            Xmf, fmf, ymf, chunk=fit_chunk, label=lbl("fit mf"))
         vec_sf = _chunked_launch(
             lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
                                        maxiter, tol, ftol),
-            X_sf, y_b, chunk=fit_chunk)
+            X_sf, y_b, chunk=fit_chunk, label=lbl("fit sf"))
         vec_tp = _chunked_launch(
             lambda X, y: _fit_sf_batch(i_sf, X, y, kernel, jitter,
                                        maxiter, tol, ftol),
-            X_tp, y_b, chunk=fit_chunk)
+            X_tp, y_b, chunk=fit_chunk, label=lbl("fit sfTP"))
         vec_ni = _chunked_launch(
             lambda ini, X, y: _fit_nigp_batch(ini, X, y, nig_lo, nig_hi,
                                               maxiter, ftol),
-            nig_inits, X_sf, y_b, chunk=fit_chunk)
+            nig_inits, X_sf, y_b, chunk=fit_chunk, label=lbl("fit nigp"))
         t_fit = time.monotonic() - t0
         if verbose:
             print(f"group N={n}: {B} datasets, 4 fit sweeps done in "
@@ -434,13 +443,13 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
 
         # (chunk, M, M) posterior covariances bound peak HBM per launch
         ev_mf = _chunked_launch(f_mf, mf_vec, Xmf, fmf, ymf, ftj,
-                                chunk=eval_chunk)
+                                chunk=eval_chunk, label=lbl("eval mf"))
         ev_sf = _chunked_launch(f_sf, jnp.asarray(vec_sf), X_sf, y_b, ftj,
-                                chunk=eval_chunk)
+                                chunk=eval_chunk, label=lbl("eval sf"))
         ev_tp = _chunked_launch(f_sf, jnp.asarray(vec_tp), X_tp, y_b, ftj,
-                                chunk=eval_chunk)
+                                chunk=eval_chunk, label=lbl("eval sfTP"))
         ev_ni = _chunked_launch(f_ni, jnp.asarray(vec_ni), X_sf, y_b, ftj,
-                                chunk=eval_chunk)
+                                chunk=eval_chunk, label=lbl("eval nigp"))
         mf_vec_np = np.asarray(mf_vec)
         ni_np = np.asarray(vec_ni)
         if verbose:

@@ -687,6 +687,9 @@ def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080,
 
     ``plan_cost`` additionally enables POST /plan (PlannerService) with
     that scoring family."""
+    from mfgp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     server = ModelServer.from_checkpoint(path)
     if plan_cost:
         server = PlannerService(server, cost=plan_cost,
@@ -699,6 +702,9 @@ def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080,
 def serve_checkpoints(paths: dict[str, str], host: str = "127.0.0.1",
                       port: int = 8080):
     """Blocking multi-model entry point: {name: checkpoint path}."""
+    from mfgp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     router = ModelRouter({name: ModelServer.from_checkpoint(p)
                           for name, p in paths.items()})
     srv = make_http_server(router, host, port)
