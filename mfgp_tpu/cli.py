@@ -32,10 +32,11 @@ def _cpu(args):
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
-    else:
-        from mfgp_tpu.utils.cache import enable_compilation_cache
+    # both branches: the cache gate itself skips unsupported backends
+    # (axon tunnel), so forced-CPU runs get the cache like bench/serve do
+    from mfgp_tpu.utils.cache import enable_compilation_cache
 
-        enable_compilation_cache()
+    enable_compilation_cache()
 
 
 def cmd_sfgp(args):

@@ -38,14 +38,29 @@ _enabled_dir: str | None = None
 def _backend_supports_executable_cache() -> bool:
     """False on the axon tunnel plugin: its IFRT client never hooks
     deserialize_executable, so loading a cached executable stalls the
-    launch instead of skipping the compile."""
+    launch instead of skipping the compile.
+
+    Fails CLOSED when the platform cannot be determined: with no
+    explicit platform selection, jax auto-discovers plugins, and if the
+    axon plugin is importable it will be picked — enabling the cache
+    there reintroduces the >590 s hang the gate exists to prevent."""
     if os.environ.get(_FORCE_ENV) == "1":
         return True
     import jax
 
     plats = (jax.config.jax_platforms or
              os.environ.get("JAX_PLATFORMS", ""))
-    return "axon" not in plats
+    if "axon" in plats:
+        return False
+    if plats:
+        return True
+    # Platform unspecified: jax will auto-discover. If the axon plugin is
+    # on the path it wins the discovery, so treat "axon importable" as
+    # "axon active" rather than initializing the backend to ask (a
+    # tunnel attach takes minutes).
+    import importlib.util
+
+    return importlib.util.find_spec("axon") is None
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
@@ -68,6 +83,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         "~/.cache/mfgp_tpu/xla")
     import jax
 
+    prev_dir = jax.config.jax_compilation_cache_dir
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -76,6 +92,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except (AttributeError, ValueError, OSError):
+        # roll back so the returned "disabled" matches real config state
+        # (a later key may be missing on older jax after the dir was set)
+        try:
+            jax.config.update("jax_compilation_cache_dir", prev_dir)
+        except (AttributeError, ValueError):
+            pass
         return None
     _enabled_dir = cache_dir
     return cache_dir

@@ -9,13 +9,20 @@ import jax
 import pytest
 
 
+_KEYS = ("jax_compilation_cache_dir",
+         "jax_persistent_cache_min_compile_time_secs",
+         "jax_persistent_cache_min_entry_size_bytes")
+
+
 @pytest.fixture(autouse=True)
 def _restore_cache_config():
     """Later suite tests must not write cache entries into a deleted
-    tmp_path (whole-planner CPU compiles exceed the 1 s threshold)."""
-    prev = jax.config.jax_compilation_cache_dir
+    tmp_path (whole-planner CPU compiles exceed the 1 s threshold) nor
+    inherit the lowered compile-time/entry-size thresholds."""
+    prev = {k: getattr(jax.config, k) for k in _KEYS}
     yield
-    jax.config.update("jax_compilation_cache_dir", prev)
+    for k, v in prev.items():
+        jax.config.update(k, v)
 
 
 def _fresh(monkeypatch, tmp_path, env=None):
@@ -47,6 +54,32 @@ def test_env_overrides_location(monkeypatch, tmp_path):
     d = str(tmp_path / "envdir")
     cache = _fresh(monkeypatch, tmp_path, env=d)
     assert cache.enable_compilation_cache() == d
+
+
+def test_empty_platform_fails_closed_when_axon_importable(monkeypatch,
+                                                          tmp_path):
+    """With no platform configured, jax auto-discovers plugins; if the
+    axon plugin is importable it wins, so the gate must fail closed."""
+    import importlib.util as ilu
+
+    cache = _fresh(monkeypatch, tmp_path)
+    prev = jax.config.jax_platforms
+    jax.config.update("jax_platforms", "")
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.delenv(cache._FORCE_ENV, raising=False)
+    real_find = ilu.find_spec
+    try:
+        monkeypatch.setattr(ilu, "find_spec",
+                            lambda n: object() if n == "axon"
+                            else real_find(n))
+        assert cache.enable_compilation_cache(str(tmp_path / "a")) is None
+        monkeypatch.setattr(ilu, "find_spec",
+                            lambda n: None if n == "axon"
+                            else real_find(n))
+        d = str(tmp_path / "b")
+        assert cache.enable_compilation_cache(d) == d
+    finally:
+        jax.config.update("jax_platforms", prev)
 
 
 def test_axon_tunnel_gate(monkeypatch, tmp_path):
