@@ -180,12 +180,54 @@ def cmd_explore(args):
     print(json.dumps(out))
 
 
+def cmd_mission_server(args):
+    """Long-lived mission-submission server (serve.MissionService)."""
+    _cpu(args)
+    from mfgp_tpu.serve import serve_missions
+
+    serve_missions(host=args.host, port=args.port)
+
+
+def _submit_mission(args):
+    """POST the mission spec to a mission server and poll to completion —
+    time-to-first-result excludes the server's warm executable's compile
+    (see serve.MissionService)."""
+    import time
+    import urllib.request
+
+    spec = {"variant": args.variant, "seed": args.seed,
+            "budget": args.budget, "bd": args.bd,
+            "plan_iters": args.plan_iters, "e_max": args.e_max,
+            "update_hyps": args.update_hyps, "flight": args.flight,
+            "ergodic_metric": args.ergodic_metric,
+            "info_cost": args.info_cost,
+            "fit_restarts": args.fit_restarts,
+            "glide_stride": args.glide_stride}
+    url = args.submit.rstrip("/")
+    t0 = time.perf_counter()
+    req = urllib.request.Request(
+        url + "/mission", json.dumps(spec).encode(),
+        {"Content-Type": "application/json"})
+    sub = json.loads(urllib.request.urlopen(req).read())
+    while True:
+        job = json.loads(urllib.request.urlopen(
+            f"{url}/mission/{sub['job']}").read())
+        if job["state"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    job["client_seconds"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(job))
+
+
 def cmd_mission(args):
     """The whole exploration experiment as ONE device launch
     (sim.mission_device.DeviceMission). ``--update-hyps`` switches from the
-    frozen-hyperparameter regime to in-graph per-replan L-BFGS refits."""
+    frozen-hyperparameter regime to in-graph per-replan L-BFGS refits.
+    ``--submit URL`` sends the run to a mission server instead."""
     import time
 
+    if args.submit:
+        return _submit_mission(args)
     _cpu(args)
     from mfgp_tpu.sim.mission_device import DeviceMission
     from mfgp_tpu.utils.configs import ExperimentConfig
@@ -480,6 +522,21 @@ def build_parser():
                    help="write the reference's per-replan artifact set "
                         "(plannedTraj{n}.csv, EID{n}.csv, hyps.csv, "
                         "GPData.csv, replans.csv) to this directory")
+    p.add_argument("--submit", default=None, metavar="URL",
+                   help="submit to a long-lived mission server "
+                        "(cli mission-server) instead of running locally "
+                        "— repeat configs reuse its compiled executable, "
+                        "skipping the minute-scale tunnel compile")
+
+    p = sub.add_parser(
+        "mission-server",
+        help="long-lived mission-submission server (serve.MissionService):"
+             " holds compiled whole-mission executables across POST "
+             "/mission submissions — the compile-latency mitigation for "
+             "the tunnel backend (utils/cache.py)")
+    p.set_defaults(fn=cmd_mission_server)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
 
     p = sub.add_parser(
         "campaign", help="the reference's whole 4-driver experiment "

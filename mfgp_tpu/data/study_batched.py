@@ -86,33 +86,53 @@ def _fit_nigp_batch(initsb, Xb, yb, lower, upper, maxiter, ftol=0.0):
 # ---------------------------------------------------------------------------
 # batched evaluation (same mathematics as trainers.evaluate_models)
 # ---------------------------------------------------------------------------
-def _chunked_launch(fn, *arrs, chunk, label=None):
+def _chunked_launch(fn, *arrs, chunk, label=None, async_depth: int = 4):
     """Run ``fn`` over fixed-size chunks of the leading (dataset) axis.
 
     The tail chunk is padded by repeating the last lane so every launch
-    shares ONE compiled executable per family; ``np.asarray`` on each
-    chunk's outputs blocks before the next launch, keeping individual
-    device executions small and remote compiles serialized.
+    shares ONE compiled executable per family.
 
-    ``label``: print per-chunk wall times — chunk 0 carries the compile,
-    so the printout is the compile-vs-execute breakdown."""
-    outs = []
+    Chunks are PIPELINED: up to ``async_depth`` launches are dispatched
+    before the oldest one's outputs are fetched, so a straggler lane in
+    chunk k no longer stalls the dispatch of chunk k+1 — the device queue
+    stays full and per-chunk tunnel latency overlaps execution (JAX async
+    dispatch; outputs per chunk are O(B) scalars/vectors, so queued
+    results cost no meaningful HBM). Chunk 0 is a synchronization
+    barrier: it carries the executable compile, and the remote compile
+    helper on the axon tunnel dies under memory pressure when several
+    large programs compile concurrently, so later chunks (and any
+    concurrently-driven family's first chunk) only dispatch once it
+    completes.
+
+    ``label``: print per-chunk wall times — chunk 0 carries the compile;
+    pipelined chunks report time-to-fetch (overlapped, not additive)."""
+    fetched = []
+    pending = []  # (chunk_idx, t0, device outputs, pad)
+
+    def _fetch():
+        ci, t0, out, pad = pending.pop(0)
+        out = jax.tree.map(np.asarray, out)  # blocks on this chunk only
+        if pad:
+            out = jax.tree.map(lambda a: a[:-pad], out)
+        fetched.append(out)
+        if label:
+            word = "compile+run" if ci == 0 else "run"
+            print(f"  {label} chunk {ci} ({word}): "
+                  f"{time.monotonic() - t0:.1f}s", flush=True)
+
     B = arrs[0].shape[0]
-    for c0 in range(0, B, chunk):
+    for ci, c0 in enumerate(range(0, B, chunk)):
         t0 = time.monotonic()
         sl = [a[c0:c0 + chunk] for a in arrs]
         pad = chunk - sl[0].shape[0]
         if pad:
             sl = [jnp.concatenate([a] + [a[-1:]] * pad) for a in sl]
-        out = jax.tree.map(np.asarray, fn(*sl))
-        if pad:
-            out = jax.tree.map(lambda a: a[:-pad], out)
-        outs.append(out)
-        if label:
-            word = "compile+run" if c0 == 0 else "run"
-            print(f"  {label} chunk {c0 // chunk} ({word}): "
-                  f"{time.monotonic() - t0:.1f}s", flush=True)
-    return jax.tree.map(lambda *ps: np.concatenate(ps), *outs)
+        pending.append((ci, t0, fn(*sl), pad))
+        if ci == 0 or len(pending) >= async_depth:
+            _fetch()
+    while pending:
+        _fetch()
+    return jax.tree.map(lambda *ps: np.concatenate(ps), *fetched)
 
 
 def _metrics_from_cov(err, cov, normalize):

@@ -162,6 +162,11 @@ class DevicePlanResult:
     # feasible candidate edges actually admitted to the graph (counted in
     # the loop state, not launch capacity)
     n_feasible_edges: int = 0
+    # chronological admitted-extension trace, (K, 6): iteration, x_src,
+    # y_src, x_dst, y_dst, edge_id — enough to replay graph growth
+    # frame by frame (viz.plot_plan_animation; the reference draws the
+    # graph as it plans, reference/GraceRIGV3.py:1213-1216)
+    trace: np.ndarray = None
 
 
 class DeviceRIG:
@@ -389,10 +394,15 @@ class DeviceRIG:
             n_feas=jnp.asarray(0, jnp.int32),
             # per-node beam: arena indices, -1 = empty
             node_paths=jnp.full((MAXN, MAXP), -1, jnp.int32),
-            # arena (append-only): slot 0 is the root's trivial path
-            **({"a_q": jnp.zeros((ARENA, nstats), dt)}
+            # additive stats live per (node, beam slot) like the gain-mode
+            # carries — NOT in the arena: an (ARENA, nstats) buffer is read
+            # with one-hot contractions that stream the whole arena per
+            # extend, which under vmapped plan lanes dominates light-edge
+            # configs (O(lanes * ARENA * G) HBM traffic per extend); the
+            # (MAXN, MAXP, nstats) carry is read by leading-axis slice
+            **({"c_q": jnp.zeros((MAXN, MAXP, nstats), dt)}
                if not gain_mode else {}),
-            **({"a_cnt": jnp.zeros((ARENA,), dt)}
+            **({"c_cnt": jnp.zeros((MAXN, MAXP), dt)}
                if self.cost == "fourier" else {}),
             a_budget=jnp.zeros((ARENA,), dt),
             a_time=jnp.zeros((ARENA,), dt),
@@ -498,11 +508,13 @@ class DeviceRIG:
                 # beam by score. NaN note: infeasible entries can carry
                 # NaNs from masked-out synthesis branches — force them
                 # below every real key.
-                sq = _rows(state["a_q"], src_slots)
+                # beam-slot invariant: c_q rows of empty slots are zero
+                # (maintained at merge), matching the old arena _rows read
+                sq = state["c_q"][src_idx]  # (MAXP, nstats)
                 xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, nst, E)
                 xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, nstats)
                 if self.cost == "fourier":
-                    scnt = _rows(state["a_cnt"], src_slots)
+                    scnt = state["c_cnt"][src_idx]
                     xcnt = (scnt[:, None]
                             + jnp.full((1, E), float(S), dt)).reshape(-1)
                     scores = jax.vmap(
@@ -527,11 +539,9 @@ class DeviceRIG:
                 top_scores = _rows(scores, top)
                 blk_real = jnp.where(top_scored & sel_ok, top_scores, NEG)
                 a_score_blk = jnp.where(sel_ok, top_scores, NEG)
-                state = dict(state, a_q=jax.lax.dynamic_update_slice(
-                    state["a_q"], _rows(xq, top), (abase, 0)))
+                new_q = jnp.where(sel_ok[:, None], _rows(xq, top), 0.0)
                 if self.cost == "fourier":
-                    state = dict(state, a_cnt=jax.lax.dynamic_update_slice(
-                        state["a_cnt"], _rows(xcnt, top), (abase,)))
+                    new_cnt = jnp.where(sel_ok, _rows(xcnt, top), 0.0)
             else:
                 # gain mode, score-everything: per-path bordered-Cholesky
                 # carries make the sequential gain additive per edge, so
@@ -792,6 +802,22 @@ class DeviceRIG:
                 n_nodes=jnp.where(admitted & ~merge & have_room,
                                   n_nodes + 1, n_nodes).astype(jnp.int32),
             )
+            if not gain_mode:
+                # gather the surviving entries' additive stats into dst's
+                # beam slots (invalid slots zeroed — the read invariant)
+                bvalid = beam >= 0
+                cQ = _rows(jnp.concatenate([state["c_q"][dst_idx], new_q]),
+                           keep)
+                cQ = jnp.where(bvalid[:, None], cQ, 0.0)
+                state = dict(state, c_q=state["c_q"].at[dst_idx].set(
+                    jnp.where(active, cQ, state["c_q"][dst_idx])))
+                if self.cost == "fourier":
+                    cC = _rows(jnp.concatenate(
+                        [state["c_cnt"][dst_idx], new_cnt]), keep)
+                    cC = jnp.where(bvalid, cC, 0.0)
+                    state = dict(state, c_cnt=state["c_cnt"].at[
+                        dst_idx].set(jnp.where(active, cC,
+                                               state["c_cnt"][dst_idx])))
             if gain_mode:
                 # gather the surviving entries' carries into dst's slots
                 bvalid = beam >= 0
@@ -891,8 +917,8 @@ class DeviceRIG:
 
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         # carries are working state, not results — don't ship them home
-        for k in ("c_L", "c_pts", "c_np", "c_gain", "c_sig", "a_q",
-                  "a_cnt"):
+        for k in ("c_L", "c_pts", "c_np", "c_gain", "c_sig", "c_q",
+                  "c_cnt"):
             state.pop(k, None)
         return state
 
@@ -1018,10 +1044,6 @@ class DeviceRIG:
         n_nodes = int(st["n_nodes"])
         n_feas = int(st["n_feas"])
         nodes = np.asarray(st["nodes"])[:n_nodes]
-        if best < 0:
-            return DevicePlanResult(-np.inf, 0.0, 0.0, np.zeros((0, 4)),
-                                    n_nodes, nodes, [],
-                                    n_feasible_edges=n_feas)
         a_prev = np.asarray(st["a_prev"])
         a_edge = np.asarray(st["a_edge"])
         edge_pts = np.asarray(st["edge_pts"])
@@ -1029,6 +1051,20 @@ class DeviceRIG:
         edge_src = np.asarray(st["edge_src"])
         edge_dst = np.asarray(st["edge_dst"])
         all_nodes = np.asarray(st["nodes"])
+        # admitted-extension chronology from the arena: entries with a
+        # real backing edge, in arena (= insertion) order; the arena block
+        # index encodes the planning iteration
+        kept = np.nonzero(a_edge >= 0)[0]
+        eids = a_edge[kept]
+        its = (kept - 1) // ((1 + self.K) * self.max_paths)
+        trace = np.column_stack([
+            its.astype(float),
+            all_nodes[edge_src[eids]], all_nodes[edge_dst[eids]],
+            eids.astype(float)]) if kept.size else np.zeros((0, 6))
+        if best < 0:
+            return DevicePlanResult(-np.inf, 0.0, 0.0, np.zeros((0, 4)),
+                                    n_nodes, nodes, [],
+                                    n_feasible_edges=n_feas, trace=trace)
         chain = []
         i = best
         while i > 0:
@@ -1047,7 +1083,7 @@ class DeviceRIG:
         return DevicePlanResult(
             float(st["best_score"]), float(st["a_budget"][best]),
             float(st["a_time"][best]), points, n_nodes, nodes, edges,
-            truncated=False, n_feasible_edges=n_feas)
+            truncated=False, n_feasible_edges=n_feas, trace=trace)
 
 
 def prepare_sf_gain_state(model, n_max: int, dtype=jnp.float32):

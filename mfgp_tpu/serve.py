@@ -24,6 +24,7 @@ next power of two so the compile cache stays small.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -635,6 +636,154 @@ class ModelRouter:
             s.close()
 
 
+class MissionService:
+    """Mission submission against a LONG-LIVED process that holds compiled
+    executables — the compile-latency mitigation for the axon tunnel.
+
+    The tunnel plugin cannot load serialized executables
+    (utils/cache.py: ``deserialize_executable`` has no round-trip), so a
+    fresh process pays minute-scale compiles for every whole-mission
+    program. This service IS the compile cache: the first submission of a
+    mission configuration compiles; every later submission of the same
+    configuration — any seed — reuses the warm executable
+    (DeviceMission's ``_run_jit`` transplant, the same trick
+    cli.cmd_mission uses for its warm second run).
+
+      POST /mission  {"variant": "MFEGP", "seed": 0, "budget": 20.0,
+                      "bd": 2, "plan_iters": 40, "e_max": 16, ...}
+                     -> {"job": i, "state": "queued", "warm": bool}
+      GET  /mission/<id>  -> {"state": queued|running|done|error, ...}
+      GET  /missions      -> {"jobs": [...]}
+
+    Jobs run on ONE worker thread: missions share the single device, and
+    concurrent large compiles can kill the remote compile helper
+    (CLAUDE.md), so submissions serialize — the point is executable
+    reuse, not parallelism.
+    """
+
+    _FIELDS = ("variant", "budget", "bd", "update_hyps", "plan_iters",
+               "e_max", "flight", "ergodic_metric", "info_cost",
+               "fit_restarts", "glide_stride", "t_cap", "max_nodes",
+               "samples_per_edge")
+
+    def __init__(self):
+        self._jobs: list[dict] = []
+        self._missions: dict[tuple, object] = {}  # config key -> mission
+        self._queue: queue.Queue = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._run_worker,
+                                        daemon=True)
+        self._worker.start()
+
+    @classmethod
+    def _spec(cls, payload: dict) -> dict:
+        variant = str(payload.get("variant", "MFEGP")).upper()
+        if variant not in ("MFEGP", "MFGP", "SFEGP", "SFGP"):
+            raise ValueError(f"unknown variant {variant}")
+        return {
+            "variant": variant,
+            "budget": float(payload.get("budget", 20.0)),
+            "bd": int(payload.get("bd", 2)),
+            "update_hyps": bool(payload.get("update_hyps", False)),
+            "plan_iters": int(payload.get("plan_iters", 40)),
+            "e_max": int(payload.get("e_max", 16)),
+            "flight": str(payload.get("flight", "kinematic")),
+            "ergodic_metric": str(payload.get("ergodic_metric", "kl")),
+            "info_cost": str(payload.get("info_cost", "sequential")),
+            "fit_restarts": int(payload.get("fit_restarts", 1)),
+            "glide_stride": int(payload.get("glide_stride", 1)),
+            "t_cap": int(payload.get("t_cap", 8192)),
+            "max_nodes": int(payload.get("max_nodes", 64)),
+            "samples_per_edge": int(payload.get("samples_per_edge", 24)),
+            "seed": int(payload.get("seed", 0)),
+        }
+
+    def _build(self, spec: dict):
+        from mfgp_tpu.sim.mission_device import DeviceMission
+        from mfgp_tpu.utils.configs import ExperimentConfig
+
+        v = spec["variant"]
+        exp = ExperimentConfig(
+            multi_fidelity=v.startswith("MF"),
+            ergodic=v in ("MFEGP", "SFEGP"),
+            ergodic_metric=spec["ergodic_metric"],
+            info_cost=spec["info_cost"],
+            update_hyps=spec["update_hyps"],
+            B=spec["budget"], BD=spec["bd"])
+        return DeviceMission(
+            exp, seed=spec["seed"], flight=spec["flight"],
+            plan_iters=spec["plan_iters"], e_max=spec["e_max"],
+            fit_restarts=spec["fit_restarts"],
+            glide_stride=spec["glide_stride"], t_cap=spec["t_cap"],
+            max_nodes=spec["max_nodes"],
+            samples_per_edge=spec["samples_per_edge"])
+
+    def _run_worker(self):
+        while True:
+            job = self._queue.get()
+            if job is None:
+                return
+            key = tuple(job["spec"][f] for f in self._FIELDS)
+            with self._lock:
+                job["state"] = "running"
+            t0 = time.perf_counter()
+            try:
+                mission = self._build(job["spec"])
+                warm = key in self._missions
+                if warm:  # transplant the compiled executable
+                    mission._run_jit = self._missions[key]._run_jit
+                res = mission.run()
+                self._missions[key] = mission
+                with self._lock:
+                    job.update(
+                        state="done", warm=warm,
+                        seconds=round(time.perf_counter() - t0, 3),
+                        result={
+                            "rmse": float(res.rmse),
+                            "replans": int(res.n_replans),
+                            "budget_used": float(res.budget_used),
+                            "n_data": int(res.gp_data.data.shape[0]),
+                        })
+            except Exception as e:  # noqa: BLE001 — report to the client
+                with self._lock:
+                    job.update(state="error", error=repr(e),
+                               seconds=round(time.perf_counter() - t0, 3))
+
+    def handle(self, route: str, payload: dict) -> dict:
+        if route == "/health":
+            with self._lock:
+                return {"status": "ok", "jobs": len(self._jobs),
+                        "warm_configs": len(self._missions)}
+        if route == "/mission":
+            spec = self._spec(payload)
+            key = tuple(spec[f] for f in self._FIELDS)
+            with self._lock:
+                job = {"id": len(self._jobs), "state": "queued",
+                       "spec": spec, "warm": key in self._missions}
+                self._jobs.append(job)
+            self._queue.put(job)
+            return {"job": job["id"], "state": job["state"],
+                    "warm": job["warm"]}
+        if route == "/missions":
+            with self._lock:
+                return {"jobs": [{k: v for k, v in j.items()
+                                  if k != "spec"} for j in self._jobs]}
+        if route.startswith("/mission/"):
+            try:
+                i = int(route.rsplit("/", 1)[1])
+                with self._lock:
+                    job = self._jobs[i]
+            except (ValueError, IndexError):
+                raise KeyError(route) from None
+            with self._lock:
+                return {k: v for k, v in job.items() if k != "spec"}
+        raise KeyError(route)
+
+    def close(self):
+        self._queue.put(None)
+        self._worker.join(timeout=5)
+
+
 def make_http_server(server, host: str = "127.0.0.1",
                      port: int = 0) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server around a ModelServer or a
@@ -654,8 +803,8 @@ def make_http_server(server, host: str = "127.0.0.1",
 
         def do_GET(self):
             try:
-                if self.path in ("/health", "/models") or \
-                        self.path.startswith("/models/"):
+                if self.path in ("/health", "/models", "/missions") or \
+                        self.path.startswith(("/models/", "/mission/")):
                     self._send(200, server.handle(self.path, {}))
                 else:
                     self._send(404, {"error": "unknown route"})
@@ -696,6 +845,19 @@ def serve_checkpoint(path: str, host: str = "127.0.0.1", port: int = 8080,
                                 plan_iters=plan_iters, warm=True)
     srv = make_http_server(server, host, port)
     print(f"serving on {srv.server_address}")
+    srv.serve_forever()
+
+
+def serve_missions(host: str = "127.0.0.1", port: int = 8080):
+    """Blocking mission-submission entry point (MissionService): a
+    long-lived process whose compiled whole-mission executables are
+    reused across submissions — the compile-latency workaround while the
+    tunnel backend cannot load cached executables."""
+    from mfgp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    srv = make_http_server(MissionService(), host, port)
+    print(f"mission server on {srv.server_address}")
     srv.serve_forever()
 
 

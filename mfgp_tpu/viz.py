@@ -230,6 +230,84 @@ def plot_device_plan(result, WS, out_png: str):
     return out_png
 
 
+def plot_plan_animation(source, WS, out_dir: str, n_frames: int = 8,
+                        show_best: bool = True) -> list:
+    """PNG frame sequence of planner-graph growth — the headless
+    counterpart of the reference's live planning animation
+    (reference/GraceRIGV3.py:1213-1216, draw methods :908-1063).
+
+    ``source``: a host ``RIGPlanner`` (frames are prefixes of its
+    insertion-ordered edge list) or a ``DevicePlanResult`` (frames replay
+    its ``trace`` chronology by planning iteration). Writes
+    ``frame_000.png``... under ``out_dir`` and returns the paths.
+    """
+    import os
+
+    plt = _plt()
+    WS = np.asarray(WS, float).reshape(2, 2)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if hasattr(source, "trace"):  # DevicePlanResult
+        tr = np.asarray(source.trace if source.trace is not None
+                        else np.zeros((0, 6)))
+        # cut points: equal slices of the admitted-extension chronology
+        cuts = np.linspace(0, tr.shape[0], max(n_frames, 2)).astype(int)
+        segments = [tr[:c, 1:5] for c in cuts[1:]]
+        nodes = np.asarray(source.node_states)
+        best = (np.asarray(source.points)
+                if show_best and source.points.shape[0] else None)
+        info = source.info
+    else:  # host RIGPlanner
+        edges = [(np.asarray(source.V[i].state[:2, 0]),
+                  np.asarray(source.V[j].state[:2, 0]))
+                 for (i, j) in source.E
+                 if i in source.V and j in source.V]
+        seg_arr = (np.asarray([[a[0], a[1], b[0], b[1]]
+                               for a, b in edges])
+                   if edges else np.zeros((0, 4)))
+        cuts = np.linspace(0, seg_arr.shape[0],
+                           max(n_frames, 2)).astype(int)
+        segments = [seg_arr[:c] for c in cuts[1:]]
+        nodes = np.asarray([[n.state[0, 0], n.state[1, 0]]
+                            for n in source.V.values()])
+        best = None
+        if show_best and source.best_path.segments:
+            pts = source.best_path_points(dense=True)
+            if pts is not None and pts.shape[0]:
+                best = np.asarray(pts)
+        info = source.best_path.info if source.best_path.segments else None
+
+    wx, wy = WS[0, 1] - WS[0, 0], WS[1, 1] - WS[1, 0]
+    paths = []
+    for f, seg in enumerate(segments):
+        fig, ax = plt.subplots(figsize=(6, 6 * wy / max(wx, 1e-9)))
+        for row in seg:
+            ax.plot([row[0], row[2]], [row[1], row[3]], color="0.8",
+                    lw=0.8, zorder=1)
+        ends = (np.unique(np.concatenate([seg[:, :2], seg[:, 2:4]]),
+                          axis=0) if seg.shape[0] else nodes[:1])
+        ax.scatter(ends[:, 0], ends[:, 1], s=14, color="C0", zorder=2)
+        if nodes.shape[0]:
+            ax.scatter([nodes[0, 0]], [nodes[0, 1]], s=60, marker="*",
+                       color="C3", zorder=3, label="start")
+        if f == len(segments) - 1 and best is not None:
+            ax.plot(best[:, 0], best[:, 1], color="C1", lw=2, zorder=4,
+                    label=f"best (info {info:.3g})")
+        ax.set_xlim(WS[0])
+        ax.set_ylim(WS[1])
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.set_title(f"frame {f + 1}/{len(segments)}: "
+                     f"{seg.shape[0]} extensions")
+        ax.legend(loc="best")
+        fig.tight_layout()
+        p = os.path.join(out_dir, f"frame_{f:03d}.png")
+        fig.savefig(p, dpi=110)
+        plt.close(fig)
+        paths.append(p)
+    return paths
+
+
 def plot_path_3d(path_points: np.ndarray, out_png: str, max_depth=None):
     """3D trajectory figure (depth axis inverted, diving down) — the
     reference's ``draw_3D_path`` (reference/GraceRIGV3.py:988-1063)."""

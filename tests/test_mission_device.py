@@ -343,6 +343,38 @@ def test_mission_dynamic_glide_stride():
         assert 0.6 * f1 < f4 < 1.4 * f1
 
 
+def test_mission_glide_stride_outcome_distribution():
+    """Mission-LEVEL multi-rate contract: over an ensemble of seeds,
+    stride=4 missions must track stride=1 outcome DISTRIBUTIONS, not just
+    flight-level kinematics — multi-rate plans are re-chosen on slightly
+    different data and drift compounds across replans (ROADMAP measured
+    rmse 1.67 vs 1.56 on one run), so the contract is on ensemble means:
+
+    * mean RMSE within 25% of the exact-rate mean,
+    * mean flown energy within +/-20% (tightened from the per-flight
+      0.7-1.3 band: per-seed energy differences are dominated by the fine
+      loop's chaotic divergence and largely average out across seeds).
+    """
+    n_seeds = 8
+    kw = dict(flight="dynamic", t_cap=2048, **SMALL)
+    r1, r4 = [], []
+    for s in range(n_seeds):
+        e = dict(multi_fidelity=False, ergodic=True, B=12.0, BD=1)
+        r1.append(DeviceMission(_exp(**e), seed=s, **kw).run())
+        r4.append(DeviceMission(_exp(**e), seed=s, glide_stride=4,
+                                **kw).run())
+    rm1 = np.array([r.rmse for r in r1])
+    rm4 = np.array([r.rmse for r in r4])
+    assert np.all(np.isfinite(rm1)) and np.all(np.isfinite(rm4))
+    assert abs(rm4.mean() - rm1.mean()) <= 0.25 * rm1.mean()
+    f1 = np.array([sum(x["flown_budget"] for x in r.replans)
+                   for r in r1])
+    f4 = np.array([sum(x["flown_budget"] for x in r.replans)
+                   for r in r4])
+    if f1.sum() > 0:
+        assert 0.8 <= f4.mean() / f1.mean() <= 1.2
+
+
 def test_mission_save_artifacts(tmp_path):
     """save_artifacts writes the reference's per-replan artifact set in
     the host sim's schemas: plannedTraj rows equal the mission's valid

@@ -169,7 +169,8 @@ def test_near_neighbors_phases(setup):
 
 
 def test_plot_device_plan(setup, tmp_path):
-    from mfgp_tpu.viz import plot_device_plan, plot_path_3d
+    from mfgp_tpu.viz import (plot_device_plan, plot_path_3d,
+                              plot_plan_animation)
 
     _, WS, _, _, planner = setup
     res = planner.plan(np.array([1.0, 1.0]), jax.random.key(0))
@@ -177,6 +178,15 @@ def test_plot_device_plan(setup, tmp_path):
     p2 = plot_path_3d(res.points, str(tmp_path / "p.png"), max_depth=5.0)
     import os
     assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+    # graph-growth animation replay from the admitted-extension trace
+    assert res.trace is not None and res.trace.shape[0] > 0
+    assert res.trace.shape[1] == 6
+    # chronological: iteration column non-decreasing
+    assert np.all(np.diff(res.trace[:, 0]) >= 0)
+    frames = plot_plan_animation(res, WS, str(tmp_path / "anim"),
+                                 n_frames=3)
+    assert len(frames) >= 2
+    assert all(os.path.getsize(f) > 1000 for f in frames)
 
 
 def test_device_planner_dynamic_flight():

