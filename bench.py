@@ -165,6 +165,66 @@ def run_tpu(N, M, repeats=3, fast=False, kernel="rbf"):
 
 
 # ---------------------------------------------------------------------------
+# Device planner unit (tracked: one-launch RIG + fleet plan_batch)
+# ---------------------------------------------------------------------------
+# The reference replans on-robot inside a 45 s wall-clock budget
+# (reference/PhysicalExperimentCode/exploreExpSettings.py:214-218) — the
+# natural baseline for one replan decision.
+PLANNER_BASELINE_SECONDS = 45.0
+PLAN_ITERS = 200
+PLAN_LANES = 8
+
+
+def run_planner_tpu(repeats=3, iters=PLAN_ITERS, lanes=PLAN_LANES,
+                    seed=0):
+    """Wall-clock of (a) ONE 200-iteration DeviceRIG launch and (b) an
+    ``lanes``-lane ``plan_batch`` fleet launch, at SIM-DEFAULT settings
+    (ergodic cost, traj_count=3 — the light edge mix where vmap lane
+    overhead is largest; ROADMAP 'Parallelism'). Extraction/transfer is
+    included: this is the serving-relevant replan latency."""
+    import jax
+
+    from mfgp_tpu.metrics.eid import eid_grid
+    from mfgp_tpu.planning.rig_device import DeviceRIG
+    from mfgp_tpu.utils.configs import SimConfig
+
+    cfg_s = SimConfig()
+    grid = np.asarray(eid_grid([list(b) for b in cfg_s.WS],
+                               cfg_s.max_depth))
+    rng = np.random.default_rng(seed)
+    eid = rng.random(grid.shape[0])
+    eid = eid / eid.sum()
+    planner = DeviceRIG(
+        cfg=cfg_s.agent(), delta=cfg_s.step_size, B=150.0,
+        WS=np.asarray(cfg_s.WS, float), R=cfg_s.near_rad, Rd=cfg_s.Rd,
+        same_node_distance=cfg_s.same_node_distance, budget_cutoff=0.9,
+        max_iter=iters, grid=grid, eid=eid, cost="ergodic")
+    x0 = np.array([1.0, 1.0])
+    key = jax.random.key(seed)
+
+    planner.plan(x0, key)  # compile + warm
+    solo = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        planner.plan(x0, key)
+        solo.append(time.perf_counter() - t0)
+
+    keys = jax.random.split(key, lanes)
+    x0s = np.tile(x0, (lanes, 1))
+    Bs = np.full(lanes, 150.0)
+    planner.plan_batch(x0s, keys, Bs)  # compile + warm
+    batch = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        planner.plan_batch(x0s, keys, Bs)
+        batch.append(time.perf_counter() - t0)
+    return {"plan_seconds": min(solo),
+            "plan_batch_seconds": min(batch),
+            "lanes": lanes,
+            "lane_overhead_x": min(batch) / min(solo)}
+
+
+# ---------------------------------------------------------------------------
 # NumPy/scipy f64 baseline (the reference's compute stack)
 # ---------------------------------------------------------------------------
 def _np_ar1_weights(rhos, F):
@@ -297,6 +357,14 @@ def main():
                     help="HIGH-precision matmuls on the K^-1/posterior "
                          "phases (~5e-2 max posterior-variance rel err vs "
                          "~1e-3 at the HIGHEST default)")
+    ap.add_argument("--planner", action="store_true",
+                    help="measure ONLY the device-planner unit (200-iter "
+                         "one-launch RIG + 8-lane plan_batch at sim "
+                         "defaults) and print it as its own JSON line")
+    ap.add_argument("--no-planner", action="store_true",
+                    help="skip the planner sub-metrics in the default "
+                         "line (saves its compile when iterating on the "
+                         "train-step unit)")
     args = ap.parse_args()
 
     from mfgp_tpu.utils.cache import enable_compilation_cache
@@ -305,6 +373,18 @@ def main():
 
     if args.calibrate:
         calibrate(kernel=args.kernel)
+        return
+
+    if args.planner:
+        p = run_planner_tpu(repeats=args.repeats)
+        print(json.dumps({
+            "metric": "device_planner_200iter_replan_wallclock",
+            "value": round(p["plan_seconds"], 4), "unit": "s",
+            "vs_baseline": round(
+                PLANNER_BASELINE_SECONDS / p["plan_seconds"], 2),
+            "plan_batch8_seconds": round(p["plan_batch_seconds"], 4),
+            "lane_overhead_x": round(p["lane_overhead_x"], 2),
+        }))
         return
 
     if args.baseline_seconds is not None:
@@ -340,6 +420,18 @@ def main():
         out["nlml_rel_err"] = round(
             abs(stats["nlml_tpu"] - recorded_nlml)
             / abs(recorded_nlml), 6)
+    if not args.no_planner:
+        # planner sub-metrics ride the tracked line so regressions land
+        # in BENCH_r*.json (vs the reference's 45 s replan budget)
+        try:
+            p = run_planner_tpu(repeats=args.repeats)
+            out["planner_replan_seconds"] = round(p["plan_seconds"], 4)
+            out["planner_batch8_seconds"] = round(
+                p["plan_batch_seconds"], 4)
+            out["planner_lane_overhead_x"] = round(
+                p["lane_overhead_x"], 2)
+        except Exception as e:  # noqa: BLE001 — never lose the headline
+            out["planner_error"] = repr(e)
     print(json.dumps(out))
 
 

@@ -148,7 +148,7 @@ def test_bench_cli_json_schema(kernel):
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "bench.py", "--n", "120", "--m", "64",
-         "--repeats", "1", "--kernel", kernel],
+         "--repeats", "1", "--kernel", kernel, "--no-planner"],
         capture_output=True, text=True, timeout=600, check=True,
         cwd=repo_root, env=env)
     line = out.stdout.strip().splitlines()[-1]
@@ -170,3 +170,16 @@ def test_bench_cli_json_schema(kernel):
     # between the two baselines this test exists to distinguish)
     tol = 0.02 + 5e-5 / obj["value"] + 0.005 / expect
     assert abs(obj["vs_baseline"] - expect) / expect < tol
+
+
+def test_bench_planner_unit_smoke():
+    """run_planner_tpu: the tracked planner sub-metric (one-launch RIG +
+    fleet plan_batch) returns the schema keys with sane values at a tiny
+    iteration count (CPU)."""
+    from bench import run_planner_tpu
+
+    p = run_planner_tpu(repeats=1, iters=4, lanes=2)
+    assert p["plan_seconds"] > 0 and p["plan_batch_seconds"] > 0
+    assert p["lanes"] == 2
+    assert p["lane_overhead_x"] == (p["plan_batch_seconds"]
+                                    / p["plan_seconds"])
