@@ -312,11 +312,15 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
     ``fit_chunk``/``eval_chunk``: the dataset axis is processed in
     fixed-size chunks (tail padded by repetition) so each model family
     still compiles exactly ONE fit and ONE eval executable, but every
-    device launch stays small — measured on the axon v5e tunnel, a
-    90-lane restart-batched fit executable faults with a TPU device
-    error while 8-lane launches run fine, and chunking also serializes
-    remote compiles (the compile helper dies under memory pressure when
-    several large programs compile at once).
+    device launch stays SHORT. Root cause (measured, ROADMAP "TPU
+    worker fault"): the axon tunnel worker crashes any single device
+    execution that runs past ~60 s of wall-clock — lane count and
+    memory are NOT the trigger (a pure-matmul loop crashes at the same
+    scale; `memory_analysis()` shows 90-lane fits fit in HBM). 8-lane
+    fit chunks run ~20-40 s with the ftol stagnation stop — safely
+    under the ceiling — while 30-lane chunks of real fits exceed it.
+    Chunking also keeps each compile helper invocation small (it dies
+    under memory pressure when several large programs compile at once).
 
     ``ftol``: relative-f stagnation stop for the restart-batched L-BFGS
     lanes (scipy L-BFGS-B's ``factr`` criterion — the optimizer the

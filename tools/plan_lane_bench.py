@@ -13,10 +13,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# import the package from the tree this script lives in (lets the same
+# script benchmark an old-commit worktree for A/B attribution)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def measure(traj_count: int, iters: int, lanes_list, repeats: int = 3,
