@@ -139,19 +139,26 @@ def _gp_vg_core(params: GPParams, X, y, extra_noise_diag=0.0,
     obs = params.noise + extra_noise_diag + jitter
     Kn = _la.diag_add(K, jnp.broadcast_to(obs, (N,)))
     L = _la.chol(Kn)
-    alpha = _la.solve_posterior(L, y)
+    if inv_mode is None:
+        alpha = _la.solve_posterior(L, y)
+        Linv = None
+    else:
+        # alpha via the explicit factor (two streaming triangular
+        # matvecs) — see mfgp._nlml_vg_core for the rationale
+        Linv = _la.tri_inv_recursive(L)
+        z = _la.tri_lower_matmul(Linv, y[:, None])
+        alpha = _la.tri_lower_matmul_right(
+            z.reshape(1, -1), Linv).reshape(-1)
     val = (0.5 * jnp.dot(y, alpha)
            + 0.5 * _la.logdet_from_chol(L)
            + 0.5 * N * _LOG2PI)
 
     if inv_mode is None:
         Kinv = _la.chol_solve_blocked(L, jnp.eye(N, dtype=X.dtype))
-        Linv = None
     else:
         from mfgp_tpu.models.mfgp import _PRECISIONS
         from mfgp_tpu.ops import covariance as _covd
 
-        Linv = _la.tri_inv_recursive(L)
         if inv_mode == "highest" and _covd.use_pallas(X.dtype, kernel):
             # fused F=1 path: K^-1 tiles generated from Linv and
             # contracted into the gradient sums in one Pallas pass

@@ -229,7 +229,18 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
     noise_vec = _k.mf_noise_diag(fid, params.noises)
     Kn = _la.diag_add(K, noise_vec + jitter)
     L = _la.chol(Kn)
-    alpha = _la.solve_posterior(L, y)
+    if inv_mode is None:
+        alpha = _la.solve_posterior(L, y)
+    else:
+        # the explicit inverse factor is computed for the gradient's K^-1
+        # anyway; alpha = Linv^T (Linv y) turns the two SINGLE-RHS
+        # triangular substitutions (a serial dependency chain XLA lowers
+        # poorly on TPU) into two streaming triangular matvecs over the
+        # factor already resident in HBM
+        Linv = _la.tri_inv_recursive(L)
+        z = _la.tri_lower_matmul(Linv, y[:, None])
+        alpha = _la.tri_lower_matmul_right(
+            z.reshape(1, -1), Linv).reshape(-1)
     val = (0.5 * jnp.dot(y, alpha)
            + 0.5 * _la.logdet_from_chol(L)
            + 0.5 * N * _LOG2PI)
@@ -239,7 +250,6 @@ def _nlml_vg_core(params: MFGPParams, X, fid, y, kernel: str,
         Kinv = _la.chol_solve_blocked(L, eye)
         Linv = None
     else:
-        Linv = _la.tri_inv_recursive(L)
         from mfgp_tpu.ops import covariance as _cov
 
         if inv_mode == "highest" and _cov.use_pallas(X.dtype, kernel):
