@@ -18,6 +18,18 @@ cold compile). The cache is therefore OFF by default when the ``axon``
 platform is configured; everywhere else (real TPU hosts, CPU, GPU) it is
 on. ``MFGP_TPU_COMPILE_CACHE_FORCE=1`` overrides the gate.
 
+Probed end-to-end in r4 (``tools/aot_export_probe.py``, measured on the
+tunnel): ``jax.experimental.serialize_executable`` round-trips and the
+deserialized executable RUNS with the correct result, but the load takes
+~623 s in a fresh process where the same function cold-compiles and runs
+in 2.7 s — the documented hang, eventually completing. ``jax.export``
+round-trips StableHLO fine but recompiles on call (trace cache only).
+So AOT serialization is a pessimization on this backend and the gate
+stands; the compile-latency mitigation is the LONG-LIVED PROCESS
+(``serve.py`` PlannerService/ModelRouter/MissionService — `cli mission
+--submit URL` reuses a warm whole-mission executable across
+submissions).
+
 Opt-out via ``MFGP_TPU_COMPILE_CACHE=0``; override the location with
 ``MFGP_TPU_COMPILE_CACHE=/path``. Default location: ``~/.cache/mfgp_tpu/xla``.
 
