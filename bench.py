@@ -121,9 +121,20 @@ def run_tpu(N, M, repeats=3, fast=False, kernel="rbf"):
         lambda p: mf.nlml_value_grad_state_inv(p, Xj, fj, yj,
                                                kernel=kernel, jitter=1e-6,
                                                inv_mode=mode))
-    post = jax.jit(
-        lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj, kernel=kernel,
-                                            precision=mode))
+    # posterior: the fully-fused Pallas pass (K* and V never exist in HBM,
+    # triangular-aware FLOPs) when the Pallas stack applies; the blocked
+    # MXU-matmul path otherwise (and at --fast, whose "high"-precision
+    # matmuls the fused kernel deliberately doesn't offer).
+    from mfgp_tpu.ops.covariance import use_pallas
+
+    if not fast and use_pallas(Xj.dtype, kernel):
+        post = jax.jit(
+            lambda p, s: mf.predict_fused(p, s, gj, gfj, kernel=kernel))
+    else:
+        post = jax.jit(
+            lambda p, s: mf.predict_blocked_inv(p, s, gj, gfj,
+                                                kernel=kernel,
+                                                precision=mode))
 
     def unit():
         val, g, state = vgs(params)

@@ -461,6 +461,40 @@ def predict_blocked_inv(params: MFGPParams, state: MFGPStateInv, Xs, fid_s,
     return means.reshape(-1)[:M], variances.reshape(-1)[:M]
 
 
+@partial(jax.jit, static_argnames=("kernel", "include_noise", "interpret"))
+def predict_fused(params: MFGPParams, state: MFGPStateInv, Xs, fid_s,
+                  kernel: str = "rbf", include_noise: bool = True,
+                  interpret: bool = False):
+    """Posterior mean/variance as ONE fused Pallas pass over the grid.
+
+    Identical contract to predict_blocked_inv at HIGHEST matmul precision,
+    but the cross-covariance ``K*`` and the substitution ``V = Linv K*^T``
+    never exist in HBM: ops.pallas_kernels.posterior_fused rebuilds each
+    ``K*`` tile in VMEM from the scaled inputs (transcendentals once per
+    tile), parks it in a VMEM-resident strip, and contracts the triangular
+    ``Linv`` row walk against the strip — HBM traffic is ``Linv`` once per
+    grid tile plus the O(N + M) operands, and the contraction FLOPs stay
+    the triangular-aware N^2 M / 2 (a dense ``Linv @ K*`` pays N^2 M).
+
+    TPU/f32 path only (callers gate with ``ops.covariance.use_pallas``);
+    ``interpret=True`` runs the kernel's CPU interpreter for tests.
+    Covers the reference's per-replan robot-grid posterior
+    (reference/PhysicalExperimentCode/exploreExpSettings.py:170-173).
+    """
+    from mfgp_tpu.ops.pallas_kernels import posterior_fused
+
+    mu, quad = posterior_fused(state.Linv, state.alpha, state.X, state.fid,
+                               Xs, fid_s, params.variances,
+                               params.lengthscales, params.rhos,
+                               kern=kernel, interpret=interpret)
+    W = _k.ar1_fidelity_weights(params.rhos, params.variances.shape[0])
+    kss = jnp.sum((W[:, fid_s] ** 2) * params.variances[:, None], axis=0)
+    var = kss - quad
+    if include_noise:
+        var = var + _k.mf_noise_diag(fid_s, params.noises)
+    return mu, var
+
+
 def stack_fidelity_lists(X_list: Sequence, y_list: Sequence | None = None):
     """emukit ``convert_xy_lists_to_arrays`` equivalent.
 

@@ -226,6 +226,177 @@ def rbf_cov_fused(X1, X2, variance, lengthscales, noise_diag=None,
 _SG_TILE = 640
 
 
+# ---------------------------------------------------------------------------
+# Fused posterior mean/variance
+# ---------------------------------------------------------------------------
+# The blocked explicit-inverse posterior (models/*.predict_blocked_inv)
+# runs three passes per grid block: assemble Kxs (Pallas), V = Linv Kxs^T
+# (triangular MXU matmul), then mean/variance reductions — Kxs and V
+# round-trip HBM between them. This kernel fuses the whole posterior:
+# a 1D grid walks (grid tile j, factor row i, k <= i DESCENDING); the
+# first step of each row (k == i) rebuilds the cross-covariance tile
+# S_i = Kxs[train tile i, grid tile j]^T from the scaled inputs (exact
+# _prep math, so each tile's transcendentals are computed ONCE per
+# (j, i)) and parks it in a VMEM-resident (Np, Tg) strip; every step
+# contracts acc += Linv[i, k] @ S_k straight from that strip. Row ends
+# (k == 0) add colsum(acc^2) into the variance block; the build step
+# adds alpha[i] . S_i into the mean block. Kxs and V never exist in HBM,
+# the matmul FLOPs stay the triangular-aware N^2 M / 2, and the only
+# HBM traffic is Linv (once) + the O(N + M) operands.
+_PF_TILE_N = 1024  # factor tile (rows of Linv)
+_PF_TILE_G = 512   # grid tile (columns of the strip)
+
+
+def _posterior_fused_kernel(j_of, i_of, k_of, Lik_ref, Ai_ref, nAi_ref,
+                            wi_ref, Bg_ref, nBg_ref, wg_ref, a_ref,
+                            mu_ref, vs_ref, strip_ref, acc_ref, *,
+                            F: int, T: int, TG: int, kern: str):
+    p = pl.program_id(0)
+    i = i_of[p]
+    k = k_of[p]
+    new_j = (i == 0) & (k == 0)
+    build = k == i  # first step of row i: rebuild S_i, reset acc
+    rowend = k == 0
+
+    @pl.when(new_j)
+    def _():
+        # fresh (8, TG) output blocks for this grid tile (row 0 carries
+        # the data; the 7 pad rows exist for Mosaic's (8, 128) tiling)
+        mu_ref[:] = jnp.zeros_like(mu_ref)
+        vs_ref[:] = jnp.zeros_like(vs_ref)
+
+    @pl.when(build)
+    def _():
+        s = jnp.zeros((T, TG), jnp.float32)
+        for m in range(F):
+            cross = jax.lax.dot_general(
+                Ai_ref[m], Bg_ref[m], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            r2 = jnp.maximum(
+                nAi_ref[m][:, None] + nBg_ref[m][None, :] - 2.0 * cross,
+                0.0)
+            s += (wi_ref[m][:, None] * wg_ref[m][None, :]) * _base(r2, kern)
+        strip_ref[pl.ds(i * T, T)] = s
+        mu_ref[0:1] = mu_ref[0:1] + jax.lax.dot_general(
+            a_ref[:], s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        Lik_ref[:], strip_ref[pl.ds(k * T, T)], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(rowend)
+    def _():
+        vs_ref[0:1] = vs_ref[0:1] + jnp.sum(
+            acc_ref[:] * acc_ref[:], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "kern",
+                                             "tile_n", "tile_g"))
+def posterior_fused(Linv, alpha, X, fid, Xs, fid_s, variances,
+                    lengthscales, rhos, interpret: bool = False,
+                    kern: str = "rbf", tile_n: int = _PF_TILE_N,
+                    tile_g: int = _PF_TILE_G):
+    """(mu, quad) of the AR1 posterior over test points ``Xs`` where
+    ``mu = Kxs alpha`` and ``quad[s] = || Linv Kxs[s]^T ||^2`` (so
+    ``var = kss - quad``), fused into one Pallas pass (see block comment).
+
+    Exact mathematics of predict_blocked_inv's per-block body at HIGHEST
+    precision; callers add kss and likelihood noise.
+    """
+    T, TG = tile_n, tile_g
+    N = X.shape[0]
+    M = Xs.shape[0]
+    F = variances.shape[0]
+    Linv = jnp.asarray(Linv, jnp.float32)
+    A, nA, w = _prep(jnp.asarray(X, jnp.float32), fid, variances,
+                     lengthscales, rhos)
+    Bg, nBg, wg = _prep(jnp.asarray(Xs, jnp.float32), fid_s, variances,
+                        lengthscales, rhos)
+    Np = _cdiv(N, T) * T
+    Mp = _cdiv(M, TG) * TG
+    nb = Np // T
+    mg = Mp // TG
+    Lp = jnp.pad(Linv, ((0, Np - N), (0, Np - N)))
+    ap = jnp.pad(jnp.asarray(alpha, jnp.float32), (0, Np - N))[None, :]
+    Apad = _pad_axis(A, 1, T)
+    nApad = _pad_axis(nA, 1, T)
+    # padded train lanes must contribute NOTHING to mu/quad: their folded
+    # weight is zero, which zeroes their Kxs rows exactly
+    wpad = _pad_axis(w, 1, T)
+    Bgp = _pad_axis(Bg, 1, TG)
+    nBgp = _pad_axis(nBg, 1, TG)
+    wgp = _pad_axis(wg, 1, TG)
+
+    # (j, i, k): k descends i..0 so the row's first step builds strip[i]
+    j_of, i_of, k_of = [], [], []
+    for j in range(mg):
+        for i in range(nb):
+            for k in range(i, -1, -1):
+                j_of.append(j)
+                i_of.append(i)
+                k_of.append(k)
+    steps = len(j_of)
+    mk = lambda a: jnp.asarray(a, jnp.int32)  # noqa: E731
+
+    D = X.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((T, T), lambda p, j, i, k: (i[p], k[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T, D), lambda p, j, i, k: (0, i[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, j, i, k: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, T), lambda p, j, i, k: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, TG, D), lambda p, j, i, k: (0, j[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, TG), lambda p, j, i, k: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, TG), lambda p, j, i, k: (0, j[p]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda p, j, i, k: (0, i[p]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            # (8, TG) blocks satisfy Mosaic's (8, 128) tiling; row 0 of
+            # each block carries the grid tile, rows 1-7 are pad
+            pl.BlockSpec((8, TG), lambda p, j, i, k: (j[p], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TG), lambda p, j, i, k: (j[p], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((Np, TG), jnp.float32),
+                        pltpu.VMEM((T, TG), jnp.float32)],
+    )
+    mu, quad = pl.pallas_call(
+        functools.partial(_posterior_fused_kernel, F=F, T=T, TG=TG,
+                          kern=kern),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((mg * 8, TG), jnp.float32),
+                   jax.ShapeDtypeStruct((mg * 8, TG), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * steps * T * T * TG + mg * nb * F * 2 * T * TG * D,
+            bytes_accessed=steps * T * T * 4,
+            transcendentals=mg * nb * F * T * TG,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(mk(j_of), mk(i_of), mk(k_of),
+      Lp, Apad, nApad, wpad, Bgp, nBgp, wgp, ap)
+    mu = mu.reshape(mg, 8, TG)[:, 0].reshape(Mp)
+    quad = quad.reshape(mg, 8, TG)[:, 0].reshape(Mp)
+    return mu[:M], quad[:M]
+
+
 def _syrk_grad_kernel(i_of, j_of, k_of, pair_of, first, last,
                       Lki_ref, Lkj_ref, Ai_ref, Aj_ref, nAi_ref, nAj_ref,
                       wi_ref, wj_ref, xiT_ref, xjT_ref, ai_ref, aj_ref,

@@ -287,3 +287,85 @@ def test_model_fused_grad_branch_matches_solve_path(rng, kernel,
     for a, b in zip(g1, g0):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+@pytest.mark.parametrize("shape", [(96, 48), (70, 33)])
+def test_posterior_fused_matches_composition(rng, kernel, shape):
+    """posterior_fused (interpret mode) reproduces mu = K*^T alpha and
+    quad = colsum((Linv K*)^2) from the XLA cross-covariance, including
+    tile-padded shapes (padded train lanes carry zero folded weight so
+    their K* rows vanish exactly)."""
+    from mfgp_tpu.ops.covariance import mf_cross_cov
+    from mfgp_tpu.ops.pallas_kernels import posterior_fused
+
+    N, M = shape
+    D, F = 3, 3
+    X = rng.random((N, D)).astype(np.float32) * 5
+    fid = rng.integers(0, F, N).astype(np.int32)
+    Xs = rng.random((M, D)).astype(np.float32) * 5
+    fid_s = np.full(M, F - 1, np.int32)
+    var = jnp.asarray([1.5, 1.0, 0.5], jnp.float32)
+    ls = jnp.asarray(rng.uniform(0.5, 2, (F, D)), jnp.float32)
+    rho = jnp.asarray([0.9, 0.8], jnp.float32)
+    Linv = np.tril(rng.random((N, N)).astype(np.float32))
+    alpha = rng.random(N).astype(np.float32)
+
+    mu, quad = posterior_fused(
+        jnp.asarray(Linv), jnp.asarray(alpha), jnp.asarray(X),
+        jnp.asarray(fid), jnp.asarray(Xs), jnp.asarray(fid_s),
+        var, ls, rho, interpret=True, kern=kernel, tile_n=32, tile_g=16)
+
+    Kxs = np.asarray(mf_cross_cov(var, ls, rho, jnp.asarray(X),
+                                  jnp.asarray(fid), jnp.asarray(Xs),
+                                  jnp.asarray(fid_s), kernel=kernel))
+    V = Linv @ Kxs
+    mu_ref = Kxs.T @ np.asarray(alpha, np.float64)
+    quad_ref = np.sum(V.astype(np.float64) ** 2, axis=0)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref,
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(quad), quad_ref,
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("kernel", ["rbf", "matern32"])
+def test_predict_fused_matches_predict_blocked_inv(rng, kernel):
+    """models.mfgp.predict_fused == predict_blocked_inv on a real
+    conditioned state (same MFGPStateInv, noise included)."""
+    import scipy.linalg as sla
+
+    from mfgp_tpu.models import mfgp as mm
+
+    N, M, D, F = 90, 40, 3, 3
+    X = rng.random((N, D)).astype(np.float32) * 4
+    fid = rng.integers(0, F, N).astype(np.int32)
+    y = rng.normal(size=N).astype(np.float32)
+    Xs = rng.random((M, D)).astype(np.float32) * 4
+    fid_s = np.full(M, F - 1, np.int32)
+    params = mm.MFGPParams(
+        jnp.log(jnp.asarray([1.4, 0.9, 0.6], jnp.float32)),
+        jnp.log(jnp.asarray(rng.uniform(0.8, 1.8, (F, D)), jnp.float32)),
+        jnp.asarray([0.9, 0.8], jnp.float32),
+        jnp.log(jnp.asarray([0.05, 0.03, 0.02], jnp.float32)))
+    Kn = np.asarray(mm._assemble_noisy_cov(params, jnp.asarray(X),
+                                           jnp.asarray(fid), 1e-6, kernel),
+                    np.float64)
+    L = np.linalg.cholesky(Kn)
+    Linv = sla.solve_triangular(L, np.eye(N), lower=True)
+    alpha = sla.cho_solve((L, True), np.asarray(y, np.float64))
+    state = mm.MFGPStateInv(jnp.asarray(X), jnp.asarray(fid),
+                            jnp.asarray(y),
+                            jnp.asarray(Linv, jnp.float32),
+                            jnp.asarray(alpha, jnp.float32))
+
+    mu_f, var_f = mm.predict_fused(params, state, jnp.asarray(Xs),
+                                   jnp.asarray(fid_s), kernel=kernel,
+                                   interpret=True)
+    mu_b, var_b = mm.predict_blocked_inv(params, state, jnp.asarray(Xs),
+                                         jnp.asarray(fid_s), kernel=kernel,
+                                         block_size=16)
+    # both paths are f32 end-to-end: tolerance covers summation-order noise
+    np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_b),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(var_f), np.asarray(var_b),
+                               rtol=5e-4, atol=5e-5)
