@@ -76,6 +76,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,12 +98,30 @@ LOGDET_COSTS = ("sf_logdet", "mf_logdet")  # carried grid-posterior cov
 STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
 
 
+# Index-op lowering for the DP-state reads/writes. Default "onehot":
+# dense masked contractions, which vmap to vectorized masked reductions
+# (measured best solo AND the best ABSOLUTE lane costs so far — see
+# ROADMAP "fleet lane scaling"). "gather": jnp.take / .at[].set forms,
+# which vmap to batched gathers/scatters — O(K x row) HBM traffic per
+# read instead of O(K x ARENA), the candidate fix for light-edge-mix
+# lane overhead (VERDICT r3 #2); measured via tools/plan_lane_bench.py
+# with MFGP_TPU_PLAN_GATHER=1.
+_PLAN_GATHER = os.environ.get("MFGP_TPU_PLAN_GATHER", "0") == "1"
+
+
+def _fill_zero(dtype):
+    return False if dtype == jnp.bool_ else 0
+
+
 def _row(arr, idx):
     """``arr[idx]`` (scalar idx, leading axis) as a one-hot contraction.
 
     Under ``vmap`` (plan_ensemble) a batched scalar-index read lowers to a
     gather; the one-hot select lowers to a dense masked reduction, which
     the TPU vectorizes across instances. Negligible cost unbatched."""
+    if _PLAN_GATHER:
+        return jnp.take(arr, idx, axis=0, mode="fill",
+                        fill_value=_fill_zero(arr.dtype))
     oh = jnp.arange(arr.shape[0]) == idx
     ohx = oh.reshape((-1,) + (1,) * (arr.ndim - 1))
     return jnp.sum(jnp.where(ohx, arr, jnp.zeros((), arr.dtype)), axis=0,
@@ -111,6 +131,9 @@ def _row(arr, idx):
 def _rows(arr, idx):
     """``arr[idx]`` for an index VECTOR: one-hot matmul (floats) or masked
     reduction (ints/bools). Invalid (-1) indices yield zeros."""
+    if _PLAN_GATHER:
+        return jnp.take(arr, idx, axis=0, mode="fill",
+                        fill_value=_fill_zero(arr.dtype))
     oh = idx[:, None] == jnp.arange(arr.shape[0])[None, :]  # (K, A)
     if arr.dtype == jnp.bool_:
         return jnp.any(oh & arr[None, :], axis=1)
@@ -128,6 +151,9 @@ def _rows(arr, idx):
 def _set_row(arr, idx, value, active=True):
     """``arr.at[idx].set(value) if active`` as a dense one-hot select
     (scatter-free under vmap)."""
+    if _PLAN_GATHER:
+        safe = jnp.where(jnp.asarray(active), idx, arr.shape[0])
+        return arr.at[safe].set(value, mode="drop")
     oh = (jnp.arange(arr.shape[0]) == idx) & active
     ohx = oh.reshape((-1,) + (1,) * (arr.ndim - 1))
     return jnp.where(ohx, value, arr)
@@ -394,15 +420,16 @@ class DeviceRIG:
             n_feas=jnp.asarray(0, jnp.int32),
             # per-node beam: arena indices, -1 = empty
             node_paths=jnp.full((MAXN, MAXP), -1, jnp.int32),
-            # additive stats live per (node, beam slot) like the gain-mode
-            # carries — NOT in the arena: an (ARENA, nstats) buffer is read
-            # with one-hot contractions that stream the whole arena per
-            # extend, which under vmapped plan lanes dominates light-edge
-            # configs (O(lanes * ARENA * G) HBM traffic per extend); the
-            # (MAXN, MAXP, nstats) carry is read by leading-axis slice
-            **({"c_q": jnp.zeros((MAXN, MAXP, nstats), dt)}
+            # arena (append-only): slot 0 is the root's trivial path.
+            # NOTE an (MAXN, MAXP, nstats) per-beam-slot carry layout
+            # (leading-axis slice reads, .at[].set merge) was tried in r4
+            # and MEASURED SLOWER on v5e despite 6x less HBM-resident
+            # state: solo 486 ms vs 150, 8-lane batch 1240 ms vs 740 at
+            # sim defaults (tools/plan_lane_bench.py A/B) — the arena
+            # one-hot forms stay
+            **({"a_q": jnp.zeros((ARENA, nstats), dt)}
                if not gain_mode else {}),
-            **({"c_cnt": jnp.zeros((MAXN, MAXP), dt)}
+            **({"a_cnt": jnp.zeros((ARENA,), dt)}
                if self.cost == "fourier" else {}),
             a_budget=jnp.zeros((ARENA,), dt),
             a_time=jnp.zeros((ARENA,), dt),
@@ -508,13 +535,11 @@ class DeviceRIG:
                 # beam by score. NaN note: infeasible entries can carry
                 # NaNs from masked-out synthesis branches — force them
                 # below every real key.
-                # beam-slot invariant: c_q rows of empty slots are zero
-                # (maintained at merge), matching the old arena _rows read
-                sq = state["c_q"][src_idx]  # (MAXP, nstats)
+                sq = _rows(state["a_q"], src_slots)
                 xq = sq[:, :, None] + e_q.T[None, :, :]  # (MAXP, nst, E)
                 xq = jnp.transpose(xq, (0, 2, 1)).reshape(MAXP * E, nstats)
                 if self.cost == "fourier":
-                    scnt = state["c_cnt"][src_idx]
+                    scnt = _rows(state["a_cnt"], src_slots)
                     xcnt = (scnt[:, None]
                             + jnp.full((1, E), float(S), dt)).reshape(-1)
                     scores = jax.vmap(
@@ -539,9 +564,11 @@ class DeviceRIG:
                 top_scores = _rows(scores, top)
                 blk_real = jnp.where(top_scored & sel_ok, top_scores, NEG)
                 a_score_blk = jnp.where(sel_ok, top_scores, NEG)
-                new_q = jnp.where(sel_ok[:, None], _rows(xq, top), 0.0)
+                state = dict(state, a_q=jax.lax.dynamic_update_slice(
+                    state["a_q"], _rows(xq, top), (abase, 0)))
                 if self.cost == "fourier":
-                    new_cnt = jnp.where(sel_ok, _rows(xcnt, top), 0.0)
+                    state = dict(state, a_cnt=jax.lax.dynamic_update_slice(
+                        state["a_cnt"], _rows(xcnt, top), (abase,)))
             else:
                 # gain mode, score-everything: per-path bordered-Cholesky
                 # carries make the sequential gain additive per edge, so
@@ -802,22 +829,6 @@ class DeviceRIG:
                 n_nodes=jnp.where(admitted & ~merge & have_room,
                                   n_nodes + 1, n_nodes).astype(jnp.int32),
             )
-            if not gain_mode:
-                # gather the surviving entries' additive stats into dst's
-                # beam slots (invalid slots zeroed — the read invariant)
-                bvalid = beam >= 0
-                cQ = _rows(jnp.concatenate([state["c_q"][dst_idx], new_q]),
-                           keep)
-                cQ = jnp.where(bvalid[:, None], cQ, 0.0)
-                state = dict(state, c_q=state["c_q"].at[dst_idx].set(
-                    jnp.where(active, cQ, state["c_q"][dst_idx])))
-                if self.cost == "fourier":
-                    cC = _rows(jnp.concatenate(
-                        [state["c_cnt"][dst_idx], new_cnt]), keep)
-                    cC = jnp.where(bvalid, cC, 0.0)
-                    state = dict(state, c_cnt=state["c_cnt"].at[
-                        dst_idx].set(jnp.where(active, cC,
-                                               state["c_cnt"][dst_idx])))
             if gain_mode:
                 # gather the surviving entries' carries into dst's slots
                 bvalid = beam >= 0
@@ -917,8 +928,8 @@ class DeviceRIG:
 
         state = jax.lax.fori_loop(0, self.max_iter, body, state)
         # carries are working state, not results — don't ship them home
-        for k in ("c_L", "c_pts", "c_np", "c_gain", "c_sig", "c_q",
-                  "c_cnt"):
+        for k in ("c_L", "c_pts", "c_np", "c_gain", "c_sig", "a_q",
+                  "a_cnt"):
             state.pop(k, None)
         return state
 
