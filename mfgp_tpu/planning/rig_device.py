@@ -76,6 +76,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional
 
+import contextlib
 import os
 
 import jax
@@ -98,15 +99,32 @@ LOGDET_COSTS = ("sf_logdet", "mf_logdet")  # carried grid-posterior cov
 STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
 
 
-# Index-op lowering for the DP-state reads/writes. Default "onehot":
-# dense masked contractions, which vmap to vectorized masked reductions
-# (measured best solo AND the best ABSOLUTE lane costs so far — see
-# ROADMAP "fleet lane scaling"). "gather": jnp.take / .at[].set forms,
-# which vmap to batched gathers/scatters — O(K x row) HBM traffic per
-# read instead of O(K x ARENA), the candidate fix for light-edge-mix
-# lane overhead (VERDICT r3 #2); measured via tools/plan_lane_bench.py
-# with MFGP_TPU_PLAN_GATHER=1.
-_PLAN_GATHER = os.environ.get("MFGP_TPU_PLAN_GATHER", "0") == "1"
+# Index-op lowering for the DP-state reads/writes, chosen PER TRACE:
+# "onehot" = dense masked contractions, "gather" = jnp.take/.at[].set.
+# Measured on v5e (tools/plan_lane_bench.py, ergodic 200 iters): solo
+# plans are 2.3x FASTER one-hot (150 vs 339 ms — unbatched gathers
+# serialize on the scalar core while the masked reductions vectorize),
+# but under vmapped lanes the one-hot forms stream O(K x ARENA) per
+# read and gather wins: K=8 at sim defaults 695 vs 740 ms, at the
+# richer traj_count=8 mix 963 vs 1756 ms (-45%), per-mode lane scaling
+# 2.05x vs 4.92x. So plan() traces with one-hot and the vmapped
+# entry points (plan_ensemble/plan_batch) trace with gather.
+# MFGP_TPU_PLAN_GATHER=0/1 pins BOTH paths for A/B; default "auto".
+_PLAN_GATHER_ENV = os.environ.get("MFGP_TPU_PLAN_GATHER", "auto")
+_INDEX_GATHER = {"on": _PLAN_GATHER_ENV == "1"}
+
+
+@contextlib.contextmanager
+def _index_gather(on: bool):
+    """Select the index-op lowering for traces started in this scope."""
+    if _PLAN_GATHER_ENV in ("0", "1"):
+        on = _PLAN_GATHER_ENV == "1"
+    old = _INDEX_GATHER["on"]
+    _INDEX_GATHER["on"] = on
+    try:
+        yield
+    finally:
+        _INDEX_GATHER["on"] = old
 
 
 def _fill_zero(dtype):
@@ -119,7 +137,7 @@ def _row(arr, idx):
     Under ``vmap`` (plan_ensemble) a batched scalar-index read lowers to a
     gather; the one-hot select lowers to a dense masked reduction, which
     the TPU vectorizes across instances. Negligible cost unbatched."""
-    if _PLAN_GATHER:
+    if _INDEX_GATHER["on"]:
         return jnp.take(arr, idx, axis=0, mode="fill",
                         fill_value=_fill_zero(arr.dtype))
     oh = jnp.arange(arr.shape[0]) == idx
@@ -131,7 +149,7 @@ def _row(arr, idx):
 def _rows(arr, idx):
     """``arr[idx]`` for an index VECTOR: one-hot matmul (floats) or masked
     reduction (ints/bools). Invalid (-1) indices yield zeros."""
-    if _PLAN_GATHER:
+    if _INDEX_GATHER["on"]:
         return jnp.take(arr, idx, axis=0, mode="fill",
                         fill_value=_fill_zero(arr.dtype))
     oh = idx[:, None] == jnp.arange(arr.shape[0])[None, :]  # (K, A)
@@ -151,7 +169,7 @@ def _rows(arr, idx):
 def _set_row(arr, idx, value, active=True):
     """``arr.at[idx].set(value) if active`` as a dense one-hot select
     (scatter-free under vmap)."""
-    if _PLAN_GATHER:
+    if _INDEX_GATHER["on"]:
         safe = jnp.where(jnp.asarray(active), idx, arr.shape[0])
         return arr.at[safe].set(value, mode="drop")
     oh = (jnp.arange(arr.shape[0]) == idx) & active
@@ -977,7 +995,8 @@ class DeviceRIG:
         arguments, so one compiled executable serves every replan of an
         exploration run."""
         x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
-        st = self._plan_jit(x0j, key, Bj, eidj, gpj)
+        with _index_gather(False):  # solo plans: one-hot measured 2.3x faster
+            st = self._plan_jit(x0j, key, Bj, eidj, gpj)
         return self._extract(st)
 
     def plan_ensemble(self, x0, key, n_plans: int = 8, B=None,
@@ -1006,7 +1025,8 @@ class DeviceRIG:
         if self._ensemble_jit is None:
             self._ensemble_jit = jax.jit(jax.vmap(
                 self._plan_impl, in_axes=(None, 0, None, None, None)))
-        sts = dict(self._ensemble_jit(x0j, keys, Bj, eidj, gpj))
+        with _index_gather(True):  # vmapped lanes: gather measured -45%
+            sts = dict(self._ensemble_jit(x0j, keys, Bj, eidj, gpj))
         sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
         scores = np.asarray(sts["best_score"])
         budgets = np.asarray(sts["best_budget"])
@@ -1044,7 +1064,8 @@ class DeviceRIG:
         if self._batch_jit is None:
             self._batch_jit = jax.jit(jax.vmap(
                 self._plan_impl, in_axes=(0, 0, 0, None, None)))
-        sts = dict(self._batch_jit(x0j, keysj, Bj, eidj, gpj))
+        with _index_gather(True):  # vmapped lanes: gather measured -45%
+            sts = dict(self._batch_jit(x0j, keysj, Bj, eidj, gpj))
         sts.pop("key")  # PRNG keys don't convert to numpy (and aren't used)
         sts = jax.tree.map(np.asarray, sts)  # ONE device->host transfer
         return [self._extract(jax.tree.map(lambda a: a[i], sts))

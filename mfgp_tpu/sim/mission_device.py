@@ -818,7 +818,12 @@ class DeviceMission:
                 lambda k, a: self._run_impl(k, a, bd=bd),
                 in_axes=(0, None)))
             self._ens_jit[bd] = fn
-        st = fn(keys, self._arena0)
+        from mfgp_tpu.planning.rig_device import _index_gather
+
+        # the inlined planner's index ops: gather lowers better under
+        # the member vmap (one-hot streams O(members x ARENA) per read)
+        with _index_gather(True):
+            st = fn(keys, self._arena0)
         st = {k: np.asarray(v) for k, v in st.items()}
         return [self._unpack_result(
             {k: v[i] for k, v in st.items()}, bd) for i in range(int(n))]

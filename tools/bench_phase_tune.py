@@ -108,6 +108,25 @@ def main():
             print(f"predict_blocked_inv({blk}): {t * 1e3:.1f} ms",
                   flush=True)
 
+    if "postfused" in args.phases:
+        from mfgp_tpu.ops.pallas_kernels import posterior_fused
+
+        # VMEM bound: the strip scratch is Np x TG x 4B (~42 MB at
+        # TG=512), so TG tops out near 1024 at N=20k
+        for tn in (512, 1024, 2048):
+            for tg in (256, 512, 768, 1024):
+                f = jax.jit(lambda Li, a, t_=tn, g_=tg: posterior_fused(
+                    Li, a, Xj, fj, gj, gfj, params.variances,
+                    params.lengthscales, params.rhos,
+                    tile_n=t_, tile_g=g_))
+                try:
+                    t = timeit(f, Linv, alpha, repeats=args.repeats)
+                    print(f"posterior_fused(T={tn}, TG={tg}): "
+                          f"{t * 1e3:.1f} ms", flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"posterior_fused(T={tn}, TG={tg}): "
+                          f"FAILED {type(e).__name__}", flush=True)
+
 
 if __name__ == "__main__":
     main()

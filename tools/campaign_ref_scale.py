@@ -58,13 +58,18 @@ def main():
     t0 = time.perf_counter()
     if args.chunk and args.chunk < args.seeds:
         results = []
+        mission._ens_jit = {}
         for s0 in range(args.seed, args.seed + args.seeds, args.chunk):
             k = min(args.chunk, args.seed + args.seeds - s0)
             m = DeviceMission(exp, seed=s0, plan_iters=args.plan_iters,
                               e_max=args.e_max)
-            m._run_jit = mission._run_jit  # share the executable
-            results.extend(m.run_ensemble(k))
-            mission._run_jit = m._run_jit
+            # run_ensemble compiles into _ens_jit[bd]; sharing the dict
+            # reuses ONE vmapped executable across every chunk (the fn
+            # closes over the first mission, whose config is identical;
+            # seeds enter through the traced key argument). Tail chunks
+            # pad to the chunk size so the shapes match.
+            m._ens_jit = mission._ens_jit
+            results.extend(m.run_ensemble(args.chunk)[:k])
             print(f"  seeds {s0}..{s0 + k - 1}: "
                   f"{time.perf_counter() - t0:.1f}s cumulative",
                   flush=True)
