@@ -244,15 +244,18 @@ def cmd_mission(args):
                             fit_restarts=args.fit_restarts,
                             glide_stride=args.glide_stride)
     t0 = time.perf_counter()
-    res = mission.run()
+    res = mission.run(mode=args.mode)
     compile_and_run = time.perf_counter() - t0
     t0 = time.perf_counter()
     mission2 = DeviceMission(exp, seed=args.seed + 1, flight=args.flight,
                              plan_iters=args.plan_iters, e_max=args.e_max,
                              fit_restarts=args.fit_restarts,
                              glide_stride=args.glide_stride)
-    mission2._run_jit = mission._run_jit  # warm executable, new seed
-    res2 = mission2.run()
+    # warm executables, new seed (one-launch + stepped-span forms)
+    mission2._run_jit = mission._run_jit
+    mission2._span_jit = mission._span_jit
+    mission2._finish_jit = mission._finish_jit
+    res2 = mission2.run(mode=args.mode)
     warm = time.perf_counter() - t0
     out = {
         "variant": variant, "replans": res.n_replans,
@@ -269,7 +272,8 @@ def cmd_mission(args):
             sum(r["flown_budget"] for r in res.replans), 3)
     if args.ensemble > 1:
         t0 = time.perf_counter()
-        ens = mission.run_ensemble(args.ensemble)
+        ens = mission.run_ensemble(args.ensemble, mode=args.mode,
+                                   seed_chunk=args.seed_chunk)
         out["ensemble_seconds"] = round(time.perf_counter() - t0, 3)
         out["ensemble_rmse"] = [round(e.rmse, 4) for e in ens]
         out["ensemble_replans"] = [e.n_replans for e in ens]
@@ -293,6 +297,7 @@ def cmd_campaign(args):
         n_seeds=args.seeds, seed=args.seed,
         exp_kw=dict(B=args.budget, BD=args.bd,
                     update_hyps=args.update_hyps),
+        mode=args.mode, seed_chunk=args.seed_chunk,
         plan_iters=args.plan_iters, e_max=args.e_max)
     out = {"campaign_seconds": round(time.perf_counter() - t0, 3),
            "runs": sum(len(c["rmse"]) for c in camp.values())}
@@ -490,6 +495,17 @@ def build_parser():
     p.add_argument("--plan-iters", type=int, default=40)
     p.add_argument("--e-max", type=int, default=16,
                    help="best-path edge capacity per replan")
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "one", "stepped"],
+                   help="one = whole mission as a single device launch; "
+                        "stepped = budget-tranche spans as separate "
+                        "launches of one shared executable (the fix for "
+                        "the tunnel worker's ~60s per-launch ceiling); "
+                        "auto picks stepped on TPU, one on CPU")
+    p.add_argument("--seed-chunk", type=int, default=None,
+                   help="with --ensemble: seeds per vmapped launch "
+                        "(default: the measured-safe 8 under a launch "
+                        "ceiling, else the whole ensemble)")
     p.add_argument("--ergodic-metric", default="kl",
                    choices=["kl", "fourier"])
     p.add_argument("--info-cost", default="sequential",
@@ -550,6 +566,14 @@ def build_parser():
     p.add_argument("--plan-iters", type=int, default=40)
     p.add_argument("--e-max", type=int, default=16)
     p.add_argument("--update-hyps", action="store_true")
+    p.add_argument("--mode", default="auto",
+                   choices=["auto", "one", "stepped"],
+                   help="forwarded to run_ensemble: stepped tranche "
+                        "spans under the TPU tunnel's per-launch ceiling "
+                        "(auto picks stepped on TPU, one on CPU)")
+    p.add_argument("--seed-chunk", type=int, default=None,
+                   help="seeds per vmapped launch (default: 8 under a "
+                        "launch ceiling, else all seeds at once)")
     p.add_argument("--plot", default=None,
                    help="also render the per-variant RMSE figure to "
                         "this PNG")

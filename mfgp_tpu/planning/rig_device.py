@@ -290,6 +290,7 @@ class DeviceRIG:
         # B and the EID are TRACED arguments: one compiled plan() serves
         # every replan (varying budget tranche + refreshed EID)
         self._plan_jit = jax.jit(self._plan_impl)
+        self._plan_jit_gather = None  # gather-lowered solo trace (A/B)
         self._ensemble_jit = None
         self._batch_jit = None
 
@@ -986,15 +987,26 @@ class DeviceRIG:
                 jnp.asarray(B if B is not None else self.B, self.dtype),
                 eid_arr, gp)
 
-    def plan(self, x0, key, B=None, eid=None, gp=None) -> DevicePlanResult:
+    def plan(self, x0, key, B=None, eid=None, gp=None,
+             gather: bool = False) -> DevicePlanResult:
         """Run the on-device loop, extract the best path on host.
 
         ``B`` (budget), ``eid`` (ergodic target), and ``gp`` (the
         conditioned GP for gain scoring, prepare_sf_gain_state) override
         the constructor defaults WITHOUT recompiling — they are traced
         arguments, so one compiled executable serves every replan of an
-        exploration run."""
+        exploration run.
+
+        ``gather=True`` traces (and caches) a second solo executable with
+        gather-lowered index ops — the A/B partner for the default
+        one-hot form (measured 2.3x faster solo; bench.py emits both)."""
         x0j, Bj, eidj, gpj = self._args(x0, B, eid, gp)
+        if gather:
+            if self._plan_jit_gather is None:
+                self._plan_jit_gather = jax.jit(self._plan_impl)
+            with _index_gather(True):
+                st = self._plan_jit_gather(x0j, key, Bj, eidj, gpj)
+            return self._extract(st)
         with _index_gather(False):  # solo plans: one-hot measured 2.3x faster
             st = self._plan_jit(x0j, key, Bj, eidj, gpj)
         return self._extract(st)

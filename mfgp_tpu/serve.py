@@ -730,8 +730,14 @@ class MissionService:
             try:
                 mission = self._build(job["spec"])
                 warm = key in self._missions
-                if warm:  # transplant the compiled executable
-                    mission._run_jit = self._missions[key]._run_jit
+                if warm:  # transplant the compiled executables (the
+                    # one-launch form AND the stepped tranche-span form —
+                    # run(mode="auto") picks stepped under the tunnel's
+                    # per-launch ceiling, docs/TUNNEL_WORKER_CEILING.md)
+                    prev = self._missions[key]
+                    mission._run_jit = prev._run_jit
+                    mission._span_jit = prev._span_jit
+                    mission._finish_jit = prev._finish_jit
                 res = mission.run()
                 self._missions[key] = mission
                 with self._lock:

@@ -99,6 +99,18 @@ from mfgp_tpu.utils.configs import ExperimentConfig
 
 SENTINEL_X = 1e6  # far coordinate: kernel values underflow to exactly 0
 
+# Per-launch wall-clock budget on non-CPU backends. The axon tunnel worker
+# crashes ANY single device execution past ~60 s (measured root cause of
+# the round-2 "fit fault": not memory, not lane count — see ROADMAP 'TPU
+# worker fault' and docs/TUNNEL_WORKER_CEILING.md; minimal repro
+# tools/long_run_probe.py). 50 s leaves margin. Missions whose one-launch
+# program could exceed this run as stepped spans instead (``run(mode=)``);
+# ensembles additionally chunk their seed axis (``ENSEMBLE_SEED_CHUNK``).
+TPU_LAUNCH_CEILING_S = 50.0
+# Measured-safe vmapped lane count per fit/mission launch on the v5e
+# tunnel (8-lane restart fits run 20-40 s; 30-lane runs blow the ceiling).
+ENSEMBLE_SEED_CHUNK = 8
+
 
 @dataclass
 class DeviceMissionResult:
@@ -158,7 +170,8 @@ class DeviceMission:
                  fit_tol: float = 1e-4, fit_restarts: int = 1,
                  fit_spread: float = 1.0, flight: str = "kinematic",
                  runtime_cfg=None, t_cap: int = 8192,
-                 glide_stride: int = 1, **planner_kw):
+                 glide_stride: int = 1,
+                 launch_ceiling_s: Optional[float] = None, **planner_kw):
         self.exp = exp or ExperimentConfig()
         if flight not in ("kinematic", "dynamic"):
             raise ValueError(flight)
@@ -305,6 +318,14 @@ class DeviceMission:
                                    dtype)
         self._grid_j = jnp.asarray(self.grid, dtype)
         self._run_jit = jax.jit(self._run_impl, static_argnames=("bd",))
+        # stepped-execution machinery (the library-level answer to the
+        # measured per-launch wall-clock ceiling; see run())
+        self.launch_ceiling_s = launch_ceiling_s
+        self._span_jit = None
+        self._finish_jit = None
+        self._ens_span_jit = None
+        self._ens_finish_jit = None
+        self.last_run_launches = 0  # introspection: launches of last run
 
     # -- in-graph GP algebra over the padded arena ---------------------------
     def _unpack(self, theta):
@@ -523,7 +544,12 @@ class DeviceMission:
                           n_legs=n_rows - 1, t_end=t_end)
 
     # -- the mission program --------------------------------------------------
-    def _run_impl(self, key, arena, bd):
+    def _body_fn(self):
+        """The traced per-tranche loop body (replan -> fly -> harvest ->
+        extend [-> refit]) — shared by the one-launch program
+        (``_run_impl``) and the stepped spans (``_span_impl``), so both
+        execution modes run the SAME mathematics on the same carried
+        state (parity pinned by test_mission_stepped_equals_one_launch)."""
         dt = self.dtype
         exp = self.exp
         B = jnp.asarray(exp.B, dt)
@@ -733,6 +759,12 @@ class DeviceMission:
                 **ar2)
             return st
 
+        return body
+
+    def _init_state(self, key, arena, bd):
+        """The mission carry at replan 0 (fresh arena + per-replan logs)."""
+        dt = self.dtype
+        R = self.R
         st = dict(
             arena,
             key=key,
@@ -762,9 +794,12 @@ class DeviceMission:
             st["track"] = jnp.zeros((bd,), dt)
             st["fbudget"] = jnp.zeros((bd,), dt)
             st["m_overflow"] = jnp.asarray(False)
-        st = jax.lax.fori_loop(0, bd, body, st)
+        return st
 
-        # final posterior on the sim test grid + RMSE vs the true field
+    def _finish_impl(self, st):
+        """Final posterior on the sim test grid + RMSE vs the true field;
+        drops the PRNG key (stepped runs carry it between spans)."""
+        st = dict(st)
         alpha = _la.chol_solve(st["La"], st["ya"])
         mu, var = self._grid_post(self._unpack(st["theta"]), st["Xa"],
                                   st["fida"], st["La"], alpha,
@@ -774,22 +809,136 @@ class DeviceMission:
         st.pop("key")
         return st
 
-    def run(self, max_replans: Optional[int] = None) -> DeviceMissionResult:
-        """Execute the mission: ONE device launch, then unpack."""
+    def _run_impl(self, key, arena, bd):
+        st = self._init_state(key, arena, bd)
+        st = jax.lax.fori_loop(0, bd, self._body_fn(), st)
+        return self._finish_impl(st)
+
+    def _span_impl(self, st, r0, r1):
+        """Replans [r0, r1) as ONE launch over the carried mission state.
+
+        Traced bounds: a single compiled executable serves EVERY span
+        size, so the host can size spans to the measured ~60 s tunnel
+        worker per-launch wall-clock ceiling (``TPU_LAUNCH_CEILING_S``,
+        ROADMAP 'TPU worker fault') without recompiling. Semantics are
+        identical to the one-launch program — same body, same state."""
+        return jax.lax.fori_loop(r0, r1, self._body_fn(), st)
+
+    def _launch_ceiling(self) -> float:
+        """Per-launch wall-clock budget for this backend.
+
+        ``launch_ceiling_s`` overrides (``<= 0`` disables). Default: no
+        ceiling on CPU; ``TPU_LAUNCH_CEILING_S`` (50 s, margin under the
+        measured ~60 s tunnel worker crash) everywhere else."""
+        if self.launch_ceiling_s is not None:
+            c = float(self.launch_ceiling_s)
+            return np.inf if c <= 0 else c
+        return (np.inf if jax.default_backend() == "cpu"
+                else TPU_LAUNCH_CEILING_S)
+
+    def run(self, max_replans: Optional[int] = None,
+            mode: str = "auto") -> DeviceMissionResult:
+        """Execute the mission.
+
+        ``mode``:
+
+        - ``"one"`` — the whole mission as a single device launch (the
+          flagship one-XLA-program form).
+        - ``"stepped"`` — budget-tranche SPANS as separate launches of one
+          shared traced-bounds executable with carried device state: the
+          first span runs one tranche, its warm wall-clock sizes every
+          later span to ~70% of the launch ceiling. Reference analogue:
+          the drivers' replan-tranche host loop
+          (reference/PhysicalExperimentCode/
+          GraceExplorationExperiments_MFEGP.py:427), except the state
+          never leaves the device between spans.
+        - ``"auto"`` (default) — ``"stepped"`` when the backend has a
+          finite per-launch ceiling (the TPU tunnel, where a single
+          launch past ~60 s crashes the worker), ``"one"`` otherwise
+          (CPU). Both modes run the same traced tranche body, so
+          results agree to factorization tolerance (pinned by test).
+        """
         bd = int(self.exp.BD if max_replans is None else max_replans)
-        st = self._run_jit(jax.random.key(self.seed), self._arena0, bd=bd)
+        if mode not in ("auto", "one", "stepped"):
+            raise ValueError(f"mode must be auto|one|stepped, got {mode!r}")
+        ceiling = self._launch_ceiling()
+        if mode == "one" or (mode == "auto" and not np.isfinite(ceiling)):
+            self.last_run_launches = 1
+            st = self._run_jit(jax.random.key(self.seed), self._arena0,
+                               bd=bd)
+        else:
+            st = self._run_stepped(jax.random.key(self.seed), self._arena0,
+                                   bd, ceiling)
         return self._unpack_result(
             {k: np.asarray(v) for k, v in st.items()}, bd)
 
+    def _run_stepped(self, key, arena, bd, ceiling):
+        """Stepped execution: adaptive tranche spans under the ceiling."""
+        import time
+        import warnings
+
+        from mfgp_tpu.planning.rig_device import _index_gather
+
+        if self._span_jit is None:
+            self._span_jit = jax.jit(self._span_impl)
+            self._finish_jit = jax.jit(self._finish_impl)
+        st = self._init_state(key, arena, bd)
+        r, chunk, launches = 0, 1, 0
+        warned = False
+        while r < bd:
+            r1 = min(r + chunk, bd)
+            t0 = time.perf_counter()
+            with _index_gather(False):  # solo lanes: one-hot forms win
+                st = self._span_jit(st, np.int32(r), np.int32(r1))
+                jax.block_until_ready(st)
+            wall = time.perf_counter() - t0
+            launches += 1
+            per = wall / (r1 - r)
+            if (launches >= 2 and np.isfinite(ceiling) and per > ceiling
+                    and not warned):
+                warnings.warn(
+                    f"one mission tranche takes {per:.1f}s > the "
+                    f"{ceiling:.0f}s launch ceiling; spans cannot "
+                    "subdivide a tranche — lower plan_iters/fit_maxiter "
+                    "or raise launch_ceiling_s", RuntimeWarning)
+                warned = True
+            if not np.isfinite(ceiling) or launches == 1:
+                # forced-stepped without a ceiling stays one tranche per
+                # launch; the first span's wall-clock includes compile, so
+                # re-measure warm before growing
+                chunk = 1
+            else:
+                chunk = max(1, min(bd, int(0.7 * ceiling
+                                           / max(per, 1e-9))))
+            r = r1
+        st = self._finish_jit(st)
+        jax.block_until_ready(st)
+        self.last_run_launches = launches + 1
+        return st
+
     def run_ensemble(self, n: int,
                      max_replans: Optional[int] = None,
-                     mesh=None) -> "list[DeviceMissionResult]":
-        """N COMPLETE missions (seeds ``seed..seed+n-1``) as one vmapped
-        launch — a Monte-Carlo of whole experiments (dynamics included in
-        ``flight="dynamic"``). Member i equals
+                     mesh=None, mode: str = "auto",
+                     seed_chunk: Optional[int] = None,
+                     ) -> "list[DeviceMissionResult]":
+        """N COMPLETE missions (seeds ``seed..seed+n-1``) as vmapped
+        launches — a Monte-Carlo of whole experiments (dynamics included
+        in ``flight="dynamic"``). Member i equals
         ``DeviceMission(..., seed=seed+i).run()`` to near-machine
         tolerance (same per-mission key; the vmapped executable only
         reorders reductions), so ensembles are reproducible runs.
+
+        Launch-ceiling handling (library-level; ROADMAP 'TPU worker
+        fault'): with a finite per-launch ceiling (the TPU tunnel, where
+        any single launch past ~60 s crashes the worker) the ensemble
+        automatically (a) chunks its SEED axis into vmapped launches of
+        ``seed_chunk`` lanes (default ``ENSEMBLE_SEED_CHUNK`` = 8, the
+        measured-safe lane count; tail chunks pad by repeating lane 0 and
+        drop the extras, so ONE executable serves every chunk) and (b)
+        runs each chunk as stepped tranche spans sized to the ceiling
+        (``run(mode="stepped")`` semantics, vmapped). ``mode="one"``
+        forces the single-launch form; ``seed_chunk`` overrides the lane
+        count. Member results are unchanged by either knob.
 
         ``mesh``: shard the member axis over the mesh's dp extent
         (members are independent programs — zero collectives, linear
@@ -797,18 +946,52 @@ class DeviceMission:
         process per variant/seed; reference analogue: sequential driver
         re-runs."""
         bd = int(self.exp.BD if max_replans is None else max_replans)
-        keys = jnp.stack([jax.random.key(self.seed + i)
-                          for i in range(int(n))])
+        n = int(n)
+        if mode not in ("auto", "one", "stepped"):
+            raise ValueError(f"mode must be auto|one|stepped, got {mode!r}")
+        ceiling = self._launch_ceiling()
+        stepped = (mode == "stepped"
+                   or (mode == "auto" and np.isfinite(ceiling)))
+        if seed_chunk is None:
+            c = ENSEMBLE_SEED_CHUNK if np.isfinite(ceiling) else n
+        else:
+            c = int(seed_chunk)
+        c = max(1, min(c, n))
+        if mesh is not None:
+            from mfgp_tpu.parallel.mesh import DP_AXIS
+
+            dp = mesh.shape[DP_AXIS]
+            if c % dp:
+                raise ValueError(
+                    f"ensemble launch width {c} must be a multiple of the "
+                    f"mesh dp extent {dp} (the member axis shards over dp;"
+                    " pick seed_chunk accordingly)")
+        results = []
+        for s0 in range(0, n, c):
+            k = min(c, n - s0)
+            # tail chunks pad to c lanes (repeating lane 0's seed) so the
+            # shapes — and hence the compiled executable — match; the
+            # padded extras are dropped below
+            keys = jnp.stack([jax.random.key(
+                self.seed + s0 + (i if i < k else 0)) for i in range(c)])
+            if stepped:
+                st = self._run_ens_stepped(keys, bd, ceiling, mesh)
+            else:
+                st = self._run_ens_one(keys, bd, mesh)
+            st = {kk: np.asarray(v) for kk, v in st.items()}
+            results.extend(self._unpack_result(
+                {kk: v[i] for kk, v in st.items()}, bd) for i in range(k))
+        return results
+
+    def _run_ens_one(self, keys, bd, mesh):
+        """One vmapped launch of whole missions (the flagship form)."""
+        from mfgp_tpu.planning.rig_device import _index_gather
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from mfgp_tpu.parallel.mesh import DP_AXIS
 
-            dp = mesh.shape[DP_AXIS]
-            if int(n) % dp:
-                raise ValueError(
-                    f"ensemble size {n} must be a multiple of the mesh "
-                    f"dp extent {dp} (the member axis shards over dp)")
             keys = jax.device_put(keys, NamedSharding(mesh, P(DP_AXIS)))
         if not hasattr(self, "_ens_jit"):
             self._ens_jit = {}
@@ -818,15 +1001,63 @@ class DeviceMission:
                 lambda k, a: self._run_impl(k, a, bd=bd),
                 in_axes=(0, None)))
             self._ens_jit[bd] = fn
-        from mfgp_tpu.planning.rig_device import _index_gather
-
         # the inlined planner's index ops: gather lowers better under
         # the member vmap (one-hot streams O(members x ARENA) per read)
         with _index_gather(True):
             st = fn(keys, self._arena0)
-        st = {k: np.asarray(v) for k, v in st.items()}
-        return [self._unpack_result(
-            {k: v[i] for k, v in st.items()}, bd) for i in range(int(n))]
+        self.last_run_launches = 1
+        return dict(st)
+
+    def _run_ens_stepped(self, keys, bd, ceiling, mesh):
+        """Vmapped stepped execution: tranche spans under the ceiling,
+        every lane advancing in lockstep over the carried batched state."""
+        import time
+        import warnings
+
+        from mfgp_tpu.planning.rig_device import _index_gather
+
+        if self._ens_span_jit is None:
+            self._ens_span_jit = jax.jit(
+                jax.vmap(self._span_impl, in_axes=(0, None, None)))
+            self._ens_finish_jit = jax.jit(jax.vmap(self._finish_impl))
+        st = jax.vmap(
+            lambda kk: self._init_state(kk, self._arena0, bd))(keys)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfgp_tpu.parallel.mesh import DP_AXIS
+
+            st = jax.device_put(st, NamedSharding(mesh, P(DP_AXIS)))
+        r, chunk, launches = 0, 1, 0
+        warned = False
+        while r < bd:
+            r1 = min(r + chunk, bd)
+            t0 = time.perf_counter()
+            with _index_gather(True):  # vmapped lanes: gather wins
+                st = self._ens_span_jit(st, np.int32(r), np.int32(r1))
+                jax.block_until_ready(st)
+            wall = time.perf_counter() - t0
+            launches += 1
+            per = wall / (r1 - r)
+            if (launches >= 2 and np.isfinite(ceiling) and per > ceiling
+                    and not warned):
+                warnings.warn(
+                    f"one vmapped mission tranche takes {per:.1f}s > the "
+                    f"{ceiling:.0f}s launch ceiling; lower seed_chunk or "
+                    "plan_iters/fit_maxiter, or raise launch_ceiling_s",
+                    RuntimeWarning)
+                warned = True
+            if not np.isfinite(ceiling) or launches == 1:
+                chunk = 1  # first span's wall-clock includes compile
+            else:
+                chunk = max(1, min(bd, int(0.7 * ceiling
+                                           / max(per, 1e-9))))
+            r = r1
+        with _index_gather(True):
+            st = self._ens_finish_jit(st)
+        jax.block_until_ready(st)
+        self.last_run_launches = launches + 1
+        return dict(st)
 
     def _unpack_result(self, st: dict, bd: int) -> DeviceMissionResult:
         did = st["did"]
@@ -930,7 +1161,8 @@ class DeviceMission:
 
 def run_campaign(variants=("MFEGP", "MFGP", "SFEGP", "SFGP"),
                  n_seeds: int = 5, seed: int = 0, exp_kw: dict | None = None,
-                 mesh=None, **mission_kw) -> dict:
+                 mesh=None, mode: str = "auto",
+                 seed_chunk: Optional[int] = None, **mission_kw) -> dict:
     """The reference's whole experiment CAMPAIGN — its four closed-loop
     driver scripts x repeat runs (SURVEY C25: GraceExplorationExperiments_
     {MFEGP,MFGP,SFEGP,SFGP}.py, one multi-hour host loop per run) — as
@@ -943,6 +1175,12 @@ def run_campaign(variants=("MFEGP", "MFGP", "SFEGP", "SFGP"),
     ``DeviceMission(exp_of(variant), seed=seed+i).run()`` (the
     run_ensemble reproducibility contract), so campaign statistics are
     statistics of real runs.
+
+    ``mode``/``seed_chunk`` forward to :meth:`DeviceMission.run_ensemble`
+    — under a finite launch ceiling (the TPU tunnel) each variant's
+    ensemble auto-chunks its seed axis and runs stepped tranche spans,
+    so reference-scale campaigns (B=150, many seeds) never exceed the
+    measured per-launch wall-clock limit.
 
     Returns ``{variant: {"rmse": [...], "replans": [...],
     "budget_used": [...], "seconds": float, "results":
@@ -964,7 +1202,8 @@ def run_campaign(variants=("MFEGP", "MFGP", "SFEGP", "SFGP"),
         mission = DeviceMission(ExperimentConfig(**kw), seed=seed,
                                 **mission_kw)
         t0 = time.perf_counter()
-        results = mission.run_ensemble(n_seeds, mesh=mesh)
+        results = mission.run_ensemble(n_seeds, mesh=mesh, mode=mode,
+                                       seed_chunk=seed_chunk)
         out[v] = dict(rmse=[r.rmse for r in results],
                       replans=[r.n_replans for r in results],
                       budget_used=[r.budget_used for r in results],

@@ -8,9 +8,11 @@ the PARITY.md table against the recorded 88-run means (BASELINE.md).
   python tools/plan... tools/campaign_ref_scale.py --variant MFEGP \
       --seeds 10 --bd 5 --plan-iters 40
 
-If the confirmed per-launch wall-clock ceiling on the tunnel worker
-bites (see ROADMAP 'TPU worker fault'), drop --seeds per launch with
---chunk and the script runs ceil(seeds/chunk) ensemble launches.
+The measured ~60 s per-launch wall-clock ceiling on the tunnel worker
+(docs/TUNNEL_WORKER_CEILING.md) is handled by the LIBRARY since r5:
+run_ensemble(mode="auto") chunks the seed axis (default 8 lanes) and
+runs each chunk as stepped budget-tranche spans sized to the ceiling.
+--chunk / --mode just forward to it.
 """
 
 from __future__ import annotations
@@ -33,8 +35,13 @@ def main():
     ap.add_argument("--plan-iters", type=int, default=40)
     ap.add_argument("--e-max", type=int, default=24)
     ap.add_argument("--chunk", type=int, default=0,
-                    help=">0: split the seed ensemble into launches of "
-                         "this many lanes (per-launch wall-clock ceiling)")
+                    help=">0: seed_chunk override for run_ensemble "
+                         "(default: the library's measured-safe 8 under "
+                         "a launch ceiling)")
+    ap.add_argument("--mode", default="auto",
+                    choices=["auto", "one", "stepped"],
+                    help="run_ensemble execution mode (auto = stepped "
+                         "tranche spans on TPU, one launch on CPU)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -56,26 +63,11 @@ def main():
     print(f"devices: {jax.devices()}; n_max={mission.n_max}", flush=True)
 
     t0 = time.perf_counter()
-    if args.chunk and args.chunk < args.seeds:
-        results = []
-        mission._ens_jit = {}
-        for s0 in range(args.seed, args.seed + args.seeds, args.chunk):
-            k = min(args.chunk, args.seed + args.seeds - s0)
-            m = DeviceMission(exp, seed=s0, plan_iters=args.plan_iters,
-                              e_max=args.e_max)
-            # run_ensemble compiles into _ens_jit[bd]; sharing the dict
-            # reuses ONE vmapped executable across every chunk (the fn
-            # closes over the first mission, whose config is identical;
-            # seeds enter through the traced key argument). Tail chunks
-            # pad to the chunk size so the shapes match.
-            m._ens_jit = mission._ens_jit
-            results.extend(m.run_ensemble(args.chunk)[:k])
-            print(f"  seeds {s0}..{s0 + k - 1}: "
-                  f"{time.perf_counter() - t0:.1f}s cumulative",
-                  flush=True)
-    else:
-        results = mission.run_ensemble(args.seeds)
+    results = mission.run_ensemble(
+        args.seeds, mode=args.mode,
+        seed_chunk=args.chunk if args.chunk > 0 else None)
     wall = time.perf_counter() - t0
+    print(f"launches (last chunk): {mission.last_run_launches}", flush=True)
 
     rmse = np.array([r.rmse for r in results])
     wmse = np.array([getattr(r, "wmse", np.nan) for r in results])
