@@ -129,12 +129,17 @@ def main():
     fused = jax.jit(lambda K: fused_factor_invert(K, block=args.block))
 
     def timeit(fn):
+        # time a scalar REDUCTION of the outputs fetched to the host:
+        # on the axon tunnel, block_until_ready on the big (N, N)
+        # outputs returns in ~0.1 ms without waiting for the compute
+        # (measured), so the wall-clock must be pinned by a host read
+        sfn = jax.jit(lambda K: [jnp.sum(o) for o in fn(K)])
         out = fn(K)
-        jax.block_until_ready(out)
+        _ = [float(s) for s in sfn(K)]
         ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(K))
+            _ = [float(s) for s in sfn(K)]
             ts.append(time.perf_counter() - t0)
         return min(ts), out
 
