@@ -354,19 +354,27 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
 
         # stacked arrays (MF rows in emukit fidelity order, like
         # stack_fidelity_lists)
-        X_sf = jnp.asarray(np.stack([d.X_est for d in dss]), dtype)
-        X_tp = jnp.asarray(np.stack([d.X_true for d in dss]), dtype)
-        y_b = jnp.asarray(np.stack([d.y for d in dss]), dtype)
-        Xmf, fmf, ymf = [], [], []
+        # host copies stay live: the overlapped host-f64 lane repairs
+        # slice them per dataset without tunnel round-trips
+        X_sf_np = np.stack([d.X_est for d in dss])
+        X_tp_np = np.stack([d.X_true for d in dss])
+        y_np = np.stack([d.y for d in dss])
+        X_sf = jnp.asarray(X_sf_np, dtype)
+        X_tp = jnp.asarray(X_tp_np, dtype)
+        y_b = jnp.asarray(y_np, dtype)
+        Xmf_l, fmf_l, ymf_l = [], [], []
         for d in dss:
             Xs, ys = d.fidelity_lists(use_estimates=True)
             X, fid, y = mfm.stack_fidelity_lists(Xs, ys)
-            Xmf.append(np.asarray(X))
-            fmf.append(np.asarray(fid))
-            ymf.append(np.asarray(y))
-        Xmf = jnp.asarray(np.stack(Xmf), dtype)
-        fmf = jnp.asarray(np.stack(fmf), jnp.int32)
-        ymf = jnp.asarray(np.stack(ymf), dtype)
+            Xmf_l.append(np.asarray(X))
+            fmf_l.append(np.asarray(fid))
+            ymf_l.append(np.asarray(y))
+        Xmf_np = np.stack(Xmf_l)
+        fmf_np = np.stack(fmf_l)
+        ymf_np = np.stack(ymf_l)
+        Xmf = jnp.asarray(Xmf_np, dtype)
+        fmf = jnp.asarray(fmf_np, jnp.int32)
+        ymf = jnp.asarray(ymf_np, dtype)
 
         # shared restart inits (identical to the per-run path: default
         # params + seeded spread, optimize_restarts semantics)
@@ -465,23 +473,61 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                                                normalize),
             in_axes=(0, 0, 0, 0)))
 
+        mf_vec_np = np.asarray(mf_vec)
+        ni_np = np.asarray(vec_ni)
+        vec_sf_np = np.asarray(vec_sf)
+        vec_tp_np = np.asarray(vec_tp)
+        # ONE transfer for the positive-space vectors (per-lane slicing of
+        # a device array re-round-trips the tunnel per dataset)
+        sf_vec_np = np.asarray(sf_vec)
+        tp_vec_np = np.asarray(tp_vec)
+
+        # Host-f64 lane repairs OVERLAP the remaining device eval time:
+        # the f32 on-device eval is non-finite for every lane whose
+        # posterior covariance assembly (Kss - V^T V at tiny fitted
+        # noise) loses definiteness to f32 cancellation — measured on
+        # the r5 study matrix that is ~1/3 of ALL lanes (census:
+        # tools/study_repair_census.py, 128/360 repairs, 113.8 s
+        # serial). Submitting each family's repairs to a worker thread
+        # the moment ITS eval lands hides them behind the later
+        # families' device launches (NumPy/LAPACK releases the GIL);
+        # only the last family's repairs remain a tail.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        repair_futs: dict = {}
+
+        def _submit_repairs(key, fam, ev, vecs, Xb, fidb, yb):
+            bad = ~(np.isfinite(np.asarray(ev[0]))
+                    & np.isfinite(np.asarray(ev[1])))
+            for b in np.nonzero(bad)[0]:
+                b = int(b)
+                repair_futs[(b, key)] = pool.submit(
+                    _host64_wmse, fam, vecs[b], Xb[b],
+                    None if fidb is None else fidb[b], yb[b], tp,
+                    f_true[idxs[b]], normalize)
+
         # (chunk, M, M) posterior covariances bound peak HBM per launch
         ev_mf = _chunked_launch(f_mf, mf_vec, Xmf, fmf, ymf, ftj,
                                 chunk=eval_chunk, label=lbl("eval mf"))
+        _submit_repairs("mf", "mf", ev_mf, mf_vec_np, Xmf_np, fmf_np,
+                        ymf_np)
         ev_sf = _chunked_launch(f_sf, jnp.asarray(vec_sf), X_sf, y_b, ftj,
                                 chunk=eval_chunk, label=lbl("eval sf"))
+        _submit_repairs("sf", "sf", ev_sf, vec_sf_np, X_sf_np, None, y_np)
         ev_tp = _chunked_launch(f_sf, jnp.asarray(vec_tp), X_tp, y_b, ftj,
                                 chunk=eval_chunk, label=lbl("eval sfTP"))
+        _submit_repairs("sfTP", "sf", ev_tp, vec_tp_np, X_tp_np, None,
+                        y_np)
         ev_ni = _chunked_launch(f_ni, jnp.asarray(vec_ni), X_sf, y_b, ftj,
                                 chunk=eval_chunk, label=lbl("eval nigp"))
-        mf_vec_np = np.asarray(mf_vec)
-        ni_np = np.asarray(vec_ni)
+        _submit_repairs("nisf", "nigp", ev_ni, ni_np, X_sf_np, None, y_np)
+        t_total = time.monotonic() - t0
         if verbose:
             print(f"group N={n}: {B} datasets, fits {t_fit:.1f}s, "
-                  f"total {time.monotonic() - t0:.1f}s", flush=True)
+                  f"total {t_total:.1f}s", flush=True)
 
-        vec_sf_np = np.asarray(vec_sf)
-        vec_tp_np = np.asarray(vec_tp)
+        n_repairs, t_repairs = 0, 0.0
         for b, i in enumerate(idxs):
             path = gpdata_paths[i]
             base = os.path.basename(path)
@@ -496,18 +542,16 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                 "WRMSE nisf": float(ev_ni[1][b]),
             }
             # host-f64 fallback for lanes whose f32 covariance was
-            # numerically indefinite (rare; see _host64_wmse)
-            fb = [("mf", mf_vec_np[b], Xmf[b], fmf[b], ymf[b], ev_mf),
-                  ("sf", vec_sf_np[b], X_sf[b], None, y_b[b], ev_sf),
-                  ("sfTP", vec_tp_np[b], X_tp[b], None, y_b[b], ev_tp),
-                  ("nisf", ni_np[b], X_sf[b], None, y_b[b], ev_ni)]
-            for key, vec, Xb_, fidb_, yb_, ev in fb:
+            # numerically indefinite (~1/3 of lanes on the study
+            # matrix; computed in the overlapped worker above —
+            # .result() only waits on repairs the device didn't hide)
+            for key in ("mf", "sf", "sfTP", "nisf"):
                 if not (np.isfinite(metrics[f"WRMSE {key}"])
                         and np.isfinite(metrics[f"RMSE {key}"])):
-                    fam = {"sfTP": "sf", "nisf": "nigp"}.get(key, key)
-                    rm, wm = _host64_wmse(
-                        fam, vec, Xb_, fidb_, yb_, tp, f_true[i],
-                        normalize)
+                    t_r = time.monotonic()
+                    rm, wm = repair_futs[(b, key)].result()
+                    n_repairs += 1
+                    t_repairs += time.monotonic() - t_r
                     metrics[f"RMSE {key}"] = rm
                     metrics[f"WRMSE {key}"] = wm
             results[base] = metrics
@@ -517,10 +561,10 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
             stem = base.replace(".csv", "_")
             save_hyp_vector(os.path.join(out_dir, stem + "emuGP.txt"),
                             mf_vec_np[b], row=True)
-            sv = np.asarray(sf_vec[b])
-            save_hyp_vector(os.path.join(out_dir, stem + "sfGP.txt"), sv)
+            save_hyp_vector(os.path.join(out_dir, stem + "sfGP.txt"),
+                            sf_vec_np[b])
             save_hyp_vector(os.path.join(out_dir, stem + "sfGPTP.txt"),
-                            np.asarray(tp_vec[b]))
+                            tp_vec_np[b])
             lh = ni_np[b]
             nig_params = np.hstack([np.exp(lh[D + 2 :]),
                                     np.exp(lh[D]), np.exp(lh[D + 1]),
@@ -533,4 +577,11 @@ def process_datasets_batched(gpdata_paths, field_settings, out_dir=None,
                        ev_mf[2][b], ev_mf[3][b])
             save_mse(os.path.join(out_dir, base.replace("GPData", "MSE")
                                   .replace(".csv", ".txt")), metrics)
+        pool.shutdown()
+        if verbose:
+            print(f"group N={n}: artifacts+repairs "
+                  f"{time.monotonic() - t0 - t_total:.1f}s "
+                  f"({n_repairs} host-f64 lane repairs, "
+                  f"{t_repairs:.1f}s blocked — the rest overlapped the "
+                  f"device evals)", flush=True)
     return results

@@ -287,3 +287,52 @@ def test_batched_study_matches_per_run(tmp_path, synth_traj):
     for k in ("RMSE mf", "RMSE sf", "RMSE sfTP"):
         np.testing.assert_allclose(mb[k], m[k], rtol=0.05)
     assert np.isfinite(mb["WRMSE nisf"]) and np.isfinite(mb["RMSE nisf"])
+
+
+def test_batched_study_overlapped_repairs(tmp_path, synth_traj,
+                                          monkeypatch):
+    """Lanes whose f32 device eval is non-finite are repaired by the
+    OVERLAPPED host-f64 worker (futures submitted as each family's eval
+    lands — ~1/3 of real study lanes take this path, census in
+    tools/study_repair_census.py). Forcing every sf/sfTP lane non-finite
+    must still produce finite metrics that agree with the healthy device
+    eval (the repair recomputes the same posterior in f64)."""
+    import jax.numpy as jnp
+
+    from mfgp_tpu.data import study_batched as sb
+
+    paths, settings = [], []
+    for seed, vmn in ((1, 0.1),):
+        cfg = SimConfig(seed=seed, vmn=vmn)
+        run_pipeline(synth_traj, cfg, out_dir=str(tmp_path))
+        paths.append(str(tmp_path / "GPDataSets" /
+                         f"GPData_0.2_fieldMeas_{seed}_T{seed}_{vmn}.csv"))
+        settings.append(str(tmp_path / "FieldData" /
+                            f"FieldSettings{seed}.txt"))
+    cfg = SimConfig()
+    healthy = sb.process_datasets_batched(paths, settings, out_dir=None,
+                                          cfg=cfg, dtype=np.float32,
+                                          ftol=0.0)
+
+    real_eval = sb._eval_sf_one
+
+    def poisoned(vec, X, y, tp, f_true, kernel, jitter, normalize):
+        rmse, w, mu, var = real_eval(vec, X, y, tp, f_true, kernel,
+                                     jitter, normalize)
+        nan = jnp.asarray(float("nan"), w.dtype)
+        return rmse, nan, mu, var
+
+    monkeypatch.setattr(sb, "_eval_sf_one", poisoned)
+    repaired = sb.process_datasets_batched(paths, settings, out_dir=None,
+                                           cfg=cfg, dtype=np.float32,
+                                           ftol=0.0)
+    base = paths[0].split("/")[-1]
+    for k in ("RMSE sf", "WRMSE sf", "RMSE sfTP", "WRMSE sfTP"):
+        assert np.isfinite(repaired[base][k]), k
+        # f64 recomputation of the same fitted vector ~ the f32 value
+        np.testing.assert_allclose(repaired[base][k], healthy[base][k],
+                                   rtol=0.2)
+    # untouched families identical
+    for k in ("RMSE mf", "WRMSE mf", "RMSE nisf"):
+        np.testing.assert_allclose(repaired[base][k], healthy[base][k],
+                                   rtol=1e-6)
