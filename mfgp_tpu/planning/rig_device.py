@@ -101,14 +101,20 @@ STAT_COSTS = ("ergodic", "fourier")  # additive-statistics modes
 
 # Index-op lowering for the DP-state reads/writes, chosen PER TRACE:
 # "onehot" = dense masked contractions, "gather" = jnp.take/.at[].set.
-# Measured on v5e (tools/plan_lane_bench.py, ergodic 200 iters): solo
-# plans are 2.3x FASTER one-hot (150 vs 339 ms — unbatched gathers
-# serialize on the scalar core while the masked reductions vectorize),
-# but under vmapped lanes the one-hot forms stream O(K x ARENA) per
-# read and gather wins: K=8 at sim defaults 695 vs 740 ms, at the
-# richer traj_count=8 mix 963 vs 1756 ms (-45%), per-mode lane scaling
-# 2.05x vs 4.92x. So plan() traces with one-hot and the vmapped
-# entry points (plan_ensemble/plan_batch) trace with gather.
+# Measured on v5e (tools/plan_lane_bench.py r4; re-measured r5 with
+# both-lowering solos, tools/plan_lane_attrib.py): solo plans are
+# LATENCY-bound — ~1.5 ms per fori_loop iteration of the sequential
+# loop regardless of per-iteration work (solo wall is flat at ~0.30 s
+# for 200 iters across quarter-grid, double-samples, traj_count=8, and
+# half-capacity arenas; the 2.3x one-hot-vs-gather solo split of the
+# r4 note does not reproduce — r5 measures the two lowerings within
+# ~10% of each other solo). Under vmapped lanes the per-iteration work
+# is Kx and gather wins at rich edge mixes (traj8: 963 vs 1756 ms in
+# r4's A/B); at sim defaults K=8 costs 2.1-2.3x the best solo (lanes
+# fill the idle compute of the latency-bound loop), growing to 2.7x at
+# double samples and 3.5x at traj_count=8 as lanes saturate compute.
+# plan() traces with one-hot and the vmapped entry points
+# (plan_ensemble/plan_batch) trace with gather.
 # MFGP_TPU_PLAN_GATHER=0/1 pins BOTH paths for A/B; default "auto".
 _PLAN_GATHER_ENV = os.environ.get("MFGP_TPU_PLAN_GATHER", "auto")
 _INDEX_GATHER = {"on": _PLAN_GATHER_ENV == "1"}
