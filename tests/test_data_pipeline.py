@@ -310,9 +310,10 @@ def test_batched_study_overlapped_repairs(tmp_path, synth_traj,
         settings.append(str(tmp_path / "FieldData" /
                             f"FieldSettings{seed}.txt"))
     cfg = SimConfig()
+    # default ftol: the stagnation stop keeps this fit cheap — both runs
+    # share it, so the healthy-vs-repaired comparison stays apples-to-apples
     healthy = sb.process_datasets_batched(paths, settings, out_dir=None,
-                                          cfg=cfg, dtype=np.float32,
-                                          ftol=0.0)
+                                          cfg=cfg, dtype=np.float32)
 
     real_eval = sb._eval_sf_one
 
@@ -324,8 +325,7 @@ def test_batched_study_overlapped_repairs(tmp_path, synth_traj,
 
     monkeypatch.setattr(sb, "_eval_sf_one", poisoned)
     repaired = sb.process_datasets_batched(paths, settings, out_dir=None,
-                                           cfg=cfg, dtype=np.float32,
-                                           ftol=0.0)
+                                           cfg=cfg, dtype=np.float32)
     base = paths[0].split("/")[-1]
     for k in ("RMSE sf", "WRMSE sf", "RMSE sfTP", "WRMSE sfTP"):
         assert np.isfinite(repaired[base][k]), k
